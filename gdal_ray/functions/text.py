@@ -1,0 +1,176 @@
+"""Web-text analysis kernels for large-scale training-data pipelines.
+
+Not present in the reference (GDAL has no text ops); these are the
+payload-side operators a 100 TB Common-Crawl-style pipeline needs:
+language ID, quality scoring, token counting, fingerprinting, shingling
+and MinHash/SimHash signatures.  Hot paths use pyarrow's RE2-backed
+string kernels (``count_substring_regex``, ``utf8_length``) — one C++
+pass per metric, no Python per row.  Signature functions (MinHash /
+SimHash) hash per-token with zlib.crc32 (C speed, deterministic across
+processes — never builtin ``hash``) and vectorize the permutations in
+numpy.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --- token counting --------------------------------------------------------
+
+_WORD_RE = r"[A-Za-z0-9_]+(?:'[A-Za-z]+)?"
+
+
+def token_count_batch(batch: pa.Table, col: str = "text",
+                      out: str = "n_tokens") -> pa.Table:
+    """Whitespace-delimited token count (vectorized regex count)."""
+    n = pc.count_substring_regex(batch[col], r"\S+")
+    return batch.append_column(out, pc.cast(n, pa.int64()))
+
+
+def word_count_batch(batch: pa.Table, col: str = "text",
+                     out: str = "n_words") -> pa.Table:
+    """BPE-ish word token count (letters/digits runs with apostrophes)."""
+    n = pc.count_substring_regex(batch[col], _WORD_RE)
+    return batch.append_column(out, pc.cast(n, pa.int64()))
+
+
+# --- quality scoring -------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "für", "nicht"],
+    "fr": ["le", "la", "les", "et", "de", "des", "est", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "de", "que", "es", "por", "con"],
+    "pt": ["o", "a", "os", "as", "de", "que", "em", "para", "com", "não"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "人", "这"],
+}
+
+
+def quality_score_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append length/punctuation/alpha-ratio quality features.
+
+    All ratios are computed as C1-pass regex counts over the raw text:
+    n_chars, n_tokens, punct_ratio, alpha_ratio, digit_ratio,
+    mean_token_len.
+    """
+    text = batch[col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(text, r"[.,;:!?]"), pa.float64())
+    n_alpha = pc.cast(pc.count_substring_regex(text, r"[A-Za-z]"), pa.float64())
+    n_digit = pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.float64())
+    safe_chars = pc.max_element_wise(n_chars, pa.scalar(1.0))
+    safe_toks = pc.max_element_wise(n_tokens, pa.scalar(1.0))
+    out = batch.append_column("n_chars", pc.cast(n_chars, pa.int64()))
+    out = out.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+    out = out.append_column("punct_ratio", pc.divide(n_punct, safe_chars))
+    out = out.append_column("alpha_ratio", pc.divide(n_alpha, safe_chars))
+    out = out.append_column("digit_ratio", pc.divide(n_digit, safe_chars))
+    # mean token length over non-space chars
+    n_nonspace = pc.cast(pc.count_substring_regex(text, r"\S"), pa.float64())
+    out = out.append_column("mean_token_len", pc.divide(n_nonspace, safe_toks))
+    return out
+
+
+def lang_id_batch(batch: pa.Table, col: str = "text",
+                  out: str = "lang_pred") -> pa.Table:
+    """Stopword-profile language ID over the supported language set.
+
+    One vectorized word-boundary regex count per language; prediction =
+    argmax of stopword hits normalized by token count; ties and zero
+    hits → 'und' (undetermined).
+    """
+    text = batch[col]
+    langs = list(_STOPWORDS)
+    scores = np.zeros((len(langs), len(batch)), dtype=np.float64)
+    for i, lang in enumerate(langs):
+        words = _STOPWORDS[lang]
+        if lang == "zh":
+            pat = "|".join(map(re.escape, words))
+        else:
+            pat = r"(?i)\b(?:" + "|".join(map(re.escape, words)) + r")\b"
+        scores[i] = pc.count_substring_regex(text, pat).to_numpy(
+            zero_copy_only=False
+        )
+    best = np.argmax(scores, axis=0)
+    hits = scores[best, np.arange(scores.shape[1])]
+    pred = np.where(hits > 0, np.asarray(langs, dtype=object)[best], "und")
+    return batch.append_column(out, pa.array(pred.tolist(), pa.string()))
+
+
+# --- fingerprinting --------------------------------------------------------
+
+
+def fingerprint_batch(batch: pa.Table, col: str = "text",
+                      out: str = "fingerprint") -> pa.Table:
+    """MD5 content fingerprint of the raw text bytes (hex string) — the
+    exact-dedup key; SQL-oracle-equivalent to DuckDB ``md5(text)``."""
+    import hashlib
+
+    vals = batch[col].to_pylist()
+    fps = [hashlib.md5(("" if v is None else v).encode("utf-8")).hexdigest()
+           for v in vals]
+    return batch.append_column(out, pa.array(fps, pa.string()))
+
+
+def crc_tokens(text: str, pattern: re.Pattern) -> np.ndarray:
+    """Deterministic uint64 token hashes (crc32 — C speed)."""
+    return np.array(
+        [zlib.crc32(t.encode("utf-8")) for t in pattern.findall(text.lower())],
+        dtype=np.uint64,
+    )
+
+
+_SHINGLE_RE = re.compile(r"\S+")
+
+# MinHash permutation parameters: (a*h + b) mod p, p Mersenne-ish prime
+_MH_PRIME = np.uint64((1 << 61) - 1)
+
+
+def minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, 1 << 61, size=num_perm).astype(np.uint64)
+    b = rs.randint(0, 1 << 61, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """k-token shingle hashes (rolling over crc32 token hashes)."""
+    toks = crc_tokens(text, _SHINGLE_RE)
+    if len(toks) < k:
+        return toks if len(toks) else np.array([0], dtype=np.uint64)
+    # combine k consecutive token hashes with distinct multipliers
+    mults = np.array([1000003, 999983, 31337][:k] + [7] * max(0, k - 3),
+                     dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(toks, k)
+    return (windows * mults).sum(axis=1, dtype=np.uint64)
+
+
+def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm minima of (a*h+b) mod p over the shingle set."""
+    with np.errstate(over="ignore"):
+        hv = (sh[None, :] * a[:, None] + b[:, None]) % _MH_PRIME
+    return hv.min(axis=1)
+
+
+def simhash64(sh: np.ndarray, weights: np.ndarray | None = None) -> np.uint64:
+    """64-bit SimHash of the shingle multiset."""
+    bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    w = np.ones(len(sh)) if weights is None else weights
+    acc = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+    return np.uint64(((acc > 0).astype(np.uint64)
+                      << np.arange(64, dtype=np.uint64)).sum())
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Exact k-shingle Jaccard similarity between two texts."""
+    sa, sb = set(shingle_hashes(a, k).tolist()), set(shingle_hashes(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)

@@ -1,0 +1,61 @@
+"""The flagship pipeline: geotag → dedup → spatial join → tiles.
+
+The end-to-end slice from SURVEY.md §7.1, the workload the north rule
+measures (pages/sec of spatial-join + tiling):
+
+    read_parquet(pages, columns pruned — html never leaves storage)
+      → map_batches(geotag: regex lat/lon → WKB point + cell ids)
+      → exact dedup by url (hash-partition groupby, keep first)
+      → map_batches(SpatialJoiner actor pool: broadcast STR-indexed
+        polygons, point-in-polygon, reference schema-merge rule)
+      → tile assignment + partial+final tile counts + pyramid
+
+Ray session ownership: these functions NEVER call ray.init/shutdown —
+the caller (driver / bench.py / tests) owns the session.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions.geotag import geotag_batch
+from ..stages import tiling as _tiling
+from ..stages.dedup import dedup_exact
+from ..stages.spatial_join import spatial_join
+from ..sources import pages as _pages
+
+
+def geotagged_pages(paths, parallelism: int | None = None,
+                    cell_level: int = 12, prefix_level: int = 4):
+    """read (pruned) → geotag.  `html` is excluded at the read: the
+    join/tile path needs only url/warc_ts/text/lang (SURVEY.md §7.5
+    wide-binary rule)."""
+    ds = rd.read_parquet(
+        paths, columns=["url", "warc_ts", "text", "lang"],
+        **({"override_num_blocks": parallelism} if parallelism else {}))
+    return ds.map_batches(
+        lambda b: geotag_batch(b, cell_level=cell_level,
+                               prefix_level=prefix_level),
+        batch_format="pyarrow")
+
+
+def flagship(paths, poly_table: pa.Table | None = None,
+             zooms=(4, 6, 8), dedup: bool = True,
+             join_concurrency=4, parallelism: int | None = None):
+    """Full pipeline; returns (join_rows_ds, tile_counts_ds).
+
+    Both returned Datasets are lazy; the caller consumes (count, write,
+    iter) to execute with streaming backpressure.
+    """
+    if poly_table is None:
+        poly_table = _pages.make_polygons_table()
+    ds = geotagged_pages(paths, parallelism)
+    if dedup:
+        ds = dedup_exact(ds, key="url", order_col="warc_ts")
+    joined = spatial_join(ds, poly_table, operation="intersection",
+                          predicate="intersects",
+                          concurrency=join_concurrency)
+    tile_ds = _tiling.tile_counts(joined, zooms)
+    return joined, tile_ds

@@ -1,0 +1,117 @@
+"""Partial+final (salted) aggregation helpers.
+
+The skew strategy the north rule names: dense urban cells can be 10^4×
+the median, so a bare ``groupby(cell)`` would ship every page row of a
+hot cell to one reducer.  Instead each batch combines locally (one
+partial row per key per batch — pyarrow ``Table.group_by`` in C++), and
+the final shuffle moves only partials.  This is the classic
+partial/combiner plan (the reference's analog: per-thread accumulation
+in grid/zonal stats, alg/gdalgrid.cpp:3650-3667, merged at the end).
+
+``salted_group_agg`` adds an explicit salt for the *final* stage too —
+needed only when even the partial-per-key cardinality is dominated by a
+few keys across MANY batches (then: partial → groupby((key, salt)) →
+groupby(key)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_PARTIALABLE = {"sum", "count", "min", "max"}
+
+
+def _partial_agg_batch(batch: pa.Table, keys, aggs) -> pa.Table:
+    """aggs: list of (col, fn, out_name); fn ∈ sum|count|min|max|mean.
+    mean is decomposed into sum+count partials."""
+    plan = []
+    renames = list(keys)
+    for col, fn, out in aggs:
+        if fn == "mean":
+            plan.append((col, "sum"))
+            renames.append(f"__sum_{out}")
+            plan.append((col, "count"))
+            renames.append(f"__cnt_{out}")
+        elif fn == "count":
+            plan.append(([], "count_all"))
+            renames.append(f"__cnt_{out}")
+        elif fn in _PARTIALABLE:
+            plan.append((col, fn))
+            renames.append(f"__{fn}_{out}")
+        else:
+            raise ValueError(f"unsupported partial agg {fn}")
+    g = batch.group_by(keys).aggregate(plan)
+    # pyarrow (>=7) puts key columns first, then aggregates in plan order
+    return g.rename_columns(renames)
+
+
+def partial_final_agg(ds, keys, aggs):
+    """ds.groupby(keys) with per-batch partials.
+
+    aggs: list of (col, fn, out_name), fn ∈ sum|count|min|max|mean.
+    Returns Dataset with columns keys ++ out_names.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    partial = ds.map_batches(
+        lambda b: _partial_agg_batch(b, keys, aggs), batch_format="pyarrow")
+    final_aggs = []
+    for col, fn, out in aggs:
+        if fn == "mean":
+            final_aggs.append(Sum(f"__sum_{out}", alias_name=f"__sum_{out}"))
+            final_aggs.append(Sum(f"__cnt_{out}", alias_name=f"__cnt_{out}"))
+        elif fn in ("sum", "count"):
+            src = f"__cnt_{out}" if fn == "count" else f"__sum_{out}"
+            final_aggs.append(Sum(src, alias_name=src))
+        elif fn == "min":
+            final_aggs.append(Min(f"__min_{out}", alias_name=f"__min_{out}"))
+        elif fn == "max":
+            final_aggs.append(Max(f"__max_{out}", alias_name=f"__max_{out}"))
+    merged = partial.groupby(keys[0] if len(keys) == 1 else keys).aggregate(
+        *final_aggs)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols = {k: batch[k] for k in keys}
+        for col, fn, out in aggs:
+            if fn == "mean":
+                import pyarrow.compute as pc
+                cols[out] = pc.divide(
+                    pc.cast(batch[f"__sum_{out}"], pa.float64()),
+                    pc.cast(batch[f"__cnt_{out}"], pa.float64()))
+            elif fn == "count":
+                cols[out] = batch[f"__cnt_{out}"]
+            else:
+                cols[out] = batch[f"__{fn}_{out}"]
+        return pa.table(cols)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def add_salt_batch(batch: pa.Table, key: str, buckets: int,
+                   out: str = "salt") -> pa.Table:
+    """Deterministic salt column = crc-mix of the key modulo buckets —
+    splits a hot key across reducers for two-stage aggregation."""
+    import zlib
+
+    vals = batch[key].to_pylist()
+    salt = np.array(
+        [zlib.crc32(str(v).encode()) % buckets for v in vals], dtype=np.int32)
+    return batch.append_column(out, pa.array(salt, pa.int32()))
+
+
+def salted_group_count(ds, key: str, buckets: int = 16):
+    """Two-stage salted count for pathologically hot keys:
+    groupby((key, salt)) partials → groupby(key) final sum."""
+    from ray.data.aggregate import Sum
+
+    salted = ds.map_batches(
+        lambda b: _partial_agg_batch(
+            add_salt_batch(b, key, buckets), [key, "salt"],
+            [(key, "count", "n")]),
+        batch_format="pyarrow")
+    stage1 = salted.groupby([key, "salt"]).aggregate(
+        Sum("__cnt_n", alias_name="n_partial"))
+    final = stage1.groupby(key).aggregate(Sum("n_partial", alias_name="n"))
+    return final

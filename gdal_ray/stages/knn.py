@@ -1,0 +1,152 @@
+"""kNN nearest-feature lookup — ``GDALGridNearestNeighbor`` semantics.
+
+Reproduces the reference's gridding nearest-neighbor contract
+(alg/gdalgrid.cpp:905-1022) and its true-k variant
+(``GDALGridInverseDistanceToAPowerNearestNeighbor``, :242-350) as a
+broadcast actor-pool stage:
+
+- nearest by squared Euclidean distance, **ties won by the
+  later-scanned reference point** (the reference uses ``<=`` when
+  scanning, :963-967) — reproduced exactly by taking the LAST argmin;
+- optional search radius: if no reference point lies within it the
+  output is NODATA (null), matching the fixed-radius branch (:935-984;
+  the radius-doubling loop exists only to terminate the quadtree
+  search — its observable semantics are "nearest point, or NODATA
+  when a fixed radius excludes everything");
+- IDW-k variant: take up to ``max_points`` nearest within the radius,
+  weight 1/d^power, NODATA when fewer than ``min_points`` (:307-339).
+
+The reference array is the broadcast small side (``ray.put`` once,
+arrays materialized per actor in ``__init__`` — the analog of the
+CPLQuadTree built once in ``GDALGridContextCreate``,
+alg/gdalgrid.cpp:3352).  Distances are computed brute-force in
+row-chunks (vectorized numpy); for reference layers ≳10^6 points,
+bucket the reference side by cell prefix and ship each bucket to the
+actors responsible for that prefix (documented scale path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+class KnnLookup:
+    """Actor callable: appends nearest-ref columns to each batch."""
+
+    def __init__(self, ref_table_ref, ref_x_col: str = "x",
+                 ref_y_col: str = "y", ref_id_col: str = "ref_id",
+                 query_x_col: str = "lon", query_y_col: str = "lat",
+                 radius: float | None = None,
+                 out_prefix: str = "nearest_",
+                 value_col: str | None = None,
+                 max_points: int = 1, min_points: int = 1,
+                 power: float = 2.0, smoothing: float = 0.0,
+                 chunk_rows: int = 0):
+        table = ray.get(ref_table_ref) if isinstance(ref_table_ref, ray.ObjectRef) \
+            else ref_table_ref
+        # deterministic scan order = reference table row order
+        self.rx = table[ref_x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        self.ry = table[ref_y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        self.rid = table[ref_id_col].to_numpy(zero_copy_only=False)
+        self.rv = (table[value_col].to_numpy(zero_copy_only=False)
+                   .astype(np.float64) if value_col else None)
+        self.radius2 = None if radius is None else float(radius) ** 2
+        self.qx, self.qy = query_x_col, query_y_col
+        self.out_prefix = out_prefix
+        self.max_points, self.min_points = max_points, min_points
+        self.power, self.smoothing = power, smoothing
+        # chunk so the (rows × refs) distance block stays ~64 MB
+        self.chunk = chunk_rows or max(1, int(8_000_000 // max(1, len(self.rx))))
+
+    def _nearest_chunk(self, qx: np.ndarray, qy: np.ndarray):
+        d2 = (qx[:, None] - self.rx[None, :]) ** 2 \
+            + (qy[:, None] - self.ry[None, :]) ** 2
+        # later-scanned point wins ties (gdalgrid.cpp:963-967 '<='):
+        # argmin returns the FIRST minimum, so argmin over the reversed
+        # scan order yields the LAST original index.
+        rev = d2[:, ::-1]
+        j_rev = np.argmin(rev, axis=1)
+        j = d2.shape[1] - 1 - j_rev
+        dmin = d2[np.arange(len(qx)), j]
+        ok = np.ones(len(qx), dtype=bool) if self.radius2 is None \
+            else dmin <= self.radius2
+        return j, np.sqrt(dmin), ok
+
+    def _idw_chunk(self, qx: np.ndarray, qy: np.ndarray):
+        d2 = (qx[:, None] - self.rx[None, :]) ** 2 \
+            + (qy[:, None] - self.ry[None, :]) ** 2 + self.smoothing ** 2
+        k = min(self.max_points, d2.shape[1])
+        idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
+        dk = np.take_along_axis(d2, idx, axis=1)
+        within = np.ones_like(dk, dtype=bool) if self.radius2 is None \
+            else dk <= self.radius2
+        n_in = within.sum(axis=1)
+        ok = n_in >= self.min_points
+        with np.errstate(divide="ignore"):
+            w = np.where(within, 1.0 / np.power(np.sqrt(dk), self.power), 0.0)
+        vals = self.rv[idx]
+        exact = dk == 0.0
+        has_exact = exact.any(axis=1)
+        wsum = w.sum(axis=1)
+        est = np.where(
+            has_exact,
+            # exact hit: value at zero distance wins (limit of IDW)
+            vals[np.arange(len(qx)), np.argmax(exact, axis=1)],
+            np.divide((w * vals).sum(axis=1), np.where(wsum > 0, wsum, 1.0)),
+        )
+        return est, n_in.astype(np.int64), ok
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qx = batch[self.qx].to_numpy(zero_copy_only=False).astype(np.float64)
+        qy = batch[self.qy].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(qx)
+        if self.max_points == 1:
+            ids = np.empty(n, dtype=object)
+            dist = np.empty(n)
+            okm = np.empty(n, dtype=bool)
+            for s in range(0, n, self.chunk):
+                j, d, ok = self._nearest_chunk(qx[s:s + self.chunk],
+                                               qy[s:s + self.chunk])
+                ids[s:s + self.chunk] = self.rid[j]
+                dist[s:s + self.chunk] = d
+                okm[s:s + self.chunk] = ok
+            id_arr = pa.array(
+                [ids[i] if okm[i] else None for i in range(n)],
+                type=pa.array(self.rid[:1]).type if len(self.rid) else pa.int64(),
+            )
+            out = batch.append_column(self.out_prefix + "id", id_arr)
+            out = out.append_column(
+                self.out_prefix + "dist",
+                pa.array(np.where(okm, dist, np.nan), pa.float64()),
+            )
+            return out
+        est = np.empty(n)
+        cnt = np.empty(n, dtype=np.int64)
+        okm = np.empty(n, dtype=bool)
+        for s in range(0, n, self.chunk):
+            e, c, ok = self._idw_chunk(qx[s:s + self.chunk], qy[s:s + self.chunk])
+            est[s:s + self.chunk] = e
+            cnt[s:s + self.chunk] = c
+            okm[s:s + self.chunk] = ok
+        out = batch.append_column(
+            self.out_prefix + "idw",
+            pa.array(np.where(okm, est, np.nan), pa.float64()),
+        )
+        out = out.append_column(self.out_prefix + "n", pa.array(cnt, pa.int64()))
+        return out
+
+
+def knn_lookup(ds, ref_table: pa.Table, concurrency=4, batch_size: int = 65536,
+               **kwargs):
+    """Dataset-level kNN stage: broadcast refs once, actor pool lookup."""
+    ref = ray.put(ref_table)
+    return ds.map_batches(
+        KnnLookup,
+        fn_constructor_kwargs=dict(ref_table_ref=ref, **kwargs),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k per batch against a broadcast query matrix
+(numpy matmul — the baseline), and an IVF-style variant that buckets
+vectors by nearest coarse centroid so only matching buckets are scanned
+(the scale path: the bucket id doubles as the shuffle/partition key).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _to_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # list<float> → (n, d); Arrow list arrays flatten zero-copy
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(norms > 0, norms, 1.0)
+
+
+class CosineTopK:
+    """Actor callable: for each query vector (broadcast once), emit the
+    top-k most-similar rows seen in this batch; partial top-ks are
+    merged by a final small groupby-sort (caller's job or use
+    ``cosine_topk``)."""
+
+    def __init__(self, queries_ref, k: int = 10, key_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) \
+            else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64))
+        self.k = k
+        self.key_col, self.vec_col = key_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_to_matrix(batch[self.vec_col]))
+        sims = self.q @ emb.T  # (nq, nb)
+        k = min(self.k, sims.shape[1])
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        nq = sims.shape[0]
+        qid = np.repeat(np.arange(nq, dtype=np.int32), k)
+        flat_idx = idx.ravel()
+        return pa.table({
+            "query_id": pa.array(qid, pa.int32()),
+            self.key_col: pa.array(keys[flat_idx]),
+            "cosine": pa.array(sims[np.repeat(np.arange(nq), k), flat_idx],
+                               pa.float64()),
+        })
+
+
+def cosine_topk(ds, queries: np.ndarray, k: int = 10,
+                key_col: str = "vec_id", vec_col: str = "embedding",
+                concurrency=4):
+    """Global top-k per query: per-batch partial top-k (actor pool) →
+    per-query merge.  The shuffle moves only (nq × k × batches) partial
+    rows, never the vectors."""
+    ref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = ds.map_batches(
+        CosineTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k, key_col=key_col,
+                                   vec_col=vec_col),
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", key_col], ascending=[False, True],
+                          kind="stable").head(k)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class IVFIndexer:
+    """IVF bucketing: assign each vector to its nearest coarse centroid
+    (centroids broadcast once).  Search then scans only the probe-list
+    buckets — at scale the bucket id is the partition key, so a query
+    touches a bounded subset of partitions."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding",
+                 out: str = "ivf_bucket"):
+        c = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) \
+            else centroids_ref
+        self.c = _normalize(np.asarray(c, dtype=np.float64))
+        self.vec_col, self.out = vec_col, out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_to_matrix(batch[self.vec_col]))
+        bucket = np.argmax(emb @ self.c.T, axis=1).astype(np.int32)
+        return batch.append_column(self.out, pa.array(bucket, pa.int32()))
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                    seed: int = 3) -> np.ndarray:
+    """Mini k-means on a driver-side sample (deterministic seed)."""
+    rs = np.random.RandomState(seed)
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    c = X[rs.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ c.T, axis=1)
+        for j in range(len(c)):
+            m = assign == j
+            if m.any():
+                c[j] = X[m].mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def ivf_topk(ds, queries: np.ndarray, centroids: np.ndarray, k: int = 10,
+             nprobe: int = 2, key_col: str = "vec_id",
+             vec_col: str = "embedding", concurrency=4):
+    """IVF search: bucket the dataset, keep only buckets within the
+    queries' nprobe nearest centroids, then exact cosine top-k on the
+    surviving subset."""
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+    bucketed = ds.map_batches(
+        IVFIndexer, fn_constructor_kwargs=dict(centroids_ref=cref,
+                                               vec_col=vec_col),
+        batch_format="pyarrow", concurrency=concurrency)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    sims = qn @ cn.T
+    probe = np.argsort(-sims, axis=1)[:, :nprobe]
+    wanted = sorted(set(probe.ravel().tolist()))
+    filtered = bucketed.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b["ivf_bucket"],
+                                            value_set=pa.array(wanted,
+                                                               pa.int32()))),
+        batch_format="pyarrow")
+    return cosine_topk(filtered, queries, k, key_col, vec_col, concurrency)

@@ -1,0 +1,234 @@
+"""Broadcast spatial join — the engine's layer-algebra core.
+
+Re-expresses ``OGRLayer::Intersection`` and its siblings
+(ogr/ogrsf_frmts/generic/ogrlayer.cpp:5385-5629 Intersection, :5803
+Union, :6770 Identity, :7537 Clip, :7846 Erase) as a Ray-Data-native
+broadcast join:
+
+- the method (polygon) layer is small: it is ``ray.put`` once and every
+  ``SpatialJoiner`` actor builds its immutable index in ``__init__`` —
+  the Ray analog of the reference's prepared geometries
+  (``OGRCreatePreparedGeometry``, ogrlayer.cpp:5512-5520) and
+  zone STRtree (alg/zonal.cpp:1372-1450);
+- candidate pruning is two-phase exactly like the reference's
+  ``FilterGeometry`` (ogrlayer.cpp:4004-4075): phase 1 a cell/envelope
+  overlap test (here: a Morton-cell → polygon-ids covering map, the
+  vectorized equivalent of the envelope check at :5465-5487), phase 2
+  the exact point-in-polygon predicate;
+- the output schema follows the reference's merge rule
+  (``set_result_schema``, ogrlayer.cpp:5117-5199, asserted by
+  autotest/ogr/ogr_layer_algebra.py:163-172): input fields then method
+  fields, name collisions prefixed ``input_`` / ``method_``.
+
+For point payloads the geometric intersection of a page-point with a
+polygon is the point itself, so ``intersection`` emits one row per
+(point, covering polygon) pair — input fields ++ method fields — and
+empty intersections are dropped (ogrlayer.cpp:5580-5588).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..geom import cells as _cells
+from ..geom import predicates as _pred
+from ..geom import strtree as _strtree
+from ..geom import wkb as _wkb
+
+
+def _polygon_bounds(blobs: list[bytes]) -> np.ndarray:
+    out = np.empty((len(blobs), 4))
+    preps = []
+    for i, b in enumerate(blobs):
+        p = _pred.PreparedPolygon.from_wkb(b)
+        preps.append(p)
+        out[i] = p.bounds
+    return out, preps
+
+
+def _auto_level(bounds: np.ndarray, max_level: int = 14) -> int:
+    """Pick the cell level where a typical polygon bbox spans ~1-4 tiles:
+    tile span (360/2^L degrees) ≈ median bbox width."""
+    if not len(bounds):
+        return 4
+    w = np.median(np.maximum(bounds[:, 2] - bounds[:, 0],
+                             bounds[:, 3] - bounds[:, 1]))
+    w = max(w, 1e-9)
+    lvl = int(np.clip(np.floor(np.log2(360.0 / w)), 0, max_level))
+    return lvl
+
+
+class SpatialJoinIndex:
+    """Immutable index over a polygon layer (built once per actor)."""
+
+    def __init__(self, poly_table: pa.Table, geometry_col: str = "geometry",
+                 level: int | None = None):
+        self.table = poly_table
+        self.geometry_col = geometry_col
+        blobs = poly_table[geometry_col].to_pylist()
+        self.bounds, self.prepared = _polygon_bounds(blobs)
+        self.tree = _strtree.STRtree(self.bounds)
+        self.level = _auto_level(self.bounds) if level is None else level
+        # cell -> candidate polygon id list (covering of each bbox)
+        cand: dict[int, list[int]] = defaultdict(list)
+        for pid, (minx, miny, maxx, maxy) in enumerate(self.bounds):
+            if not np.isfinite(minx):
+                continue
+            for c in _cells.cells_covering_bbox(minx, miny, maxx, maxy, self.level):
+                cand[int(c)].append(pid)
+        self.cell_candidates = {k: np.asarray(v, dtype=np.int64)
+                                for k, v in cand.items()}
+
+    def candidate_pairs(self, lon: np.ndarray, lat: np.ndarray):
+        """Phase-1 pruning: (row_idx, poly_id) candidate pairs via the
+        cell covering map.  Vectorized over unique cells per batch."""
+        cell = _cells.lonlat_to_cell(lon, lat, self.level)
+        uniq, inv = np.unique(cell, return_inverse=True)
+        rows_out, polys_out = [], []
+        for ui, c in enumerate(uniq):
+            pids = self.cell_candidates.get(int(c))
+            if pids is None:
+                continue
+            rows = np.nonzero(inv == ui)[0]
+            rows_out.append(np.repeat(rows, len(pids)))
+            polys_out.append(np.tile(pids, len(rows)))
+        if not rows_out:
+            return (np.empty(0, dtype=np.int64),) * 2
+        return np.concatenate(rows_out), np.concatenate(polys_out)
+
+    def match_pairs(self, lon: np.ndarray, lat: np.ndarray,
+                    predicate: str = "intersects"):
+        """Exact (row_idx, poly_id) matches.  predicate: 'intersects'
+        (boundary inclusive, the GEOS Intersects of a point) or 'within'
+        (interior only)."""
+        rows, polys = self.candidate_pairs(lon, lat)
+        if not len(rows):
+            return rows, polys
+        order = np.argsort(polys, kind="stable")
+        rows_s, polys_s = rows[order], polys[order]
+        uniq_p = np.unique(polys_s)
+        starts = np.searchsorted(polys_s, uniq_p)
+        bounds_idx = np.append(starts, len(polys_s))
+        out_rows, out_polys = [], []
+        for i, pid in enumerate(uniq_p):
+            r = rows_s[bounds_idx[i] : bounds_idx[i + 1]]
+            prep = self.prepared[pid]
+            # phase 1b: envelope; phase 2: exact PIP (two-phase filter,
+            # ogrlayer.cpp:4004-4075)
+            m = prep.bbox_mask(lon[r], lat[r])
+            if not m.any():
+                continue
+            sub = r[m]
+            if predicate == "within":
+                hit = prep.contains_properly(lon[sub], lat[sub])
+            else:
+                hit = prep.covers(lon[sub], lat[sub])
+            matched = sub[hit]
+            if len(matched):
+                out_rows.append(matched)
+                out_polys.append(np.full(len(matched), pid, dtype=np.int64))
+        if not out_rows:
+            return (np.empty(0, dtype=np.int64),) * 2
+        return np.concatenate(out_rows), np.concatenate(out_polys)
+
+
+def merge_schemas(input_table: pa.Table, method_table: pa.Table,
+                  geometry_col: str = "geometry",
+                  input_prefix: str = "input_",
+                  method_prefix: str = "method_") -> tuple[list, list]:
+    """The reference's join-output schema rule (set_result_schema,
+    ogrlayer.cpp:5117-5199): all input fields, then all method fields
+    (method geometry excluded for point payloads — the intersection
+    geometry IS the point); colliding names get both sides prefixed."""
+    in_names = list(input_table.column_names)
+    m_names = [c for c in method_table.column_names if c != geometry_col]
+    collisions = set(in_names) & set(m_names)
+    out_in = [(c, input_prefix + c if c in collisions else c) for c in in_names]
+    out_m = [(c, method_prefix + c if c in collisions else c) for c in m_names]
+    return out_in, out_m
+
+
+class SpatialJoiner:
+    """Actor-pool callable: pages batch → join rows.
+
+    Use: ``ds.map_batches(SpatialJoiner, fn_constructor_kwargs=dict(
+    polygons_ref=ray.put(poly_table)), batch_format="pyarrow",
+    concurrency=N, batch_size=B)``.
+
+    operation: 'intersection' (inner join, merged schema),
+    'clip'/'semi' (input schema, rows matching ≥1 polygon),
+    'erase'/'anti' (input schema, rows matching none),
+    'identity' (left join: matched rows get method fields, unmatched
+    get nulls — ogrlayer.cpp:6770 Identity for point inputs).
+    """
+
+    def __init__(self, polygons_ref, operation: str = "intersection",
+                 predicate: str = "intersects", geometry_col: str = "geometry",
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 level: int | None = None,
+                 input_prefix: str = "input_", method_prefix: str = "method_"):
+        table = ray.get(polygons_ref) if isinstance(polygons_ref, ray.ObjectRef) \
+            else polygons_ref
+        self.index = SpatialJoinIndex(table, geometry_col, level)
+        self.operation = operation
+        self.predicate = predicate
+        self.lon_col, self.lat_col = lon_col, lat_col
+        self.geometry_col = geometry_col
+        self.input_prefix, self.method_prefix = input_prefix, method_prefix
+        self.method_table = table
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        rows, polys = self.index.match_pairs(lon, lat, self.predicate)
+        op = self.operation
+        if op in ("clip", "semi"):
+            sel = np.unique(rows)
+            return batch.take(pa.array(sel, pa.int64()))
+        if op in ("erase", "anti"):
+            mask = np.ones(len(batch), dtype=bool)
+            mask[rows] = False
+            return batch.filter(pa.array(mask))
+        out_in, out_m = merge_schemas(batch, self.method_table,
+                                      self.geometry_col,
+                                      self.input_prefix, self.method_prefix)
+        if op == "identity":
+            matched = np.zeros(len(batch), dtype=bool)
+            matched[rows] = True
+            un = np.nonzero(~matched)[0]
+            rows = np.concatenate([rows, un])
+            polys = np.concatenate([polys, np.full(len(un), -1, dtype=np.int64)])
+        elif op != "intersection":
+            raise ValueError(f"unknown operation {op}")
+        order = np.argsort(rows, kind="stable")
+        rows, polys = rows[order], polys[order]
+        left = batch.take(pa.array(rows, pa.int64()))
+        cols = {new: left[old] for old, new in out_in}
+        # method fields gathered by poly id (−1 → null for identity)
+        take_idx = pa.array([int(p) if p >= 0 else None for p in polys],
+                            pa.int64())
+        for old, new in out_m:
+            cols[new] = self.method_table[old].take(take_idx)
+        return pa.table(cols)
+
+
+def spatial_join(ds, poly_table: pa.Table, operation: str = "intersection",
+                 predicate: str = "intersects", concurrency=4,
+                 batch_size: int = 65536, num_cpus: float = 1, **kwargs):
+    """Dataset-level entry: broadcast poly_table once, join via an actor
+    pool (stateful stage per SURVEY.md §2.3)."""
+    ref = ray.put(poly_table)
+    return ds.map_batches(
+        SpatialJoiner,
+        fn_constructor_kwargs=dict(polygons_ref=ref, operation=operation,
+                                   predicate=predicate, **kwargs),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )

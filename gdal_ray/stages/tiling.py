@@ -1,0 +1,200 @@
+"""Tile assignment, tile build and pyramid reduction.
+
+The raster↔vector core (SURVEY.md §2.9), re-expressed Ray-Data-first:
+
+- **assign**: ``gdal_rasterize``-style tile/pixel assignment
+  (alg/gdalrasterize.cpp burn semantics) — a stateless ``map_batches``
+  computing (z, x, y[, pixel]) per point per requested zoom; one output
+  row per (point, zoom), expanded columnar-ly (np.repeat + take);
+- **tile build**: per-tile aggregation — MERGE_ALG=ADD ≡ count/sum per
+  tile or per pixel (alg/gdalrasterize.cpp:817-834);
+- **pyramid**: overview tiles at z−1 built from the z result —
+  ``GenerateOverviewTile`` child gathering (apps/gdalalg_raster_tile.cpp:
+  1487,6062-6089) ≡ per-level ``groupby((z-1, x>>1, y>>1))`` reduction,
+  a log-depth tree of shuffles;
+- **render**: a 256×256 count raster per tile (np.bincount), optionally
+  PNG-encoded by a dependency-free encoder (tile directory sink
+  convention z/x/y.png, apps/gdalalg_raster_tile.cpp:655-671).
+
+Counts are aggregated partial-then-final: per-batch pyarrow group_by
+produces one row per touched tile per batch, so the wide shuffle moves
+tile partials, never page rows.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..geom import tiles as _tiles
+
+TILE_SIZE = _tiles.TILE_SIZE
+
+
+def assign_tiles_batch(batch: pa.Table, zooms, convention: str = "xyz",
+                       lon_col: str = "lon", lat_col: str = "lat",
+                       keep_cols=None, with_pixel: bool = False) -> pa.Table:
+    """One output row per (input row, zoom): keep_cols ++ (z, x, y
+    [, px, py]).  Fully columnar: indices repeated, then take()."""
+    lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(lon)
+    zooms = list(zooms)
+    zs, xs, ys, pxs, pys = [], [], [], [], []
+    for z in zooms:
+        if with_pixel:
+            tx, ty, col, row = _tiles.tile_pixel(lon, lat, z, convention)
+            pxs.append(col)
+            pys.append(row)
+        else:
+            tx, ty = _tiles.lonlat_to_tile(lon, lat, z, convention)
+        zs.append(np.full(n, z, dtype=np.int32))
+        xs.append(tx)
+        ys.append(ty)
+    cols: dict[str, pa.Array] = {}
+    kept_names = keep_cols if keep_cols is not None else batch.column_names
+    if kept_names:
+        rep = pa.array(np.tile(np.arange(n, dtype=np.int64), len(zooms)))
+        kept = batch.select(kept_names).take(rep)
+        cols.update({name: kept[name] for name in kept_names})
+    cols["z"] = pa.array(np.concatenate(zs), pa.int32())
+    cols["x"] = pa.array(np.concatenate(xs), pa.int64())
+    cols["y"] = pa.array(np.concatenate(ys), pa.int64())
+    if with_pixel:
+        cols["px"] = pa.array(np.concatenate(pxs), pa.int32())
+        cols["py"] = pa.array(np.concatenate(pys), pa.int32())
+    return pa.table(cols)
+
+
+def partial_tile_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: one (z,x,y,n_pages) partial row per touched
+    tile — the partial side of partial+final aggregation (keeps the
+    groupby shuffle small; SURVEY.md §4 skew row)."""
+    g = batch.group_by(["z", "x", "y"]).aggregate([([], "count_all")])
+    return g.rename_columns(["z", "x", "y", "n_pages"])
+
+
+def tile_counts(ds, zooms, convention: str = "xyz",
+                lon_col: str = "lon", lat_col: str = "lat"):
+    """Dataset pipeline: assign → per-batch partials → final groupby sum.
+    Returns a Dataset of (z, x, y, n_pages)."""
+    from ray.data.aggregate import Sum
+
+    assigned = ds.map_batches(
+        lambda b: partial_tile_counts(
+            assign_tiles_batch(b, zooms, convention, lon_col, lat_col,
+                               keep_cols=[])),
+        batch_format="pyarrow",
+    )
+    out = assigned.groupby(["z", "x", "y"]).aggregate(
+        Sum("n_pages", alias_name="n_pages"))
+    return out
+
+
+def pyramid_counts(tile_counts_table: pa.Table, min_zoom: int = 0) -> pa.Table:
+    """Build overview levels down to min_zoom from a base-zoom count
+    table (single-level driver-side variant for small results; the
+    Dataset variant is ``pyramid_counts_ds``).  Conservation invariant:
+    each parent's count == sum of its ≤4 children."""
+    tile_counts_table = tile_counts_table.select(["z", "x", "y", "n_pages"])
+    frames = [tile_counts_table]
+    cur = tile_counts_table
+    while True:
+        z = pc.min(cur["z"]).as_py()
+        if z is None or z <= min_zoom:
+            break
+        parent = pa.table({
+            "z": pc.subtract(cur["z"], 1),
+            "x": pc.shift_right(cur["x"], 1),
+            "y": pc.shift_right(cur["y"], 1),
+            "n_pages": cur["n_pages"],
+        })
+        cur = (parent.group_by(["z", "x", "y"])
+               .aggregate([("n_pages", "sum")])
+               .rename_columns(["z", "x", "y", "n_pages"]))
+        frames.append(cur)
+    return pa.concat_tables(frames)
+
+
+def pyramid_counts_ds(ds, base_zoom: int, min_zoom: int = 0):
+    """Dataset variant: per-level groupby((z-1, x>>1, y>>1)) reductions.
+    Each level is a (small) shuffle over tile partials; levels are
+    sequential because z-1 needs completed z (the pyramid ordering
+    constraint, SURVEY.md §7.5)."""
+    from ray.data.aggregate import Sum
+
+    levels = [ds]
+    cur = ds
+    for _ in range(base_zoom, min_zoom, -1):
+        shifted = cur.map_batches(
+            lambda b: pa.table({
+                "z": pc.subtract(b["z"], 1),
+                "x": pc.shift_right(b["x"], 1),
+                "y": pc.shift_right(b["y"], 1),
+                "n_pages": b["n_pages"],
+            }),
+            batch_format="pyarrow",
+        )
+        cur = shifted.groupby(["z", "x", "y"]).aggregate(
+            Sum("n_pages", alias_name="n_pages"))
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+# --- per-tile raster rendering --------------------------------------------
+
+
+def render_tile_group(group: pa.Table) -> pa.Table:
+    """map_groups kernel: (z,x,y) group of pixel rows → one tile row with
+    a zlib-compressed uint16 256×256 count raster (raw, row-major).
+    MERGE_ALG=ADD semantics: each page adds 1 to its pixel."""
+    px = group["px"].to_numpy(zero_copy_only=False).astype(np.int64)
+    py = group["py"].to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.bincount(py * TILE_SIZE + px,
+                         minlength=TILE_SIZE * TILE_SIZE)
+    grid = np.clip(counts, 0, 65535).astype(">u2")
+    return pa.table({
+        "z": group["z"][:1],
+        "x": group["x"][:1],
+        "y": group["y"][:1],
+        "n_pages": pa.array([len(group)], pa.int64()),
+        "raster": pa.array([zlib.compress(grid.tobytes(), 6)], pa.binary()),
+    })
+
+
+def encode_png_gray16(grid_be_u2: bytes) -> bytes:
+    """Dependency-free 16-bit grayscale PNG encoder (stdlib zlib only).
+    Input: big-endian uint16 raster bytes, 256×256 row-major."""
+    w = h = TILE_SIZE
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)  # 16-bit gray
+    row_len = w * 2
+    raw = b"".join(
+        b"\x00" + grid_be_u2[i * row_len : (i + 1) * row_len] for i in range(h)
+    )
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def render_tiles(ds, zoom: int, convention: str = "xyz",
+                 lon_col: str = "lon", lat_col: str = "lat"):
+    """Full tile-build pipeline at one zoom: assign with pixels →
+    groupby(z,x,y).map_groups(render) → Dataset of tile rows."""
+    assigned = ds.map_batches(
+        lambda b: assign_tiles_batch(b, [zoom], convention, lon_col, lat_col,
+                                     keep_cols=[], with_pixel=True),
+        batch_format="pyarrow",
+    )
+    return assigned.groupby(["z", "x", "y"]).map_groups(
+        render_tile_group, batch_format="pyarrow")
