@@ -1,0 +1,173 @@
+"""Benchmark harness — headline spatial-join + tiling pipeline + query suite.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <headline wall sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "pages": N, "pages_per_sec": X}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+Modes:
+    python bench.py                 # full run (headline + query suite)
+    python bench.py --headline-only # headline pipeline only
+    python bench.py --scaling       # same headline at num_cpus=8 and 32
+                                    # in FRESH processes; reports both
+                                    # throughputs + scaling efficiency
+
+The headline input is the deterministic synthetic Common-Crawl-style
+pages table (BASELINE.json input_hint schema), sized 10 pages per
+events-table row of the chosen sf (sf0.1 → 1,000,000 pages), cached
+under /tmp/gdal_ray_bench/ and reused across runs/processes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _n_pages_for(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n_events = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")) \
+        .metadata.num_rows
+    return n_events * 10
+
+
+def ensure_pages(sf_dir: str) -> tuple[str, int]:
+    from gdal_ray.sources.pages import write_pages_parquet
+
+    n = _n_pages_for(sf_dir)
+    out = f"/tmp/gdal_ray_bench/pages_{n}"
+    write_pages_parquet(out, n, rows_per_file=250_000)
+    return out, n
+
+
+def run_headline(pages_dir: str, n_pages: int, num_cpus: int) -> dict:
+    """geotag → dedup(url) → broadcast spatial join → tile counts z4/6/8
+    + pyramid to z2, consumed streaming (count via iter_batches)."""
+    from gdal_ray.pipelines.flagship import flagship
+    from gdal_ray.stages.tiling import pyramid_counts_ds
+
+    t0 = time.monotonic()
+    joined, tile_ds = flagship(
+        pages_dir, zooms=(4, 6, 8),
+        join_concurrency=max(2, num_cpus - 2))
+    # materialize the (small) tile-count table ONCE — it feeds two
+    # branches (z<8 passthrough + z8 pyramid); lazy branching would
+    # re-execute the whole read→geotag→dedup→join chain per branch
+    tiles_mat = tile_ds.materialize()
+    pyr = pyramid_counts_ds(tiles_mat.filter(expr="z == 8"),
+                            base_zoom=8, min_zoom=2)
+    n_tiles = 0
+    for b in pyr.union(tiles_mat.filter(expr="z < 8")) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n_tiles += len(b)
+    wall = time.monotonic() - t0
+    return {"wall_sec": wall, "pages": n_pages, "tiles": n_tiles,
+            "pages_per_sec": n_pages / wall}
+
+
+def _consume(result) -> int:
+    import pyarrow as pa
+
+    if isinstance(result, pa.Table):
+        return len(result)
+    if hasattr(result, "iter_batches"):
+        return sum(len(b) for b in result.iter_batches(
+            batch_size=65536, batch_format="pyarrow"))
+    return len(result)
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as entrymod
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.monotonic()
+        _consume(fn(sf_dir))
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main_single(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    pages_dir, n_pages = ensure_pages(sf_dir)
+    head = run_headline(pages_dir, n_pages, num_cpus)
+    queries = {} if headline_only else run_queries(sf_dir)
+    ray.shutdown()
+    return {
+        "metric": "spatial-join+tiling headline wall time",
+        "value": round(head["wall_sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "pages": head["pages"],
+        "tiles": head["tiles"],
+        "pages_per_sec": round(head["pages_per_sec"], 1),
+    }
+
+
+def main_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
+    """North-rule scaling evidence: same job, fresh ray.init processes at
+    two parallelism levels (sandbox stand-in for N vs 4N nodes)."""
+    # warm the pages cache once so neither run pays generation cost
+    ensure_pages(sf_dir)
+    runs = {}
+    for cpus in (low, high):
+        env = dict(os.environ, GRAFT_SF_DIR=sf_dir,
+                   RAY_GRAFT_CPUS=str(cpus))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env, capture_output=True, text=True, cwd=_REPO)
+        line = proc.stdout.strip().splitlines()[-1]
+        runs[cpus] = json.loads(line)
+    tp_low = runs[low]["pages_per_sec"]
+    tp_high = runs[high]["pages_per_sec"]
+    eff = (tp_high / tp_low) / (high / low)
+    return {
+        "metric": "scaling efficiency (pages/sec at "
+                  f"{low} vs {high} cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": sf_dir,
+        "throughput": {str(low): tp_low, str(high): tp_high},
+        "wall_sec": {str(low): runs[low]["value"],
+                     str(high): runs[high]["value"]},
+        "pages": runs[high]["pages"],
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--headline-only", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if args.scaling:
+        out = main_scaling(sf_dir)
+    else:
+        out = main_single(sf_dir, num_cpus, args.headline_only)
+    print(json.dumps(out))

@@ -190,8 +190,9 @@ def _from_geographic(kind: str, p: dict, lon, lat):
         # match web-mercator's own domain by flagging |lat| > 90 only.
         ok = (np.abs(lat) < 90.0) & np.isfinite(lon)
         lat_c = np.where(ok, lat, 0.0)
-        x = np.radians(lon) * WEBMERC_R
-        yv = WEBMERC_R * np.log(np.tan(np.pi / 4.0 + np.radians(lat_c) / 2.0))
+        # identical op order + constants to tiles.lonlat_to_meters
+        x = lon * 20037508.342789244 / 180.0
+        yv = np.log(np.tan((90.0 + lat_c) * np.pi / 360.0)) * WEBMERC_R
         return np.where(ok, x, np.nan), np.where(ok, yv, np.nan), ok
     if kind == "utm":
         ok = (np.abs(lat) <= 90.0) & np.isfinite(lon)

@@ -1,0 +1,783 @@
+"""Driver-contract query suite: every operator as (Ray pipeline, SQL oracle).
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / pyarrow
+Table; ``ORACLES[name]`` is the ANSI-SQL DuckDB equivalent over the
+pre-registered views (region nation customer supplier part orders
+lineitem events documents embeddings).  Column names and dtypes match
+the oracle exactly; float aggregates are rounded identically on both
+sides; derived coordinates use operation-identical float expressions so
+values agree bit-for-bit (see SURVEY.md §5 test strategy).
+
+Spatial queries derive deterministic points from ``events``:
+    lat = -60  + ((event_id*7919)   % 26000) / 200.0   ∈ [-60, 70)
+    lon = -180 + ((event_id*104729) % 72000) / 200.0   ∈ [-180, 180)
+(0.005° grid; zone boundaries sit at *.0025 offsets so no point ever
+lies on a boundary — float-order differences cannot flip a predicate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions import text as _textfn
+from ..functions.expr import compile_where
+from ..geom import tiles as _tiles
+from ..geom import wkb as _wkb
+from ..stages import dedup as _dedup
+from ..stages import knn as _knn
+from ..stages import similarity as _sim
+from ..stages import spatial_join as _sj
+from ..stages import tiling as _tiling
+from ..stages.aggregate import partial_final_agg
+from ..stages.join import broadcast_join
+
+# --- derived event points --------------------------------------------------
+
+_PTS_SQL = """
+    SELECT event_id, value,
+           -60.0  + ((event_id * 7919)   % 26000) / 200.0 AS lat,
+           -180.0 + ((event_id * 104729) % 72000) / 200.0 AS lon
+    FROM events
+"""
+
+
+def _add_latlon(batch: pa.Table) -> pa.Table:
+    ids = batch["event_id"].to_numpy(zero_copy_only=False)
+    lat = -60.0 + ((ids * 7919) % 26000) / 200.0
+    lon = -180.0 + ((ids * 104729) % 72000) / 200.0
+    out = batch.append_column("lat", pa.array(lat, pa.float64()))
+    return out.append_column("lon", pa.array(lon, pa.float64()))
+
+
+def event_points(sf_dir: str, columns=("event_id", "value")):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns))
+    return ds.map_batches(_add_latlon, batch_format="pyarrow")
+
+
+# --- zone fixture (engine WKB table + SQL CTE, same boundaries) ------------
+
+_BOXES = [
+    (0, "sw", -180.0025, -60.0025, -90.0025, 0.0025),
+    (1, "nw", -90.0025, 0.0025, 0.0025, 60.0025),
+    (2, "c", 0.0025, -30.0025, 90.0025, 30.0025),
+    (3, "ne", 90.0025, 30.0025, 180.0025, 69.0025),
+]
+_DIAMOND_R = 40.0025
+
+_ZONES_SQL = """
+    pts AS (SELECT event_id, value,
+            -60.0  + ((event_id * 7919)   % 26000) / 200.0 AS lat,
+            -180.0 + ((event_id * 104729) % 72000) / 200.0 AS lon
+            FROM events),
+    boxes(poly_id, name, minx, miny, maxx, maxy) AS (VALUES
+        (0,'sw',-180.0025,-60.0025,-90.0025,0.0025),
+        (1,'nw',-90.0025,0.0025,0.0025,60.0025),
+        (2,'c',0.0025,-30.0025,90.0025,30.0025),
+        (3,'ne',90.0025,30.0025,180.0025,69.0025)),
+    matches AS (
+        SELECT p.event_id, p.value, b.poly_id, b.name
+        FROM pts p JOIN boxes b
+          ON p.lon BETWEEN b.minx AND b.maxx
+         AND p.lat BETWEEN b.miny AND b.maxy
+        UNION ALL
+        SELECT event_id, value, 4, 'diamond'
+        FROM pts WHERE abs(lon) + abs(lat) <= 40.0025)
+"""
+
+
+def zone_table() -> pa.Table:
+    geoms = [_wkb.box_polygon(minx, miny, maxx, maxy)
+             for _, _, minx, miny, maxx, maxy in _BOXES]
+    names = [n for _, n, *_ in _BOXES]
+    r = _DIAMOND_R
+    geoms.append(_wkb.encode_polygon([[(r, 0.0), (0.0, r), (-r, 0.0),
+                                       (0.0, -r), (r, 0.0)]]))
+    names.append("diamond")
+    return pa.table({
+        "poly_id": pa.array(np.arange(5, dtype=np.int32)),
+        "name": pa.array(names, pa.string()),
+        "geometry": pa.array(geoms, pa.binary()),
+    })
+
+
+def _zone_join(sf_dir: str, operation: str):
+    return _sj.spatial_join(event_points(sf_dir), zone_table(),
+                            operation=operation, concurrency=2)
+
+
+# --- relational core -------------------------------------------------------
+
+
+def q_lineitem_summary(sf_dir: str):
+    """OGR SQL summary record (SWQM_SUMMARY_RECORD, ogr_gensql.cpp:655)."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+    row = ds.aggregate(Min("l_quantity", alias_name="min_qty"),
+                       Max("l_quantity", alias_name="max_qty"),
+                       Mean("l_quantity", alias_name="avg_qty"),
+                       Sum("l_quantity", alias_name="sum_qty"),
+                       Count(alias_name="n"))
+    return pa.table({
+        "min_qty": pa.array([row["min_qty"]], pa.float64()),
+        "max_qty": pa.array([row["max_qty"]], pa.float64()),
+        "avg_qty": pa.array([round(row["avg_qty"], 6)], pa.float64()),
+        "sum_qty": pa.array([round(row["sum_qty"], 2)], pa.float64()),
+        "n": pa.array([row["n"]], pa.int64()),
+    })
+
+
+def q_lineitem_groupby(sf_dir: str):
+    """GROUP BY via partial+final aggregation (SQLite-dialect GROUP BY)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice"])
+    out = partial_final_agg(
+        ds, ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum", "sum_qty"),
+         ("l_extendedprice", "sum", "sum_price"),
+         (None, "count", "n")])
+    return out.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty": pc.round(b["sum_qty"], 2),
+            "sum_price": pc.round(b["sum_price"], 2),
+            "n": b["n"],
+        }), batch_format="pyarrow")
+
+
+def q_distinct_mktsegment(sf_dir: str):
+    """SELECT DISTINCT (SWQM_DISTINCT_LIST, ogr_gensql.cpp:705)."""
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_mktsegment"])
+    return ds.groupby("c_mktsegment").count().select_columns(["c_mktsegment"])
+
+
+def q_topk_orders(sf_dir: str):
+    """ORDER BY + LIMIT (CreateOrderByIndex, ogr_gensql.cpp:2202)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+def q_orders_customer_revenue(sf_dir: str):
+    """Broadcast equality lookup join (OGR SQL LEFT JOIN semantics) +
+    grouped aggregate."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]) \
+        .to_arrow_refs()
+    import ray as _ray
+    cust_t = pa.concat_tables([_ray.get(r) for r in cust])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(
+        orders, cust_t.rename_columns(["o_custkey", "c_mktsegment"]),
+        keys="o_custkey", concurrency=2)
+    out = partial_final_agg(joined, "c_mktsegment",
+                            [("o_totalprice", "sum", "revenue"),
+                             (None, "count", "n_orders")])
+    return out.map_batches(
+        lambda b: pa.table({"c_mktsegment": b["c_mktsegment"],
+                            "revenue": pc.round(b["revenue"], 2),
+                            "n_orders": b["n_orders"]}),
+        batch_format="pyarrow")
+
+
+def q_events_filter_where(sf_dir: str):
+    """Attribute filter through the WHERE compiler, pushed to the read
+    (SetAttributeFilter semantics)."""
+    expr = compile_where("event_type IN ('click','view') AND value > 10.0")
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"],
+                         filter=expr)
+    return ds.map_batches(lambda b: b.filter(expr), batch_format="pyarrow")
+
+
+def q_events_count_distinct_users(sf_dir: str):
+    """COUNT(DISTINCT) via two-stage groupby."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    pairs = partial_final_agg(ds, ["event_type", "user_id"],
+                              [(None, "count", "dummy")])
+    out = partial_final_agg(pairs.select_columns(["event_type"]),
+                            "event_type", [(None, "count", "n_users")])
+    return out
+
+
+def q_events_windowed_hourly(sf_dir: str):
+    """Tumbling 1-hour event-time windows (streaming-shaped workload →
+    groupby on truncated timestamp; no watermarks in the reference,
+    SURVEY.md §2.11)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def add_window(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        win = pc.multiply(pc.divide(us, 3_600_000_000), 3_600_000_000)
+        return b.append_column("window",
+                               pc.cast(win, pa.timestamp("us")))
+
+    out = partial_final_agg(
+        ds.map_batches(add_window, batch_format="pyarrow"),
+        ["event_type", "window"],
+        [("value", "sum", "sum_value"), (None, "count", "n")])
+    return out.map_batches(
+        lambda b: pa.table({"event_type": b["event_type"],
+                            "window": b["window"],
+                            "sum_value": pc.round(b["sum_value"], 2),
+                            "n": b["n"]}), batch_format="pyarrow")
+
+
+# --- spatial ---------------------------------------------------------------
+
+
+def q_geotag_points(sf_dir: str):
+    return event_points(sf_dir, columns=("event_id",)) \
+        .select_columns(["event_id", "lat", "lon"])
+
+
+def q_pip_zones_join(sf_dir: str):
+    """Point-in-polygon intersection join (OGR_L_Intersection)."""
+    return _zone_join(sf_dir, "intersection") \
+        .select_columns(["event_id", "value", "poly_id", "name"])
+
+
+def q_pip_zones_semi(sf_dir: str):
+    """Clip ≡ semi-join: rows covered by ≥1 zone (ogrlayer.cpp:7537)."""
+    return _zone_join(sf_dir, "clip").select_columns(["event_id"])
+
+
+def q_pip_zones_anti(sf_dir: str):
+    """Erase ≡ anti-join: rows covered by no zone (ogrlayer.cpp:7846)."""
+    return _zone_join(sf_dir, "erase").select_columns(["event_id"])
+
+
+def q_pip_zones_identity(sf_dir: str):
+    """Identity ≡ left join with null method fields (ogrlayer.cpp:6770)."""
+    return _zone_join(sf_dir, "identity") \
+        .select_columns(["event_id", "poly_id", "name"])
+
+
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics: spatial join → per-zone aggregate
+    (alg/zonal.cpp STRtree + per-zone accumulate)."""
+    joined = _zone_join(sf_dir, "intersection")
+    out = partial_final_agg(joined.select_columns(["poly_id", "value"]),
+                            "poly_id",
+                            [("value", "sum", "sum_value"),
+                             ("value", "min", "min_value"),
+                             ("value", "max", "max_value"),
+                             (None, "count", "n")])
+    return out.map_batches(
+        lambda b: pa.table({"poly_id": b["poly_id"],
+                            "sum_value": pc.round(b["sum_value"], 2),
+                            "min_value": b["min_value"],
+                            "max_value": b["max_value"],
+                            "n": b["n"]}), batch_format="pyarrow")
+
+
+def q_tile_assign_z8(sf_dir: str):
+    """Per-point XYZ tile ids at z=8 (gdal2tiles tile math)."""
+    pts = event_points(sf_dir, columns=("event_id",))
+    return pts.map_batches(
+        lambda b: _tiling.assign_tiles_batch(b, [8], "xyz",
+                                             keep_cols=["event_id"]),
+        batch_format="pyarrow").select_columns(["event_id", "z", "x", "y"])
+
+
+def q_tile_counts_tms_z6(sf_dir: str):
+    """Tile page-counts at z=6 in the TMS convention (row flip,
+    gdalalg_raster_tile.cpp:510-512)."""
+    pts = event_points(sf_dir, columns=("event_id",))
+    return _tiling.tile_counts(pts, [6], convention="tms")
+
+
+def q_tile_pyramid(sf_dir: str):
+    """Base z=8 counts + overview levels to z=5 (GenerateOverviewTile
+    child-sum semantics); conservation tested per level."""
+    pts = event_points(sf_dir, columns=("event_id",))
+    base = _tiling.tile_counts(pts, [8])
+    return _tiling.pyramid_counts_ds(base, base_zoom=8, min_zoom=5)
+
+
+def q_reproject_3857(sf_dir: str):
+    """EPSG:4326 → EPSG:3857 vector reprojection (OGRCoordinateTransformation
+    array API); mm-rounded."""
+    pts = event_points(sf_dir, columns=("event_id",))
+
+    def proj(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        mx, my = _tiles.lonlat_to_meters(lon, lat)
+        # + 0.0 normalizes IEEE -0.0 → +0.0 (ln(tan(45°)) is ±1 ulp of 0)
+        return pa.table({
+            "event_id": b["event_id"],
+            "x_3857": pa.array(np.round(mx, 3) + 0.0, pa.float64()),
+            "y_3857": pa.array(np.round(my, 3) + 0.0, pa.float64()),
+        })
+
+    return pts.map_batches(proj, batch_format="pyarrow")
+
+
+def q_reproject_utm31(sf_dir: str):
+    """EPSG:4326 → EPSG:32631 (Krüger series TM; no SQL equivalent →
+    rows-only check).  Out-of-zone longitudes still transform (TM is
+    defined globally); |lat|>90 would flag errors."""
+    from ..geom.crs import Transformer
+
+    t = Transformer.from_crs("EPSG:4326", "EPSG:32631")
+    pts = event_points(sf_dir, columns=("event_id",))
+
+    def proj(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        E, N, ok = t.transform_with_errors(lon, lat)
+        return pa.table({
+            "event_id": b["event_id"],
+            "easting": pa.array(np.round(E, 6), pa.float64()),
+            "northing": pa.array(np.round(N, 6), pa.float64()),
+            "ok": pa.array(ok, pa.bool_()),
+        })
+
+    return pts.map_batches(proj, batch_format="pyarrow")
+
+
+# --- kNN -------------------------------------------------------------------
+
+
+def _nation_refs(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    k = nat["n_nationkey"].to_numpy().astype(np.float64)
+    return pa.table({
+        "ref_id": nat["n_nationkey"],
+        "y": pa.array(-50.0 + k * 4.0, pa.float64()),
+        "x": pa.array(-150.0 + k * 12.0, pa.float64()),
+    })
+
+
+def q_knn_nearest_nation(sf_dir: str):
+    """Nearest reference feature (GDALGridNearestNeighbor; tie → later
+    scan order)."""
+    pts = event_points(sf_dir, columns=("event_id",))
+    out = _knn.knn_lookup(pts, _nation_refs(sf_dir), concurrency=2)
+    return out.select_columns(["event_id", "nearest_id"])
+
+
+def q_knn_radius_nodata(sf_dir: str):
+    """Fixed search radius → NODATA (null) when nothing is in range
+    (gdalgrid.cpp:935-984)."""
+    pts = event_points(sf_dir, columns=("event_id",))
+    out = _knn.knn_lookup(pts, _nation_refs(sf_dir), concurrency=2,
+                          radius=20.0)
+    return out.select_columns(["event_id", "nearest_id"])
+
+
+def q_knn_idw(sf_dir: str):
+    """IDW over k nearest (GDALGridInverseDistanceToAPowerNearestNeighbor;
+    rows-only: no tractable SQL oracle for the weight algebra)."""
+    pts = event_points(sf_dir, columns=("event_id",))
+    refs = _nation_refs(sf_dir)
+    refs = refs.append_column(
+        "refval", pa.array(refs["ref_id"].to_numpy().astype(np.float64) * 10.0,
+                           pa.float64()))
+    out = _knn.knn_lookup(pts, refs, concurrency=2, value_col="refval",
+                          max_points=4, min_points=2, power=2.0)
+    return out.select_columns(["event_id", "nearest_idw", "nearest_n"])
+
+
+# --- webtext ---------------------------------------------------------------
+
+
+def q_docs_fingerprint(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: _textfn.fingerprint_batch(b).select(
+            ["doc_id", "fingerprint"]),
+        batch_format="pyarrow")
+
+
+def q_docs_dedup_exact(sf_dir: str):
+    """Exact dedup: keep min doc_id per content fingerprint."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    fp = ds.map_batches(
+        lambda b: _textfn.fingerprint_batch(b).select(
+            ["doc_id", "fingerprint"]),
+        batch_format="pyarrow")
+    return partial_final_agg(fp, "fingerprint",
+                             [("doc_id", "min", "doc_id")])
+
+
+def q_docs_token_counts(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: _textfn.token_count_batch(b).select(
+            ["doc_id", "n_tokens"]),
+        batch_format="pyarrow")
+
+
+def q_docs_quality(sf_dir: str):
+    """Quality features as floor-scaled per-million integers (identical
+    integer results in both engines; avoids round-half mode skew)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def feats(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n_tokens = pc.count_substring_regex(text, r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n_alpha = pc.count_substring_regex(text, r"[A-Za-z]") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        n_digit = pc.count_substring_regex(text, r"[0-9]") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        safe = np.maximum(n_chars, 1.0)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_chars": pa.array(n_chars.astype(np.int64)),
+            "n_tokens": pa.array(n_tokens),
+            "alpha_ppm": pa.array(np.floor(n_alpha * 1_000_000.0 / safe)
+                                  .astype(np.int64)),
+            "digit_ppm": pa.array(np.floor(n_digit * 1_000_000.0 / safe)
+                                  .astype(np.int64)),
+        })
+
+    return ds.map_batches(feats, batch_format="pyarrow")
+
+
+def q_docs_lang_id(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: _textfn.lang_id_batch(b).select(
+            ["doc_id", "lang_pred"]),
+        batch_format="pyarrow")
+
+
+def q_docs_minhash_pairs(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _dedup.minhash_candidate_pairs(ds, "doc_id", "text",
+                                          num_perm=64, bands=16,
+                                          concurrency=2)
+
+
+def q_docs_simhash(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(_dedup.SimHasher, batch_format="pyarrow",
+                         concurrency=2)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "simhash": pc.cast(b["simhash"], pa.string())}),
+        batch_format="pyarrow")
+
+
+# --- embeddings ------------------------------------------------------------
+
+
+def _query_vectors(sf_dir: str, n: int = 5) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    mask = pc.less(t["vec_id"], n)
+    t = t.filter(mask)
+    order = pc.sort_indices(t["vec_id"])
+    t = t.take(order)
+    return np.stack([np.asarray(v, dtype=np.float64)
+                     for v in t["embedding"].to_pylist()])
+
+
+def q_emb_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-5 for query vectors (vec_id 0..4); the
+    oracle checks the (query, neighbor) id pairs (cosine values differ
+    across engines in the last float ulps)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = _sim.cosine_topk(ds, _query_vectors(sf_dir), k=5, concurrency=2)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": pc.cast(b["query_id"], pa.int64()),
+            "vec_id": b["vec_id"],
+        }), batch_format="pyarrow")
+
+
+def q_emb_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN (approximate → rows-only check)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    q = _query_vectors(sf_dir)
+    cent = _sim.train_centroids(q if len(q) >= 4 else np.tile(q, (4, 1)),
+                                n_centroids=4)
+    out = _sim.ivf_topk(ds, q, cent, k=5, nprobe=2, concurrency=2)
+    return out.map_batches(
+        lambda b: pa.table({"query_id": pc.cast(b["query_id"], pa.int64()),
+                            "vec_id": b["vec_id"],
+                            "cosine": pc.round(b["cosine"], 6)}),
+        batch_format="pyarrow")
+
+
+def q_emb_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane LSH (approximate →
+    rows-only; recall < 1 by design).  Threshold 0.3 because the
+    synthetic embeddings top out at cosine ≈ 0.48."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = _dedup.embedding_near_dup_pairs(ds, "vec_id", "embedding",
+                                          threshold=0.3, buckets=4)
+    return out.map_batches(
+        lambda b: pa.table({"key_a": pc.cast(b["key_a"], pa.int64()),
+                            "key_b": pc.cast(b["key_b"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_emb_threshold_join(sf_dir: str):
+    """EXACT cosine threshold self-join (the oracle-checked near-dup
+    ground truth): broadcast normalized matrix, per-batch matmul, emit
+    (key_a < key_b) pairs with cosine ≥ 0.3."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = _sim.cosine_threshold_self_join(ds, threshold=0.3, concurrency=2)
+    return out.map_batches(
+        lambda b: pa.table({"key_a": b["key_a"], "key_b": b["key_b"]}),
+        batch_format="pyarrow")
+
+
+# --- registry --------------------------------------------------------------
+
+
+QUERIES = {
+    "lineitem_summary": q_lineitem_summary,
+    "lineitem_groupby": q_lineitem_groupby,
+    "distinct_mktsegment": q_distinct_mktsegment,
+    "topk_orders": q_topk_orders,
+    "orders_customer_revenue": q_orders_customer_revenue,
+    "events_filter_where": q_events_filter_where,
+    "events_count_distinct_users": q_events_count_distinct_users,
+    "events_windowed_hourly": q_events_windowed_hourly,
+    "geotag_points": q_geotag_points,
+    "pip_zones_join": q_pip_zones_join,
+    "pip_zones_semi": q_pip_zones_semi,
+    "pip_zones_anti": q_pip_zones_anti,
+    "pip_zones_identity": q_pip_zones_identity,
+    "zonal_stats": q_zonal_stats,
+    "tile_assign_z8": q_tile_assign_z8,
+    "tile_counts_tms_z6": q_tile_counts_tms_z6,
+    "tile_pyramid": q_tile_pyramid,
+    "reproject_3857": q_reproject_3857,
+    "reproject_utm31": q_reproject_utm31,
+    "knn_nearest_nation": q_knn_nearest_nation,
+    "knn_radius_nodata": q_knn_radius_nodata,
+    "knn_idw": q_knn_idw,
+    "docs_fingerprint": q_docs_fingerprint,
+    "docs_dedup_exact": q_docs_dedup_exact,
+    "docs_token_counts": q_docs_token_counts,
+    "docs_quality": q_docs_quality,
+    "docs_lang_id": q_docs_lang_id,
+    "docs_minhash_pairs": q_docs_minhash_pairs,
+    "docs_simhash": q_docs_simhash,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_ivf_topk": q_emb_ivf_topk,
+    "emb_near_dup": q_emb_near_dup,
+    "emb_threshold_join": q_emb_threshold_join,
+}
+
+
+ORACLES = {
+    "lineitem_summary": """
+        SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+    """,
+    "lineitem_groupby": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    """,
+    "distinct_mktsegment": "SELECT DISTINCT c_mktsegment FROM customer",
+    "topk_orders": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "orders_customer_revenue": """
+        SELECT c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """,
+    "events_filter_where": """
+        SELECT event_id, event_type, value FROM events
+        WHERE event_type IN ('click','view') AND value > 10.0
+    """,
+    "events_count_distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1
+    """,
+    "events_windowed_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS window,
+               round(sum(value), 2) AS sum_value, count(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "geotag_points": f"SELECT event_id, lat, lon FROM ({_PTS_SQL})",
+    "pip_zones_join": f"""
+        WITH {_ZONES_SQL}
+        SELECT event_id, value, poly_id, name FROM matches
+    """,
+    "pip_zones_semi": f"""
+        WITH {_ZONES_SQL}
+        SELECT DISTINCT event_id FROM matches
+    """,
+    "pip_zones_anti": f"""
+        WITH {_ZONES_SQL}
+        SELECT p.event_id FROM pts p
+        WHERE NOT EXISTS (SELECT 1 FROM matches m
+                          WHERE m.event_id = p.event_id)
+    """,
+    "pip_zones_identity": f"""
+        WITH {_ZONES_SQL}
+        SELECT p.event_id, m.poly_id, m.name
+        FROM pts p LEFT JOIN matches m ON p.event_id = m.event_id
+    """,
+    "zonal_stats": f"""
+        WITH {_ZONES_SQL}
+        SELECT poly_id, round(sum(value), 2) AS sum_value,
+               min(value) AS min_value, max(value) AS max_value,
+               count(*) AS n
+        FROM matches GROUP BY 1
+    """,
+    "tile_assign_z8": f"""
+        SELECT event_id,
+               CAST(8 AS INTEGER) AS z,
+               CAST(least(greatest(floor((lon+180.0)/360.0*256.0), 0), 255)
+                    AS BIGINT) AS x,
+               CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                    + 1.0/cos(radians(lat)))/pi())/2.0*256.0), 0), 255)
+                    AS BIGINT) AS y
+        FROM ({_PTS_SQL})
+    """,
+    "tile_counts_tms_z6": f"""
+        WITH t AS (
+          SELECT CAST(6 AS INTEGER) AS z,
+                 CAST(least(greatest(floor((lon+180.0)/360.0*64.0), 0), 63)
+                      AS BIGINT) AS x,
+                 63 - CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                      + 1.0/cos(radians(lat)))/pi())/2.0*64.0), 0), 63)
+                      AS BIGINT) AS y
+          FROM ({_PTS_SQL}))
+        SELECT z, x, y, count(*) AS n_pages FROM t GROUP BY 1, 2, 3
+    """,
+    "tile_pyramid": f"""
+        WITH t8 AS (
+          SELECT CAST(8 AS INTEGER) AS z,
+                 CAST(least(greatest(floor((lon+180.0)/360.0*256.0), 0), 255)
+                      AS BIGINT) AS x,
+                 CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                      + 1.0/cos(radians(lat)))/pi())/2.0*256.0), 0), 255)
+                      AS BIGINT) AS y
+          FROM ({_PTS_SQL})),
+        c8 AS (SELECT z, x, y, count(*) AS n_pages FROM t8 GROUP BY 1,2,3),
+        c7 AS (SELECT CAST(7 AS INTEGER) AS z, x//2 AS x, y//2 AS y,
+                      sum(n_pages) AS n_pages FROM c8 GROUP BY 2, 3),
+        c6 AS (SELECT CAST(6 AS INTEGER) AS z, x//2 AS x, y//2 AS y,
+                      sum(n_pages) AS n_pages FROM c7 GROUP BY 2, 3),
+        c5 AS (SELECT CAST(5 AS INTEGER) AS z, x//2 AS x, y//2 AS y,
+                      sum(n_pages) AS n_pages FROM c6 GROUP BY 2, 3)
+        SELECT z, x, y, CAST(n_pages AS BIGINT) AS n_pages FROM c8
+        UNION ALL SELECT z, x, y, CAST(n_pages AS BIGINT) FROM c7
+        UNION ALL SELECT z, x, y, CAST(n_pages AS BIGINT) FROM c6
+        UNION ALL SELECT z, x, y, CAST(n_pages AS BIGINT) FROM c5
+    """,
+    "reproject_3857": f"""
+        SELECT event_id,
+               round(lon * 20037508.342789244 / 180.0, 3) + 0.0 AS x_3857,
+               round(ln(tan((90.0 + lat) * pi() / 360.0)) * 6378137.0, 3) + 0.0
+                   AS y_3857
+        FROM ({_PTS_SQL})
+    """,
+    "knn_nearest_nation": f"""
+        WITH pts AS ({_PTS_SQL}),
+        refs AS (SELECT n_nationkey AS ref_id,
+                        -50.0 + n_nationkey * 4.0 AS rlat,
+                        -150.0 + n_nationkey * 12.0 AS rlon
+                 FROM nation),
+        d AS (SELECT p.event_id, r.ref_id,
+                     (p.lon-r.rlon)*(p.lon-r.rlon)
+                     + (p.lat-r.rlat)*(p.lat-r.rlat) AS d2
+              FROM pts p CROSS JOIN refs r),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                   ORDER BY d2 ASC, ref_id DESC) AS rn FROM d)
+        SELECT event_id, ref_id AS nearest_id FROM ranked WHERE rn = 1
+    """,
+    "knn_radius_nodata": f"""
+        WITH pts AS ({_PTS_SQL}),
+        refs AS (SELECT n_nationkey AS ref_id,
+                        -50.0 + n_nationkey * 4.0 AS rlat,
+                        -150.0 + n_nationkey * 12.0 AS rlon
+                 FROM nation),
+        d AS (SELECT p.event_id, r.ref_id,
+                     (p.lon-r.rlon)*(p.lon-r.rlon)
+                     + (p.lat-r.rlat)*(p.lat-r.rlat) AS d2
+              FROM pts p CROSS JOIN refs r),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                   ORDER BY d2 ASC, ref_id DESC) AS rn FROM d)
+        SELECT event_id,
+               CASE WHEN d2 <= 400.0 THEN ref_id END AS nearest_id
+        FROM ranked WHERE rn = 1
+    """,
+    "docs_fingerprint":
+        "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+    "docs_dedup_exact": """
+        SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id
+        FROM documents GROUP BY 1
+    """,
+    "docs_token_counts": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    """,
+    "docs_quality": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(floor(len(regexp_extract_all(text, '[A-Za-z]'))
+                    * 1000000.0 / greatest(length(text), 1)) AS BIGINT)
+                   AS alpha_ppm,
+               CAST(floor(len(regexp_extract_all(text, '[0-9]'))
+                    * 1000000.0 / greatest(length(text), 1)) AS BIGINT)
+                   AS digit_ppm
+        FROM documents
+    """,
+    "emb_cosine_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        s AS (SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS cos
+              FROM q CROSS JOIN embeddings e),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id ASC) AS rn FROM s)
+        SELECT query_id, vec_id FROM r WHERE rn <= 5
+    """,
+    "emb_threshold_join": """
+        SELECT a.vec_id AS key_a, b.vec_id AS key_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+    """,
+}

@@ -22,6 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import text as _text
+from ._pool import autoscale as _autoscale
 
 
 def _first_per_key_batch(batch: pa.Table, key: str, order_col: str | None):
@@ -36,24 +37,49 @@ def _first_per_key_batch(batch: pa.Table, key: str, order_col: str | None):
     return batch.filter(pa.array(keep))
 
 
+_BUCKET_COL = "__dedup_bucket"
+
+
+def _hash_bucket(keys: pa.ChunkedArray, buckets: int) -> np.ndarray:
+    """Deterministic vectorized key → bucket (pandas cython siphash with
+    a fixed hash_key — stable across processes and runs)."""
+    vals = keys.to_pandas()
+    h = pd.util.hash_pandas_object(vals, index=False,
+                                   hash_key="gdal_ray_dedup_0")
+    return (h.values % np.uint64(buckets)).astype(np.int32)
+
+
 def dedup_exact(ds, key: str = "url", order_col: str | None = "warc_ts",
-                drop_cols=None):
-    """Exactly one row per key; winner = smallest order_col (ties: first
-    in scan order).  groupby(key) hash-partitions; per-group head(1)
-    after an in-group sort keeps the rule deterministic across
-    parallelism levels."""
+                drop_cols=None, buckets: int = 256):
+    """Exactly one row per key; winner = smallest order_col.
+
+    Plan (all stages vectorized — no per-key Python):
+      1. within-batch combiner: one surviving row per (key, batch);
+      2. hash-bucket shuffle: groupby(hash(key) % buckets) co-locates
+         every row of a key in one group call — each call then dedups
+         THOUSANDS of keys at once with pandas ``drop_duplicates``
+         (contrast per-key map_groups, whose per-group Python overhead
+         dominates at ≥10^5 keys).  ``buckets`` bounds group size:
+         scale it with the cluster (e.g. 4× total cores).
+    """
     if drop_cols:
         ds = ds.drop_columns(drop_cols)
-    ds = ds.map_batches(
-        lambda b: _first_per_key_batch(b, key, order_col),
-        batch_format="pyarrow")
 
-    def take_first(g: pd.DataFrame) -> pd.DataFrame:
-        if order_col:
-            g = g.sort_values(order_col, kind="stable")
-        return g.head(1)
+    def combine(b: pa.Table) -> pa.Table:
+        out = _first_per_key_batch(b, key, order_col)
+        return out.append_column(
+            _BUCKET_COL, pa.array(_hash_bucket(out[key], buckets)))
 
-    return ds.groupby(key).map_groups(take_first, batch_format="pandas")
+    ds = ds.map_batches(combine, batch_format="pyarrow")
+
+    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        sort_keys = [key, order_col] if order_col else [key]
+        g = g.sort_values(sort_keys, kind="stable")
+        return g.drop_duplicates(subset=[key], keep="first") \
+            .drop(columns=[_BUCKET_COL])
+
+    return ds.groupby(_BUCKET_COL).map_groups(bucket_dedup,
+                                              batch_format="pandas")
 
 
 # --- MinHash + LSH near-dedup ---------------------------------------------
@@ -114,12 +140,10 @@ def minhash_candidate_pairs(ds, key_col: str = "doc_id",
         fn_constructor_kwargs=dict(key_col=key_col, text_col=text_col,
                                    num_perm=num_perm, bands=bands,
                                    shingle_k=shingle_k),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=_autoscale(concurrency))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ks = np.sort(g[key_col].values)
-        if len(ks) < 2:
-            return pd.DataFrame({"key_a": [], "key_b": []})
         ia, ib = np.triu_indices(len(ks), k=1)
         return pd.DataFrame({"key_a": ks[ia], "key_b": ks[ib]})
 
@@ -171,9 +195,12 @@ def embedding_near_dup_pairs(ds, key_col: str = "vec_id",
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
 
     def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
         ks = g[key_col].values
+        if len(g) < 2:
+            return pd.DataFrame({
+                "key_a": np.array([], dtype=ks.dtype),
+                "key_b": np.array([], dtype=ks.dtype),
+                "cosine": np.array([], dtype=np.float64)})
         order = np.argsort(ks, kind="stable")
         ks = ks[order]
         V = np.stack(g["vec"].values)[order]

@@ -32,6 +32,8 @@ import pyarrow as pa
 
 import ray
 
+from ._pool import autoscale as _autoscale
+
 
 class KnnLookup:
     """Actor callable: appends nearest-ref columns to each batch."""
@@ -148,5 +150,5 @@ def knn_lookup(ds, ref_table: pa.Table, concurrency=4, batch_size: int = 65536,
         fn_constructor_kwargs=dict(ref_table_ref=ref, **kwargs),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_autoscale(concurrency),
     )

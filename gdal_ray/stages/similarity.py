@@ -14,6 +14,8 @@ import pyarrow as pa
 
 import ray
 
+from ._pool import autoscale as _autoscale
+
 
 def _to_matrix(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
@@ -71,7 +73,7 @@ def cosine_topk(ds, queries: np.ndarray, k: int = 10,
         CosineTopK,
         fn_constructor_kwargs=dict(queries_ref=ref, k=k, key_col=key_col,
                                    vec_col=vec_col),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=_autoscale(concurrency))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", key_col], ascending=[False, True],
@@ -79,6 +81,54 @@ def cosine_topk(ds, queries: np.ndarray, k: int = 10,
         return g
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class CosineThresholdJoiner:
+    """Actor callable for the EXACT cosine threshold self-join: the full
+    normalized matrix + keys are broadcast once (``ray.put``); each batch
+    matmuls against it and emits (key_a < key_b, cosine) pairs over the
+    threshold.  Every pair is produced by exactly one batch (the one
+    holding its smaller key), so no global dedup shuffle is needed.
+    Baseline for the LSH near-dup path (which trades recall for not
+    broadcasting); at 100 TB use LSH — this is the ground-truth oracle."""
+
+    def __init__(self, all_ref, threshold: float, key_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        all_keys, all_mat = ray.get(all_ref) \
+            if isinstance(all_ref, ray.ObjectRef) else all_ref
+        order = np.argsort(all_keys, kind="stable")
+        self.keys = all_keys[order]
+        self.mat = _normalize(np.asarray(all_mat, dtype=np.float64))[order]
+        self.threshold = threshold
+        self.key_col, self.vec_col = key_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_to_matrix(batch[self.vec_col]))
+        bkeys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        sims = emb @ self.mat.T  # (nb, N)
+        hit_b, hit_all = np.nonzero(sims >= self.threshold)
+        ka, kb = bkeys[hit_b], self.keys[hit_all]
+        m = ka < kb  # one emitter per pair; also drops self-pairs
+        return pa.table({
+            "key_a": pa.array(ka[m]),
+            "key_b": pa.array(kb[m]),
+            "cosine": pa.array(sims[hit_b[m], hit_all[m]], pa.float64()),
+        })
+
+
+def cosine_threshold_self_join(ds, threshold: float = 0.3,
+                               key_col: str = "vec_id",
+                               vec_col: str = "embedding", concurrency=2):
+    """Exact all-pairs cosine ≥ threshold (key_a < key_b)."""
+    tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    keys = tbl[key_col].to_numpy(zero_copy_only=False)
+    mat = _to_matrix(tbl[vec_col])
+    ref = ray.put((keys, mat))
+    return ds.map_batches(
+        CosineThresholdJoiner,
+        fn_constructor_kwargs=dict(all_ref=ref, threshold=threshold,
+                                   key_col=key_col),
+        batch_format="pyarrow", concurrency=_autoscale(concurrency))
 
 
 class IVFIndexer:
@@ -126,7 +176,7 @@ def ivf_topk(ds, queries: np.ndarray, centroids: np.ndarray, k: int = 10,
     bucketed = ds.map_batches(
         IVFIndexer, fn_constructor_kwargs=dict(centroids_ref=cref,
                                                vec_col=vec_col),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=_autoscale(concurrency))
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     cn = _normalize(np.asarray(centroids, dtype=np.float64))
     sims = qn @ cn.T

@@ -35,6 +35,8 @@ import pyarrow as pa
 
 import ray
 
+from ._pool import autoscale as _autoscale
+
 from ..geom import cells as _cells
 from ..geom import predicates as _pred
 from ..geom import strtree as _strtree
@@ -66,6 +68,12 @@ def _auto_level(bounds: np.ndarray, max_level: int = 14) -> int:
 class SpatialJoinIndex:
     """Immutable index over a polygon layer (built once per actor)."""
 
+    # bbox coverings larger than this many cells are not enumerated;
+    # such "broad" polygons (continent/world-spanning) are pruned by a
+    # direct vectorized bbox mask per batch instead — same two-phase
+    # contract, bounded index size regardless of polygon extent.
+    MAX_CELLS_PER_POLYGON = 4096
+
     def __init__(self, poly_table: pa.Table, geometry_col: str = "geometry",
                  level: int | None = None):
         self.table = poly_table
@@ -76,13 +84,23 @@ class SpatialJoinIndex:
         self.level = _auto_level(self.bounds) if level is None else level
         # cell -> candidate polygon id list (covering of each bbox)
         cand: dict[int, list[int]] = defaultdict(list)
+        broad = []
         for pid, (minx, miny, maxx, maxy) in enumerate(self.bounds):
             if not np.isfinite(minx):
                 continue
-            for c in _cells.cells_covering_bbox(minx, miny, maxx, maxy, self.level):
+            tx0, ty0 = _cells.tiles.lonlat_to_tile(minx, miny, self.level)
+            tx1, ty1 = _cells.tiles.lonlat_to_tile(maxx, maxy, self.level)
+            ncells = (abs(int(tx1) - int(tx0)) + 1) \
+                * (abs(int(ty1) - int(ty0)) + 1)
+            if ncells > self.MAX_CELLS_PER_POLYGON:
+                broad.append(pid)
+                continue
+            for c in _cells.cells_covering_bbox(minx, miny, maxx, maxy,
+                                                self.level):
                 cand[int(c)].append(pid)
         self.cell_candidates = {k: np.asarray(v, dtype=np.int64)
                                 for k, v in cand.items()}
+        self.broad_ids = np.asarray(broad, dtype=np.int64)
 
     def candidate_pairs(self, lon: np.ndarray, lat: np.ndarray):
         """Phase-1 pruning: (row_idx, poly_id) candidate pairs via the
@@ -97,6 +115,11 @@ class SpatialJoinIndex:
             rows = np.nonzero(inv == ui)[0]
             rows_out.append(np.repeat(rows, len(pids)))
             polys_out.append(np.tile(pids, len(rows)))
+        for pid in self.broad_ids:
+            in_bbox = np.nonzero(self.prepared[pid].bbox_mask(lon, lat))[0]
+            if len(in_bbox):
+                rows_out.append(in_bbox)
+                polys_out.append(np.full(len(in_bbox), pid, dtype=np.int64))
         if not rows_out:
             return (np.empty(0, dtype=np.int64),) * 2
         return np.concatenate(rows_out), np.concatenate(polys_out)
@@ -229,6 +252,6 @@ def spatial_join(ds, poly_table: pa.Table, operation: str = "intersection",
                                    predicate=predicate, **kwargs),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_autoscale(concurrency),
         num_cpus=num_cpus,
     )

@@ -124,9 +124,14 @@ def pyramid_counts_ds(ds, base_zoom: int, min_zoom: int = 0):
     """Dataset variant: per-level groupby((z-1, x>>1, y>>1)) reductions.
     Each level is a (small) shuffle over tile partials; levels are
     sequential because z-1 needs completed z (the pyramid ordering
-    constraint, SURVEY.md §7.5)."""
+    constraint, SURVEY.md §7.5).  Every level is MATERIALIZED: tile-count
+    tables are tiny (≤4^z rows) and each level is both a branch input
+    (next level + final union) and the checkpoint the reference's
+    per-level resume relies on (gdalalg_raster_tile.cpp:289) — without
+    it, each lazy branch would re-execute the whole upstream pipeline."""
     from ray.data.aggregate import Sum
 
+    ds = ds.materialize()
     levels = [ds]
     cur = ds
     for _ in range(base_zoom, min_zoom, -1):
@@ -140,7 +145,7 @@ def pyramid_counts_ds(ds, base_zoom: int, min_zoom: int = 0):
             batch_format="pyarrow",
         )
         cur = shifted.groupby(["z", "x", "y"]).aggregate(
-            Sum("n_pages", alias_name="n_pages"))
+            Sum("n_pages", alias_name="n_pages")).materialize()
         levels.append(cur)
     out = levels[0]
     for lv in levels[1:]:

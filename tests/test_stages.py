@@ -1,0 +1,324 @@
+"""Stage-level tests over small in-memory Datasets (Ray session fixture).
+
+Oracles are brute-force numpy recomputations of each stage's contract —
+the reference's autotest pattern of tiny fixtures with exact expected
+outputs (SURVEY.md §5)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from gdal_ray.geom import predicates, wkb
+from gdal_ray.stages import tiling
+from gdal_ray.stages.aggregate import partial_final_agg, salted_group_count
+from gdal_ray.stages.dedup import dedup_exact, minhash_candidate_pairs
+from gdal_ray.stages.join import broadcast_join
+from gdal_ray.stages.knn import knn_lookup
+from gdal_ray.stages.similarity import cosine_threshold_self_join, cosine_topk
+from gdal_ray.stages.spatial_join import SpatialJoinIndex, spatial_join
+
+
+def _points_ds(ray_session, n=500, seed=0, npartitions=4):
+    import ray.data as rd
+
+    rs = np.random.RandomState(seed)
+    t = pa.table({
+        "pid": pa.array(np.arange(n, dtype=np.int64)),
+        "lon": pa.array(rs.uniform(-170, 170, n)),
+        "lat": pa.array(rs.uniform(-80, 80, n)),
+        "val": pa.array(rs.uniform(0, 100, n)),
+    })
+    return rd.from_arrow(t).repartition(npartitions), t
+
+
+def _zones() -> pa.Table:
+    return pa.table({
+        "poly_id": pa.array(np.arange(3, dtype=np.int32)),
+        "zname": pa.array(["a", "b", "c"]),
+        "geometry": pa.array([
+            wkb.box_polygon(-100, -50, 0, 0),
+            wkb.box_polygon(-20, -20, 60, 60),  # overlaps zone a
+            wkb.encode_polygon([[(120, 0), (160, 40), (120, 70), (100, 30)]]),
+        ], pa.binary()),
+    })
+
+
+def _brute_pairs(t: pa.Table, zones: pa.Table):
+    lon = t["lon"].to_numpy()
+    lat = t["lat"].to_numpy()
+    out = []
+    for pid, blob in enumerate(zones["geometry"].to_pylist()):
+        m = predicates.points_in_polygon_wkb(lon, lat, blob)
+        out.extend((int(r), pid) for r in np.nonzero(m)[0])
+    return set(out)
+
+
+def test_spatial_join_intersection_matches_bruteforce(ray_session):
+    ds, t = _points_ds(ray_session)
+    zones = _zones()
+    got = spatial_join(ds, zones, operation="intersection", concurrency=2) \
+        .to_pandas()
+    expect = _brute_pairs(t, zones)
+    got_pairs = set(zip(got["pid"].astype(int), got["poly_id"].astype(int)))
+    assert got_pairs == expect
+    # schema-merge rule: no collisions here → plain concatenation
+    assert list(got.columns) == ["pid", "lon", "lat", "val",
+                                 "poly_id", "zname"]
+
+
+def test_spatial_join_collision_prefixes(ray_session):
+    """Name collisions get input_/method_ prefixes
+    (set_result_schema, ogrlayer.cpp:5117-5199)."""
+    ds, t = _points_ds(ray_session, n=50)
+    zones = _zones().rename_columns(["poly_id", "val", "geometry"])
+    got = spatial_join(ds, zones, operation="intersection", concurrency=1) \
+        .to_pandas()
+    assert "input_val" in got.columns and "method_val" in got.columns
+
+
+def test_spatial_join_semi_anti_partition(ray_session):
+    ds, t = _points_ds(ray_session)
+    zones = _zones()
+    semi = spatial_join(ds, zones, operation="semi", concurrency=2).to_pandas()
+    anti = spatial_join(ds, zones, operation="anti", concurrency=2).to_pandas()
+    matched = {r for r, _ in _brute_pairs(t, zones)}
+    assert set(semi["pid"]) == matched
+    assert set(anti["pid"]) == set(range(len(t))) - matched
+    assert len(semi) + len(anti) == len(t)
+
+
+def test_spatial_join_identity_left(ray_session):
+    ds, t = _points_ds(ray_session, n=200)
+    zones = _zones()
+    got = spatial_join(ds, zones, operation="identity", concurrency=2) \
+        .to_pandas()
+    pairs = _brute_pairs(t, zones)
+    matched = {r for r, _ in pairs}
+    # every input row appears; unmatched rows once with null method fields
+    assert len(got) == len(pairs) + (len(t) - len(matched))
+    unmatched = got[got["poly_id"].isna()]
+    assert set(unmatched["pid"]) == set(range(len(t))) - matched
+
+
+def test_spatial_join_index_candidates_superset():
+    """Phase-1 cell pruning must never drop a true hit (two-phase filter
+    contract, ogrlayer.cpp:4004-4075)."""
+    zones = _zones()
+    idx = SpatialJoinIndex(zones)
+    rs = np.random.RandomState(5)
+    lon = rs.uniform(-180, 180, 2000)
+    lat = rs.uniform(-85, 85, 2000)
+    rows, polys = idx.candidate_pairs(lon, lat)
+    cand = set(zip(rows.tolist(), polys.tolist()))
+    t = pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+    assert _brute_pairs(t, zones) <= cand
+
+
+def test_knn_tie_goes_to_later_scanned(ray_session):
+    """gdalgrid.cpp:963-967 '<=' compare: later reference point wins."""
+    import ray.data as rd
+
+    refs = pa.table({
+        "ref_id": pa.array([10, 20], pa.int64()),
+        "x": pa.array([0.0, 2.0]),
+        "y": pa.array([0.0, 0.0]),
+    })
+    q = rd.from_arrow(pa.table({"lon": pa.array([1.0]),
+                                "lat": pa.array([0.0])}))
+    out = knn_lookup(q, refs, concurrency=1).to_pandas()
+    assert out["nearest_id"].tolist() == [20]
+
+
+def test_knn_radius_nodata(ray_session):
+    import ray.data as rd
+
+    refs = pa.table({"ref_id": pa.array([1], pa.int64()),
+                     "x": pa.array([0.0]), "y": pa.array([0.0])})
+    q = rd.from_arrow(pa.table({"lon": pa.array([0.5, 50.0]),
+                                "lat": pa.array([0.0, 0.0])}))
+    out = knn_lookup(q, refs, radius=1.0, concurrency=1).to_pandas()
+    assert out["nearest_id"].tolist()[0] == 1
+    assert pd.isna(out["nearest_id"].tolist()[1])
+    assert np.isnan(out["nearest_dist"].values[1])
+
+
+def test_knn_idw_hand_computed(ray_session):
+    """IDW weights 1/d^2, NODATA below min_points
+    (gdalgrid.cpp:307-339)."""
+    import ray.data as rd
+
+    refs = pa.table({
+        "ref_id": pa.array([0, 1, 2], pa.int64()),
+        "x": pa.array([0.0, 4.0, 100.0]),
+        "y": pa.array([0.0, 0.0, 0.0]),
+        "v": pa.array([10.0, 20.0, 99.0]),
+    })
+    q = rd.from_arrow(pa.table({"lon": pa.array([1.0, 50.0]),
+                                "lat": pa.array([0.0, 0.0])}))
+    out = knn_lookup(q, refs, value_col="v", max_points=2, min_points=2,
+                     power=2.0, radius=10.0, concurrency=1).to_pandas()
+    # point 0: d=1 (v=10), d=3 (v=20): (10/1 + 20/9)/(1 + 1/9) = 11
+    assert out["nearest_idw"].values[0] == pytest.approx(11.0)
+    assert out["nearest_n"].values[0] == 2
+    # point 1: only ref 2 within radius 10 → n=1 < min_points → NaN
+    assert np.isnan(out["nearest_idw"].values[1])
+
+
+def test_knn_idw_exact_hit(ray_session):
+    import ray.data as rd
+
+    refs = pa.table({"ref_id": pa.array([0, 1], pa.int64()),
+                     "x": pa.array([0.0, 1.0]), "y": pa.array([0.0, 0.0]),
+                     "v": pa.array([42.0, 7.0])})
+    q = rd.from_arrow(pa.table({"lon": pa.array([0.0]),
+                                "lat": pa.array([0.0])}))
+    out = knn_lookup(q, refs, value_col="v", max_points=2, min_points=1,
+                     concurrency=1).to_pandas()
+    assert out["nearest_idw"].values[0] == 42.0
+
+
+def test_dedup_exact_keeps_earliest(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "url": pa.array(["u1", "u2", "u1", "u3", "u2", "u1"]),
+        "warc_ts": pa.array([5, 1, 3, 9, 0, 7], pa.int64()),
+        "text": pa.array(["a", "b", "c", "d", "e", "f"]),
+    })
+    out = dedup_exact(rd.from_arrow(t).repartition(3), key="url",
+                      order_col="warc_ts").to_pandas()
+    got = dict(zip(out["url"], out["warc_ts"]))
+    assert got == {"u1": 3, "u2": 0, "u3": 9}
+
+
+def test_minhash_identical_docs_pair(ray_session):
+    import ray.data as rd
+
+    text = "the quick brown fox jumps over the lazy dog " * 5
+    other = "completely different content about graph engines " * 5
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([text, text, other])})
+    out = minhash_candidate_pairs(rd.from_arrow(t), concurrency=1).to_pandas()
+    pairs = set(zip(out["key_a"].astype(int), out["key_b"].astype(int)))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_broadcast_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    rs = np.random.RandomState(8)
+    big = pa.table({"k": pa.array(rs.randint(0, 20, 300)),
+                    "v": pa.array(rs.uniform(0, 1, 300))})
+    small = pa.table({"k": pa.array(np.arange(0, 15)),
+                      "name": pa.array([f"n{i}" for i in range(15)])})
+    got = broadcast_join(rd.from_arrow(big).repartition(3), small, keys="k") \
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    exp = big.to_pandas().merge(small.to_pandas(), on="k") \
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
+def test_partial_final_agg_matches_pandas(ray_session):
+    import ray.data as rd
+
+    rs = np.random.RandomState(3)
+    df = pd.DataFrame({"g": rs.choice(list("abcd"), 1000),
+                       "x": rs.uniform(0, 10, 1000)})
+    ds = rd.from_pandas(df).repartition(5)
+    got = partial_final_agg(ds, "g", [("x", "sum", "sx"), ("x", "min", "mn"),
+                                      ("x", "max", "mx"), ("x", "mean", "avg"),
+                                      (None, "count", "n")]) \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    exp = df.groupby("g")["x"].agg(["sum", "min", "max", "mean", "count"]) \
+        .reset_index()
+    np.testing.assert_allclose(got["sx"], exp["sum"], rtol=1e-12)
+    np.testing.assert_allclose(got["mn"], exp["min"])
+    np.testing.assert_allclose(got["mx"], exp["max"])
+    np.testing.assert_allclose(got["avg"], exp["mean"], rtol=1e-12)
+    np.testing.assert_array_equal(got["n"], exp["count"])
+
+
+def test_salted_group_count(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"k": ["hot"] * 900 + ["cold"] * 100})
+    out = salted_group_count(rd.from_pandas(df).repartition(4), "k",
+                             buckets=8).to_pandas()
+    assert dict(zip(out["k"], out["n"])) == {"hot": 900, "cold": 100}
+
+
+def test_tile_counts_and_pyramid_conservation(ray_session):
+    ds, t = _points_ds(ray_session, n=400)
+    base = tiling.tile_counts(ds, [6])
+    base_t = base.to_pandas()
+    assert base_t["n_pages"].sum() == 400
+    pyr = tiling.pyramid_counts_ds(base, base_zoom=6, min_zoom=3).to_pandas()
+    for z in (3, 4, 5, 6):
+        assert pyr[pyr["z"] == z]["n_pages"].sum() == 400
+    # driver-side variant agrees
+    pyr2 = tiling.pyramid_counts(pa.Table.from_pandas(base_t),
+                                 min_zoom=3).to_pandas()
+    a = pyr.sort_values(["z", "x", "y"]).reset_index(drop=True)
+    b = pyr2.sort_values(["z", "x", "y"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()],
+                                  check_dtype=False)
+
+
+def test_render_tiles_counts(ray_session):
+    import zlib
+
+    ds, t = _points_ds(ray_session, n=300)
+    tiles_out = tiling.render_tiles(ds, zoom=3).to_pandas()
+    assert tiles_out["n_pages"].sum() == 300
+    # each raster decodes to a 256x256 grid summing to the tile's count
+    for _, row in tiles_out.head(5).iterrows():
+        grid = np.frombuffer(zlib.decompress(row["raster"]),
+                             dtype=">u2").reshape(256, 256)
+        assert grid.sum() == row["n_pages"]
+
+
+def test_png_encoder_valid_signature():
+    grid = np.zeros((256, 256), dtype=">u2")
+    grid[10, 20] = 5
+    png = tiling.encode_png_gray16(grid.tobytes())
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert b"IHDR" in png[:30] and png[-8:-4] == b"IEND"
+
+
+def test_cosine_topk_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    rs = np.random.RandomState(13)
+    emb = rs.normal(size=(200, 16))
+    t = pa.table({"vec_id": pa.array(np.arange(200, dtype=np.int64)),
+                  "embedding": pa.array(emb.tolist())})
+    q = emb[:3]
+    got = cosine_topk(rd.from_arrow(t).repartition(4), q, k=5,
+                      concurrency=1).to_pandas()
+    V = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    Q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = Q @ V.T
+    for qi in range(3):
+        exp = set(np.argsort(-sims[qi], kind="stable")[:5].tolist())
+        sub = got[got["query_id"] == qi]
+        assert set(sub["vec_id"].astype(int)) == exp
+        assert sub["vec_id"].iloc[0] == qi  # self is most similar
+
+
+def test_cosine_threshold_self_join_exact(ray_session):
+    import ray.data as rd
+
+    rs = np.random.RandomState(17)
+    emb = rs.normal(size=(100, 8))
+    t = pa.table({"vec_id": pa.array(np.arange(100, dtype=np.int64)),
+                  "embedding": pa.array(emb.tolist())})
+    got = cosine_threshold_self_join(rd.from_arrow(t).repartition(3),
+                                     threshold=0.5).to_pandas()
+    V = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    S = V @ V.T
+    ia, ib = np.triu_indices(100, 1)
+    m = S[ia, ib] >= 0.5
+    exp = set(zip(ia[m].tolist(), ib[m].tolist()))
+    assert set(zip(got["key_a"].astype(int), got["key_b"].astype(int))) == exp
