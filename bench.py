@@ -16,8 +16,9 @@ Modes:
                                     # throughputs + scaling efficiency
 
 The headline input is the deterministic synthetic Common-Crawl-style
-pages table (BASELINE.json input_hint schema), sized 10 pages per
-events-table row of the chosen sf (sf0.1 → 1,000,000 pages), cached
+pages table (BASELINE.json input_hint schema), sized 160 pages per
+events-table row of the chosen sf (sf0.1 → 16,000,000 pages), joined
+against an 8192-polygon admin-style method layer, cached
 under /tmp/gdal_ray_bench/ and reused across runs/processes.
 """
 
@@ -42,7 +43,7 @@ def _n_pages_for(sf_dir: str) -> int:
 
     n_events = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")) \
         .metadata.num_rows
-    return n_events * 10
+    return n_events * 160
 
 
 def ensure_pages(sf_dir: str) -> tuple[str, int]:
@@ -50,7 +51,7 @@ def ensure_pages(sf_dir: str) -> tuple[str, int]:
 
     n = _n_pages_for(sf_dir)
     out = f"/tmp/gdal_ray_bench/pages_{n}"
-    write_pages_parquet(out, n, rows_per_file=250_000)
+    write_pages_parquet(out, n, rows_per_file=500_000)
     return out, n
 
 
@@ -58,12 +59,15 @@ def run_headline(pages_dir: str, n_pages: int, num_cpus: int) -> dict:
     """geotag → dedup(url) → broadcast spatial join → tile counts z4/6/8
     + pyramid to z2, consumed streaming (count via iter_batches)."""
     from gdal_ray.pipelines.flagship import flagship
+    from gdal_ray.sources.pages import make_admin_polygons
     from gdal_ray.stages.tiling import pyramid_counts_ds
 
     t0 = time.monotonic()
     joined, tile_ds = flagship(
-        pages_dir, zooms=(4, 6, 8),
-        join_concurrency=max(2, num_cpus - 2))
+        pages_dir, poly_table=make_admin_polygons(8192),
+        zooms=(4, 6, 8),
+        join_concurrency=max(2, num_cpus - 2),
+        parallelism=3 * num_cpus)
     # materialize the (small) tile-count table ONCE — it feeds two
     # branches (z<8 passthrough + z8 pyramid); lazy branching would
     # re-execute the whole read→geotag→dedup→join chain per branch

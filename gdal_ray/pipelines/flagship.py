@@ -46,16 +46,35 @@ def flagship(paths, poly_table: pa.Table | None = None,
              join_concurrency=4, parallelism: int | None = None):
     """Full pipeline; returns (join_rows_ds, tile_counts_ds).
 
+    Stage order is join-BEFORE-dedup: read → geotag → spatial join is a
+    pure map chain, so the streaming executor pipelines it at full block
+    width with no barrier; the dedup shuffle then runs on join rows.
+    Duplicate urls carry byte-identical text → identical geotag →
+    identical join partners, so dedup by (url, poly_id) after the join
+    yields exactly the same row set as dedup-by-url before it, while
+    keeping the expensive stage (the STRtree join) barrier-free.  The
+    tile branch additionally projects to the narrow columns before the
+    shuffle (SURVEY.md §7.5: wide payloads never enter a shuffle).
+
     Both returned Datasets are lazy; the caller consumes (count, write,
     iter) to execute with streaming backpressure.
     """
     if poly_table is None:
         poly_table = _pages.make_polygons_table()
     ds = geotagged_pages(paths, parallelism)
-    if dedup:
-        ds = dedup_exact(ds, key="url", order_col="warc_ts")
     joined = spatial_join(ds, poly_table, operation="intersection",
                           predicate="intersects",
                           concurrency=join_concurrency)
-    tile_ds = _tiling.tile_counts(joined, zooms)
-    return joined, tile_ds
+    if dedup:
+        joined_out = dedup_exact(joined, key=["url", "poly_id"],
+                                 order_col="warc_ts")
+        narrow = dedup_exact(
+            joined.select_columns(["url", "poly_id", "warc_ts",
+                                   "lat", "lon"]),
+            key=["url", "poly_id"], order_col="warc_ts")
+    else:
+        joined_out = joined
+        narrow = joined.select_columns(["url", "poly_id", "warc_ts",
+                                        "lat", "lon"])
+    tile_ds = _tiling.tile_counts(narrow, zooms)
+    return joined_out, tile_ds

@@ -555,6 +555,239 @@ def q_emb_threshold_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+# --- geometry unary ops ------------------------------------------------------
+
+
+def _zone_ring_values() -> str:
+    """SQL VALUES of every zone ring vertex (poly_id, seq, x, y) — the
+    independent re-statement of zone_table() the shoelace oracles use."""
+    rows = []
+    for pid, _name, minx, miny, maxx, maxy in _BOXES:
+        ring = [(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy),
+                (minx, miny)]
+        rows += [(pid, i, x, y) for i, (x, y) in enumerate(ring)]
+    r = _DIAMOND_R
+    ring = [(r, 0.0), (0.0, r), (-r, 0.0), (0.0, -r), (r, 0.0)]
+    rows += [(4, i, x, y) for i, (x, y) in enumerate(ring)]
+    # ::DOUBLE — duckdb otherwise types the literals DECIMAL, whose
+    # exact arithmetic overflows (and wouldn't match float math anyway)
+    return ",".join(f"({p},{i},{x!r}::DOUBLE,{y!r}::DOUBLE)"
+                    for p, i, x, y in rows)
+
+
+_ZONE_SEGS_SQL = f"""
+    ring(poly_id, seq, x, y) AS (VALUES {{values}}),
+    seg AS (SELECT poly_id, x, y,
+                   lead(x) OVER (PARTITION BY poly_id ORDER BY seq) AS x2,
+                   lead(y) OVER (PARTITION BY poly_id ORDER BY seq) AS y2
+            FROM ring)
+""".replace("{values}", _zone_ring_values())
+
+
+def q_geom_zone_area(sf_dir: str):
+    """Shoelace polygon area (OGR_GEOM_AREA special field)."""
+    from ..stages import geometry as _geom
+
+    ds = rd.from_arrow(zone_table())
+    out = ds.map_batches(_geom.area_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table({"poly_id": b["poly_id"],
+                            "area": pc.round(b["area"], 9)}),
+        batch_format="pyarrow")
+
+
+def q_geom_zone_centroid(sf_dir: str):
+    """Area-weighted polygon centroid (OGRGeometry::Centroid)."""
+    from ..stages import geometry as _geom
+
+    ds = rd.from_arrow(zone_table())
+    out = ds.map_batches(_geom.centroid_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table({"poly_id": b["poly_id"],
+                            "cx": pc.round(b["centroid_x"], 9),
+                            "cy": pc.round(b["centroid_y"], 9)}),
+        batch_format="pyarrow")
+
+
+def q_geom_convex_hull(sf_dir: str):
+    """Convex hull vertex count + area per zone (monotone chain ==
+    GEOS ConvexHull result set; rows-only — hull geometry itself has no
+    SQL analog, invariants asserted in tests/test_geom_ops.py)."""
+    from ..geom import ops as _gops
+    from ..geom import wkb as _gwkb
+    from ..stages import geometry as _geom
+
+    ds = rd.from_arrow(zone_table())
+    hull = ds.map_batches(_geom.convex_hull_batch, batch_format="pyarrow")
+
+    def stats(b: pa.Table) -> pa.Table:
+        blobs = b["geometry"].to_pylist()
+        nv = [len(_gwkb.decode(g)["coordinates"][0]) - 1 for g in blobs]
+        ar = [round(_gops.wkb_area(g), 9) for g in blobs]
+        return pa.table({"poly_id": b["poly_id"],
+                         "hull_vertices": pa.array(nv, pa.int64()),
+                         "hull_area": pa.array(ar, pa.float64())})
+
+    return hull.map_batches(stats, batch_format="pyarrow")
+
+
+def q_geom_buffer_simplify(sf_dir: str):
+    """Buffer(point) → simplify roundtrip: area of a 120-gon point
+    buffer, then of its 8-gon simplification (rows-only; hand-computed
+    closed forms asserted in tests)."""
+    from ..functions.geotag import make_point_batch
+    from ..stages import geometry as _geom
+
+    pts = event_points(sf_dir, columns=("event_id",)).limit(100)
+    with_geom = pts.map_batches(
+        lambda b: make_point_batch(b, "lon", "lat"), batch_format="pyarrow")
+    buf = with_geom.map_batches(
+        lambda b: _geom.buffer_batch(b, distance=1.0), batch_format="pyarrow")
+    simp = buf.map_batches(
+        lambda b: _geom.simplify_batch(b, tolerance=0.05),
+        batch_format="pyarrow")
+    return simp.map_batches(
+        lambda b: _geom.area_batch(b, out="area"), batch_format="pyarrow") \
+        .select_columns(["event_id", "area"])
+
+
+# --- scalar functions / SQL surface -----------------------------------------
+
+
+def q_string_funcs(sf_dir: str):
+    """CONCAT / SUBSTR / UPPER / CAST scalar functions (OGR SQL dialect,
+    ogr/ogr_swq.h:42-81) as pyarrow compute kernels."""
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_mktsegment",
+                                  "c_acctbal"])
+
+    def fns(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "label": pc.binary_join_element_wise(
+                pc.utf8_upper(b["c_mktsegment"]), b["c_name"], ":"),
+            "prefix": pc.utf8_slice_codeunits(b["c_name"], 0, 8),
+            "bal_int": pc.cast(pc.floor(b["c_acctbal"]), pa.int64()),
+        })
+
+    return ds.map_batches(fns, batch_format="pyarrow")
+
+
+def q_events_props_extract(sf_dir: str):
+    """JSON/props field extraction (OFSTJSON passthrough + regex
+    extraction — hstore_get_value analog)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "props"])
+
+    def ext(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k":\s*(?P<k>-?[0-9]+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_id": b["event_id"], "k": k})
+
+    return ds.map_batches(ext, batch_format="pyarrow")
+
+
+def q_limit_offset(sf_dir: str):
+    """LIMIT/OFFSET (OGR SQL dialect, ogr_sql_dialect.rst:80): rows
+    10..29 of orders by (o_totalprice DESC, o_orderkey)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(30)
+    t = pa.Table.from_pylist(top.take_all())  # 30 rows — driver-safe
+    return t.slice(10, 20)
+
+
+def q_union_concat(sf_dir: str):
+    """Dataset concat (gdal vector concat / ogrunionlayer): customers
+    and suppliers as one keyed layer."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"]) \
+        .map_batches(lambda b: pa.table({
+            "key": pc.cast(b["c_custkey"], pa.int64()),
+            "name": b["c_name"],
+            "src": pa.array(["customer"] * len(b), pa.string())}),
+            batch_format="pyarrow")
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name"]) \
+        .map_batches(lambda b: pa.table({
+            "key": pc.cast(b["s_suppkey"], pa.int64()),
+            "name": b["s_name"],
+            "src": pa.array(["supplier"] * len(b), pa.string())}),
+            batch_format="pyarrow")
+    return cust.union(supp)
+
+
+def q_reclassify_tiles(sf_dir: str):
+    """Raster reclassify (gdalalg_raster_reclassify.cpp semantics) over
+    the z6 tile-count raster: counts → density classes."""
+    pts = event_points(sf_dir, columns=("event_id",))
+    counts = _tiling.tile_counts(pts, [6])
+
+    def reclass(b: pa.Table) -> pa.Table:
+        n = b["n_pages"].to_numpy(zero_copy_only=False)
+        cls = np.where(n >= 20, 3, np.where(n >= 5, 2, 1)).astype(np.int32)
+        return pa.table({"z": b["z"], "x": b["x"], "y": b["y"],
+                         "density_class": pa.array(cls)})
+
+    return counts.map_batches(reclass, batch_format="pyarrow")
+
+
+def q_grid_idw(sf_dir: str):
+    """gdal_grid invdistnn semantics over an output grid: 24x20 nodes,
+    IDW power 2 from the nation reference points, radius 60, min 1
+    (alg/gdalgrid.cpp:242-350).  Grid nodes are the 'raster', refs the
+    scattered points — embarrassingly parallel in output space exactly
+    like the reference's block loop (apps/gdal_grid_lib.cpp:482-515)."""
+    refs = _nation_refs(sf_dir)
+    refs = refs.append_column(
+        "refval", pa.array(refs["ref_id"].to_numpy().astype(np.float64)
+                           * 10.0, pa.float64()))
+    gx, gy = np.meshgrid(np.arange(-172.5, 180.0, 15.0),
+                         np.arange(-57.5, 60.0, 15.0))
+    nodes = pa.table({
+        "node_id": pa.array(np.arange(gx.size, dtype=np.int64)),
+        "lon": pa.array(gx.ravel()), "lat": pa.array(gy.ravel()),
+    })
+    ds = rd.from_arrow(nodes)
+    out = _knn.knn_lookup(ds, refs, concurrency=2, value_col="refval",
+                          max_points=25, min_points=1, power=2.0,
+                          radius=60.0)
+    return out.map_batches(
+        lambda b: pa.table({
+            "node_id": b["node_id"],
+            "idw": pc.round(b["nearest_idw"], 6),
+            "n_in": b["nearest_n"],
+        }), batch_format="pyarrow")
+
+
+def q_checkpoint_partitioned(sf_dir: str):
+    """Partitioned sink with per-partition lineage manifests (north
+    rule checkpoint/resume; reference --resume semantics,
+    gdalalg_raster_tile.cpp:289): writes the zone join partitioned by
+    poly_id under /tmp, returns the manifest (partition, rows) rows.
+    Resume behavior (skip completed partitions) is covered by
+    tests/test_manifest.py."""
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import write_partitioned
+
+    out_dir = tempfile.mkdtemp(prefix="gdal_ray_ckpt_")
+    try:
+        joined = _zone_join(sf_dir, "intersection") \
+            .select_columns(["event_id", "value", "poly_id"])
+        res = write_partitioned(joined, out_dir, "poly_id", resume=False)
+        t = pa.concat_tables(
+            [pa.table({"partition": b["partition"], "rows": b["rows"]})
+             for b in res.iter_batches(batch_size=65536,
+                                       batch_format="pyarrow")])
+        order = pc.sort_indices(t["partition"])
+        return t.take(order)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 # --- registry --------------------------------------------------------------
 
 
@@ -592,6 +825,17 @@ QUERIES = {
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_near_dup": q_emb_near_dup,
     "emb_threshold_join": q_emb_threshold_join,
+    "geom_zone_area": q_geom_zone_area,
+    "geom_zone_centroid": q_geom_zone_centroid,
+    "geom_convex_hull": q_geom_convex_hull,
+    "geom_buffer_simplify": q_geom_buffer_simplify,
+    "string_funcs": q_string_funcs,
+    "events_props_extract": q_events_props_extract,
+    "limit_offset": q_limit_offset,
+    "union_concat": q_union_concat,
+    "reclassify_tiles": q_reclassify_tiles,
+    "grid_idw": q_grid_idw,
+    "checkpoint_partitioned": q_checkpoint_partitioned,
 }
 
 
@@ -779,5 +1023,96 @@ ORACLES = {
         SELECT a.vec_id AS key_a, b.vec_id AS key_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+    """,
+    "geom_zone_area": f"""
+        WITH {_ZONE_SEGS_SQL}
+        SELECT poly_id, round(abs(sum(x*y2 - x2*y)) * 0.5, 9) AS area
+        FROM seg WHERE x2 IS NOT NULL GROUP BY poly_id
+    """,
+    "geom_zone_centroid": f"""
+        WITH {_ZONE_SEGS_SQL},
+        c AS (SELECT poly_id,
+                     sum(x*y2 - x2*y) * 0.5 AS sa,
+                     sum((x + x2) * (x*y2 - x2*y)) / 6.0 AS sx,
+                     sum((y + y2) * (x*y2 - x2*y)) / 6.0 AS sy
+              FROM seg WHERE x2 IS NOT NULL GROUP BY poly_id)
+        SELECT poly_id, round(sx / sa, 9) AS cx, round(sy / sa, 9) AS cy
+        FROM c
+    """,
+    "string_funcs": """
+        SELECT c_custkey,
+               upper(c_mktsegment) || ':' || c_name AS label,
+               substr(c_name, 1, 8) AS prefix,
+               CAST(floor(c_acctbal) AS BIGINT) AS bal_int
+        FROM customer
+    """,
+    "events_props_extract": """
+        SELECT event_id,
+               CAST(regexp_extract(props, '"k":\\s*(-?[0-9]+)', 1)
+                    AS BIGINT) AS k
+        FROM events
+    """,
+    "limit_offset": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20 OFFSET 10
+    """,
+    "union_concat": """
+        SELECT CAST(c_custkey AS BIGINT) AS key, c_name AS name,
+               'customer' AS src FROM customer
+        UNION ALL
+        SELECT CAST(s_suppkey AS BIGINT), s_name, 'supplier' FROM supplier
+    """,
+    "reclassify_tiles": f"""
+        WITH t AS (
+          SELECT CAST(6 AS INTEGER) AS z,
+                 CAST(least(greatest(floor((lon+180.0)/360.0*64.0), 0), 63)
+                      AS BIGINT) AS x,
+                 CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                      + 1.0/cos(radians(lat)))/pi())/2.0*64.0), 0), 63)
+                      AS BIGINT) AS y
+          FROM ({_PTS_SQL})),
+        c AS (SELECT z, x, y, count(*) AS n FROM t GROUP BY 1, 2, 3)
+        SELECT z, x, y,
+               CAST(CASE WHEN n >= 20 THEN 3 WHEN n >= 5 THEN 2 ELSE 1 END
+                    AS INTEGER) AS density_class
+        FROM c
+    """,
+    "grid_idw": """
+        WITH nodes AS (
+          SELECT (gy.i * 24 + gx.i) AS node_id,
+                 -172.5 + gx.i * 15.0 AS lon, -57.5 + gy.i * 15.0 AS lat
+          FROM (SELECT unnest(generate_series(0, 23)) AS i) gx
+          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) gy),
+        refs AS (SELECT n_nationkey AS ref_id,
+                        -50.0 + n_nationkey * 4.0 AS ry,
+                        -150.0 + n_nationkey * 12.0 AS rx,
+                        n_nationkey * 10.0 AS refval
+                 FROM nation),
+        d AS (SELECT n.node_id,
+                     (n.lon-r.rx)*(n.lon-r.rx) + (n.lat-r.ry)*(n.lat-r.ry)
+                         AS d2,
+                     r.refval
+              FROM nodes n CROSS JOIN refs r),
+        agg AS (SELECT node_id,
+                       sum(CASE WHEN d2 <= 3600.0
+                                THEN refval / sqrt(d2) / sqrt(d2) END)
+                           AS wsum_v,
+                       sum(CASE WHEN d2 <= 3600.0
+                                THEN 1.0 / sqrt(d2) / sqrt(d2) END) AS wsum,
+                       CAST(count(CASE WHEN d2 <= 3600.0 THEN 1 END)
+                            AS BIGINT) AS n_in,
+                       min(CASE WHEN d2 = 0.0 THEN refval END) AS exact_v
+                FROM d GROUP BY node_id)
+        SELECT node_id,
+               round(CASE WHEN exact_v IS NOT NULL THEN exact_v
+                          WHEN n_in >= 1 THEN wsum_v / wsum END, 6) AS idw,
+               n_in
+        FROM agg
+    """,
+    "checkpoint_partitioned": f"""
+        WITH {_ZONES_SQL}
+        SELECT CAST(poly_id AS VARCHAR) AS partition,
+               count(*) AS rows FROM matches GROUP BY 1 ORDER BY 1
     """,
 }

@@ -1,0 +1,341 @@
+"""Pipeline step registry — the `gdal vector pipeline` grammar analog.
+
+The reference's CLI builds pipelines from named, argument-checked steps
+(`GDALVectorPipelineAlgorithm::RegisterAlgorithms` registers ~40 steps,
+apps/gdalalg_vector_pipeline.cpp:144-225; each step is TranslateFeature
+for streaming ops or Process() for materializing ones,
+apps/gdalvectorpipelinestepalgorithm.h:258-373).  Here a pipeline is a
+JSON list of steps; each registered step is a function
+``(ds, args) -> ds`` over a ``ray.data.Dataset`` — stateless steps are
+``map_batches`` kernels, stateful ones actor pools, wide ones shuffles.
+
+    [
+      {"step": "read_parquet", "paths": "/data/pages", "columns": [...]},
+      {"step": "where", "expr": "lang = 'en'"},
+      {"step": "geotag"},
+      {"step": "dedup", "key": "url", "order_col": "warc_ts"},
+      {"step": "spatial_join", "polygons": "<parquet path>",
+       "operation": "intersection"},
+      {"step": "tile_counts", "zooms": [4, 6, 8]},
+      {"step": "write_parquet", "path": "/out"}
+    ]
+
+Run with ``python -m gdal_ray.cli pipeline.json`` (the `ray job submit`
+entry point: the script is the job payload).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import pyarrow as pa
+
+REGISTRY: dict[str, Callable] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+# --- sources ----------------------------------------------------------------
+
+
+@register("read_parquet")
+def _read_parquet(ds, args):
+    import ray.data as rd
+
+    kwargs = {}
+    if args.get("columns"):
+        kwargs["columns"] = list(args["columns"])
+    if args.get("where"):
+        from ..functions.expr import compile_where
+
+        kwargs["filter"] = compile_where(args["where"])
+    if args.get("parallelism"):
+        kwargs["override_num_blocks"] = int(args["parallelism"])
+    return rd.read_parquet(args["paths"], **kwargs)
+
+
+@register("read_pages_fixture")
+def _read_fixture(ds, args):
+    import ray.data as rd
+
+    from ..sources.pages import make_pages_table
+
+    return rd.from_arrow(make_pages_table(0, int(args.get("rows", 1000))))
+
+
+# --- per-batch steps ----------------------------------------------------------
+
+
+@register("where")
+def _where(ds, args):
+    from ..functions.expr import compile_where
+
+    expr = compile_where(args["expr"])
+    return ds.map_batches(lambda b: b.filter(expr), batch_format="pyarrow")
+
+
+@register("select")
+def _select(ds, args):
+    return ds.select_columns(list(args["columns"]))
+
+
+@register("rename")
+def _rename(ds, args):
+    mapping = dict(args["mapping"])
+    return ds.map_batches(
+        lambda b: b.rename_columns([mapping.get(c, c)
+                                    for c in b.column_names]),
+        batch_format="pyarrow")
+
+
+@register("geotag")
+def _geotag(ds, args):
+    from ..functions.geotag import geotag_batch
+
+    return ds.map_batches(
+        lambda b: geotag_batch(
+            b, cell_level=int(args.get("cell_level", 12)),
+            prefix_level=int(args.get("prefix_level", 4))),
+        batch_format="pyarrow")
+
+
+@register("make_point")
+def _make_point(ds, args):
+    from ..functions.geotag import make_point_batch
+
+    return ds.map_batches(
+        lambda b: make_point_batch(b, args.get("x", "lon"),
+                                   args.get("y", "lat")),
+        batch_format="pyarrow")
+
+
+@register("reproject")
+def _reproject(ds, args):
+    from ..geom.crs import Transformer
+
+    src, dst = args.get("src", "EPSG:4326"), args["dst"]
+    xc, yc = args.get("x", "lon"), args.get("y", "lat")
+    ox, oy = args.get("out_x", "x_out"), args.get("out_y", "y_out")
+
+    class Reproject:
+        def __init__(self):
+            self.t = Transformer.from_crs(src, dst)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            X, Y, ok = self.t.transform_with_errors(
+                b[xc].to_numpy(zero_copy_only=False),
+                b[yc].to_numpy(zero_copy_only=False))
+            out = b.append_column(ox, pa.array(X, pa.float64()))
+            out = out.append_column(oy, pa.array(Y, pa.float64()))
+            return out.append_column(ox + "_ok", pa.array(ok, pa.bool_()))
+
+    return ds.map_batches(Reproject,
+                          concurrency=(1, int(args.get("concurrency", 4))),
+                          batch_format="pyarrow")
+
+
+@register("buffer")
+def _buffer(ds, args):
+    from ..stages.geometry import buffer_batch
+
+    return ds.map_batches(
+        lambda b: buffer_batch(b, float(args["distance"]),
+                               int(args.get("quadsegs", 30)),
+                               args.get("col", "geometry")),
+        batch_format="pyarrow")
+
+
+@register("simplify")
+def _simplify(ds, args):
+    from ..stages.geometry import simplify_batch
+
+    return ds.map_batches(
+        lambda b: simplify_batch(b, float(args["tolerance"]),
+                                 args.get("col", "geometry")),
+        batch_format="pyarrow")
+
+
+@register("swap_xy")
+def _swap_xy(ds, args):
+    from ..stages.geometry import swap_xy_batch
+
+    return ds.map_batches(
+        lambda b: swap_xy_batch(b, args.get("col", "geometry")),
+        batch_format="pyarrow")
+
+
+@register("explode_collections")
+def _explode(ds, args):
+    from ..stages.geometry import explode_collections
+
+    return explode_collections(ds, args.get("col", "geometry"))
+
+
+@register("check_geometry")
+def _check_geometry(ds, args):
+    from ..stages.geometry import check_geometry_batch
+
+    return ds.map_batches(
+        lambda b: check_geometry_batch(b, args.get("col", "geometry")),
+        batch_format="pyarrow")
+
+
+# --- stateful / wide steps ----------------------------------------------------
+
+
+def _load_polygons(args) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    if "polygons" in args:
+        return pq.read_table(args["polygons"])
+    if args.get("polygons_fixture") == "admin":
+        from ..sources.pages import make_admin_polygons
+
+        return make_admin_polygons(int(args.get("n_polygons", 1024)))
+    from ..sources.pages import make_polygons_table
+
+    return make_polygons_table()
+
+
+@register("spatial_join")
+def _spatial_join(ds, args):
+    from ..stages.spatial_join import spatial_join
+
+    return spatial_join(
+        ds, _load_polygons(args),
+        operation=args.get("operation", "intersection"),
+        predicate=args.get("predicate", "intersects"),
+        concurrency=int(args.get("concurrency", 4)))
+
+
+@register("dedup")
+def _dedup(ds, args):
+    from ..stages.dedup import dedup_exact
+
+    return dedup_exact(ds, key=args.get("key", "url"),
+                       order_col=args.get("order_col", "warc_ts"),
+                       buckets=int(args.get("buckets", 256)))
+
+
+@register("knn")
+def _knn(ds, args):
+    import pyarrow.parquet as pq
+
+    from ..stages.knn import knn_lookup
+
+    refs = pq.read_table(args["refs"])
+    kw = {k: args[k] for k in ("radius", "value_col", "max_points",
+                               "min_points", "power") if k in args}
+    return knn_lookup(ds, refs, concurrency=int(args.get("concurrency", 4)),
+                      **kw)
+
+
+@register("tile_counts")
+def _tile_counts(ds, args):
+    from ..stages.tiling import tile_counts
+
+    return tile_counts(ds, list(args.get("zooms", [8])),
+                       convention=args.get("convention", "xyz"))
+
+
+@register("pyramid")
+def _pyramid(ds, args):
+    from ..stages.tiling import pyramid_counts_ds
+
+    return pyramid_counts_ds(ds, base_zoom=int(args["base_zoom"]),
+                             min_zoom=int(args.get("min_zoom", 0)))
+
+
+@register("render_tiles")
+def _render_tiles(ds, args):
+    from ..stages.tiling import render_tiles
+
+    return render_tiles(ds, zoom=int(args["zoom"]),
+                        convention=args.get("convention", "xyz"))
+
+
+@register("groupby_agg")
+def _groupby_agg(ds, args):
+    from ..stages.aggregate import partial_final_agg
+
+    aggs = [(a.get("col"), a["fn"], a["as"]) for a in args["aggs"]]
+    return partial_final_agg(ds, args["keys"], aggs)
+
+
+@register("sort")
+def _sort(ds, args):
+    keys = args["keys"] if isinstance(args["keys"], list) else [args["keys"]]
+    desc = args.get("descending", False)
+    return ds.sort(keys, descending=desc)
+
+
+@register("limit")
+def _limit(ds, args):
+    return ds.limit(int(args["n"]))
+
+
+@register("spatial_sort")
+def _spatial_sort(ds, args):
+    """Spatial sort (gdal vector sort, hilbert method ≈ Z-order): the
+    cell id IS the space-filling-curve key (SURVEY.md §2.6)."""
+    from ..geom import cells as _cells
+
+    level = int(args.get("level", 12))
+
+    def add_key(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cell = _cells.lonlat_to_cell(
+            b[args.get("x", "lon")].to_numpy(zero_copy_only=False),
+            b[args.get("y", "lat")].to_numpy(zero_copy_only=False), level)
+        return b.append_column("spatial_key", pa.array(cell, pa.uint64()))
+
+    return ds.map_batches(add_key, batch_format="pyarrow") \
+        .sort("spatial_key")
+
+
+# --- sinks --------------------------------------------------------------------
+
+
+@register("write_parquet")
+def _write_parquet(ds, args):
+    ds.write_parquet(args["path"])
+    return ds
+
+
+@register("write_partitioned")
+def _write_partitioned(ds, args):
+    from ..sources.manifest import write_partitioned
+
+    return write_partitioned(ds, args["path"], args["partition_col"],
+                             resume=bool(args.get("resume", True)))
+
+
+# --- runner -------------------------------------------------------------------
+
+
+def run_pipeline(spec: list[dict[str, Any]]):
+    """Execute a JSON pipeline spec; returns the final Dataset."""
+    if not spec:
+        raise ValueError("empty pipeline")
+    # validate the whole spec BEFORE executing anything (the reference
+    # parses/validates all steps before Run, gdalalg_abstract_pipeline.h)
+    for i, step in enumerate(spec):
+        name = step.get("step")
+        if name not in REGISTRY:
+            raise ValueError(f"unknown step {name!r}; known: "
+                             f"{sorted(REGISTRY)}")
+        if i == 0 and not name.startswith("read_"):
+            raise ValueError("pipeline must start with a read_* step")
+    ds = None
+    for step in spec:
+        ds = REGISTRY[step["step"]](ds, step)
+    return ds

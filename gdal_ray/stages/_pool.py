@@ -12,7 +12,12 @@ from __future__ import annotations
 
 
 def autoscale(concurrency):
-    """int n → (1, n); tuples and None pass through."""
+    """int n → (max(1, n//2), n); tuples and None pass through.
+
+    min = n//2 pre-starts half the pool so short stages don't run on a
+    single slowly-ramping actor, while still leaving CPUs for upstream
+    producer tasks (min == num_cpus would starve them and deadlock)."""
     if isinstance(concurrency, int):
-        return (1, max(1, concurrency))
+        n = max(1, concurrency)
+        return (max(1, n // 2), n)
     return concurrency

@@ -17,6 +17,7 @@ groupby(key)).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 _PARTIALABLE = {"sum", "count", "min", "max"}
@@ -87,6 +88,62 @@ def partial_final_agg(ds, keys, aggs):
         return pa.table(cols)
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+_BUCKET = "__agg_bucket"
+
+
+def bucketed_group_agg(ds, keys, aggs, buckets: int = 256):
+    """Wide-key groupby-aggregate via a single-int-key hash shuffle.
+
+    Ray's sort-based Aggregate on a composite key pays a per-block
+    multi-key sort + boundary scan that dominates when partials barely
+    reduce (e.g. tile counts: each block touches most tiles, so the
+    final aggregate sees ~input-sized data).  Here every partial row is
+    assigned ``hash(keys) % buckets`` and the shuffle groups by that ONE
+    int32 — inside each bucket group a vectorized pandas groupby
+    finishes the job for thousands of keys at once.
+
+    aggs: list of (col, fn, out_name), fn ∈ sum|count|min|max|mean.
+    Returns Dataset with columns keys ++ out_names.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = _partial_agg_batch(b, keys, aggs)
+        kdf = g.select(keys).to_pandas()
+        h = pd.util.hash_pandas_object(kdf, index=False,
+                                       hash_key="gdal_ray_gagg_00")
+        return g.append_column(
+            _BUCKET, pa.array((h.values % np.uint64(buckets))
+                              .astype(np.int32)))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    plan = {}
+    for col, fn, out in aggs:
+        if fn == "mean":
+            plan[f"__sum_{out}"] = "sum"
+            plan[f"__cnt_{out}"] = "sum"
+        elif fn in ("sum", "count"):
+            plan[f"__cnt_{out}" if fn == "count" else f"__sum_{out}"] = "sum"
+        else:
+            plan[f"__{fn}_{out}"] = fn
+
+    def final(g):
+        merged = g.groupby(keys, sort=False, as_index=False).agg(plan)
+        cols = {k: merged[k] for k in keys}
+        for col, fn, out in aggs:
+            if fn == "mean":
+                cols[out] = (merged[f"__sum_{out}"].astype(float)
+                             / merged[f"__cnt_{out}"].astype(float))
+            elif fn == "count":
+                cols[out] = merged[f"__cnt_{out}"]
+            else:
+                cols[out] = merged[f"__{fn}_{out}"]
+        return pd.DataFrame(cols)
+
+    return partials.groupby(_BUCKET).map_groups(final, batch_format="pandas")
 
 
 def add_salt_batch(batch: pa.Table, key: str, buckets: int,

@@ -25,14 +25,16 @@ from ..functions import text as _text
 from ._pool import autoscale as _autoscale
 
 
-def _first_per_key_batch(batch: pa.Table, key: str, order_col: str | None):
+def _first_per_key_batch(batch: pa.Table, keys: list[str],
+                         order_col: str | None):
     """Within-batch pre-dedup (combiner) — keeps the winning row per key
     under the same rule as the final stage."""
     if order_col:
         idx = pc.sort_indices(
-            batch, sort_keys=[(order_col, "ascending"), (key, "ascending")])
+            batch, sort_keys=[(order_col, "ascending")]
+            + [(k, "ascending") for k in keys])
         batch = batch.take(idx)
-    df_keys = batch[key].to_pandas()
+    df_keys = batch.select(keys).to_pandas()
     keep = ~df_keys.duplicated(keep="first").values
     return batch.filter(pa.array(keep))
 
@@ -40,18 +42,19 @@ def _first_per_key_batch(batch: pa.Table, key: str, order_col: str | None):
 _BUCKET_COL = "__dedup_bucket"
 
 
-def _hash_bucket(keys: pa.ChunkedArray, buckets: int) -> np.ndarray:
-    """Deterministic vectorized key → bucket (pandas cython siphash with
-    a fixed hash_key — stable across processes and runs)."""
-    vals = keys.to_pandas()
-    h = pd.util.hash_pandas_object(vals, index=False,
+def _hash_bucket(batch: pa.Table, keys: list[str], buckets: int) -> np.ndarray:
+    """Deterministic vectorized key(s) → bucket (pandas cython siphash
+    with a fixed hash_key — stable across processes and runs)."""
+    df = batch.select(keys).to_pandas()
+    h = pd.util.hash_pandas_object(df, index=False,
                                    hash_key="gdal_ray_dedup_0")
     return (h.values % np.uint64(buckets)).astype(np.int32)
 
 
-def dedup_exact(ds, key: str = "url", order_col: str | None = "warc_ts",
+def dedup_exact(ds, key="url", order_col: str | None = "warc_ts",
                 drop_cols=None, buckets: int = 256):
-    """Exactly one row per key; winner = smallest order_col.
+    """Exactly one row per key (str or list of str); winner = smallest
+    order_col.
 
     Plan (all stages vectorized — no per-key Python):
       1. within-batch combiner: one surviving row per (key, batch);
@@ -62,20 +65,21 @@ def dedup_exact(ds, key: str = "url", order_col: str | None = "warc_ts",
          dominates at ≥10^5 keys).  ``buckets`` bounds group size:
          scale it with the cluster (e.g. 4× total cores).
     """
+    keys = [key] if isinstance(key, str) else list(key)
     if drop_cols:
         ds = ds.drop_columns(drop_cols)
 
     def combine(b: pa.Table) -> pa.Table:
-        out = _first_per_key_batch(b, key, order_col)
+        out = _first_per_key_batch(b, keys, order_col)
         return out.append_column(
-            _BUCKET_COL, pa.array(_hash_bucket(out[key], buckets)))
+            _BUCKET_COL, pa.array(_hash_bucket(out, keys, buckets)))
 
     ds = ds.map_batches(combine, batch_format="pyarrow")
 
     def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        sort_keys = [key, order_col] if order_col else [key]
+        sort_keys = keys + [order_col] if order_col else keys
         g = g.sort_values(sort_keys, kind="stable")
-        return g.drop_duplicates(subset=[key], keep="first") \
+        return g.drop_duplicates(subset=keys, keep="first") \
             .drop(columns=[_BUCKET_COL])
 
     return ds.groupby(_BUCKET_COL).map_groups(bucket_dedup,

@@ -74,6 +74,16 @@ class SpatialJoinIndex:
     # contract, bounded index size regardless of polygon extent.
     MAX_CELLS_PER_POLYGON = 4096
 
+    # each polygon is indexed at ITS OWN level (multi-resolution
+    # covering, as S2 cell coverings do): a small urban district sits in
+    # fine cells so it is only a candidate for points in its own block,
+    # while a country-sized polygon sits in a few coarse cells.  A
+    # single shared level would either flood hot cells with hundreds of
+    # candidates (level too coarse for small polys) or explode the
+    # covering of big polys (too fine).
+    MIN_LEVEL = 2
+    MAX_LEVEL = 16
+
     def __init__(self, poly_table: pa.Table, geometry_col: str = "geometry",
                  level: int | None = None):
         self.table = poly_table
@@ -81,40 +91,57 @@ class SpatialJoinIndex:
         blobs = poly_table[geometry_col].to_pylist()
         self.bounds, self.prepared = _polygon_bounds(blobs)
         self.tree = _strtree.STRtree(self.bounds)
-        self.level = _auto_level(self.bounds) if level is None else level
-        # cell -> candidate polygon id list (covering of each bbox)
-        cand: dict[int, list[int]] = defaultdict(list)
+        # level -> {cell -> candidate pid array}
+        per_level: dict[int, dict[int, list[int]]] = defaultdict(
+            lambda: defaultdict(list))
         broad = []
         for pid, (minx, miny, maxx, maxy) in enumerate(self.bounds):
             if not np.isfinite(minx):
                 continue
-            tx0, ty0 = _cells.tiles.lonlat_to_tile(minx, miny, self.level)
-            tx1, ty1 = _cells.tiles.lonlat_to_tile(maxx, maxy, self.level)
+            if level is not None:
+                lvl = level
+            else:
+                w = max(maxx - minx, maxy - miny, 1e-9)
+                # tile span 360/2^L ≈ bbox width → poly covers ~1-4 cells
+                lvl = int(np.clip(np.floor(np.log2(360.0 / w)),
+                                  self.MIN_LEVEL, self.MAX_LEVEL))
+            tx0, ty0 = _cells.tiles.lonlat_to_tile(minx, miny, lvl)
+            tx1, ty1 = _cells.tiles.lonlat_to_tile(maxx, maxy, lvl)
             ncells = (abs(int(tx1) - int(tx0)) + 1) \
                 * (abs(int(ty1) - int(ty0)) + 1)
             if ncells > self.MAX_CELLS_PER_POLYGON:
                 broad.append(pid)
                 continue
-            for c in _cells.cells_covering_bbox(minx, miny, maxx, maxy,
-                                                self.level):
-                cand[int(c)].append(pid)
-        self.cell_candidates = {k: np.asarray(v, dtype=np.int64)
-                                for k, v in cand.items()}
+            cmap = per_level[lvl]
+            for c in _cells.cells_covering_bbox(minx, miny, maxx, maxy, lvl):
+                cmap[int(c)].append(pid)
+        self.level_maps = {
+            lvl: {k: np.asarray(v, dtype=np.int64) for k, v in cmap.items()}
+            for lvl, cmap in per_level.items()}
         self.broad_ids = np.asarray(broad, dtype=np.int64)
+        # kept for introspection/tests: the finest level in use
+        self.level = max(self.level_maps) if self.level_maps else 4
 
     def candidate_pairs(self, lon: np.ndarray, lat: np.ndarray):
         """Phase-1 pruning: (row_idx, poly_id) candidate pairs via the
-        cell covering map.  Vectorized over unique cells per batch."""
-        cell = _cells.lonlat_to_cell(lon, lat, self.level)
-        uniq, inv = np.unique(cell, return_inverse=True)
+        multi-level cell covering maps.  O(n log n) per level in use:
+        rows are grouped per cell by one argsort + slice (NOT a per-cell
+        `inv == ui` scan, which is O(n · unique_cells) and turns big
+        batches quadratic)."""
         rows_out, polys_out = [], []
-        for ui, c in enumerate(uniq):
-            pids = self.cell_candidates.get(int(c))
-            if pids is None:
-                continue
-            rows = np.nonzero(inv == ui)[0]
-            rows_out.append(np.repeat(rows, len(pids)))
-            polys_out.append(np.tile(pids, len(rows)))
+        for lvl, cmap in self.level_maps.items():
+            cell = _cells.lonlat_to_cell(lon, lat, lvl)
+            order = np.argsort(cell, kind="stable")
+            sorted_cells = cell[order]
+            uniq, starts = np.unique(sorted_cells, return_index=True)
+            ends = np.append(starts[1:], len(sorted_cells))
+            for ui, c in enumerate(uniq):
+                pids = cmap.get(int(c))
+                if pids is None:
+                    continue
+                rows = order[starts[ui]:ends[ui]]
+                rows_out.append(np.repeat(rows, len(pids)))
+                polys_out.append(np.tile(pids, len(rows)))
         for pid in self.broad_ids:
             in_bbox = np.nonzero(self.prepared[pid].bbox_mask(lon, lat))[0]
             if len(in_bbox):
@@ -242,7 +269,7 @@ class SpatialJoiner:
 
 def spatial_join(ds, poly_table: pa.Table, operation: str = "intersection",
                  predicate: str = "intersects", concurrency=4,
-                 batch_size: int = 65536, num_cpus: float = 1, **kwargs):
+                 batch_size: int | None = None, num_cpus: float = 1, **kwargs):
     """Dataset-level entry: broadcast poly_table once, join via an actor
     pool (stateful stage per SURVEY.md §2.3)."""
     ref = ray.put(poly_table)

@@ -80,9 +80,14 @@ def partial_tile_counts(batch: pa.Table) -> pa.Table:
 
 def tile_counts(ds, zooms, convention: str = "xyz",
                 lon_col: str = "lon", lat_col: str = "lat"):
-    """Dataset pipeline: assign → per-batch partials → final groupby sum.
-    Returns a Dataset of (z, x, y, n_pages)."""
-    from ray.data.aggregate import Sum
+    """Dataset pipeline: assign → per-batch partials → bucketed final sum.
+    Returns a Dataset of (z, x, y, n_pages).
+
+    The final uses the hash-bucket shuffle (stages.aggregate.
+    bucketed_group_agg) rather than a composite-key sort-aggregate:
+    random page order means every block touches most tiles, so partials
+    barely reduce and the multi-key sort path pays ~input-sized work."""
+    from .aggregate import bucketed_group_agg
 
     assigned = ds.map_batches(
         lambda b: partial_tile_counts(
@@ -90,9 +95,8 @@ def tile_counts(ds, zooms, convention: str = "xyz",
                                keep_cols=[])),
         batch_format="pyarrow",
     )
-    out = assigned.groupby(["z", "x", "y"]).aggregate(
-        Sum("n_pages", alias_name="n_pages"))
-    return out
+    return bucketed_group_agg(assigned, ["z", "x", "y"],
+                              [("n_pages", "sum", "n_pages")])
 
 
 def pyramid_counts(tile_counts_table: pa.Table, min_zoom: int = 0) -> pa.Table:
@@ -108,7 +112,7 @@ def pyramid_counts(tile_counts_table: pa.Table, min_zoom: int = 0) -> pa.Table:
         if z is None or z <= min_zoom:
             break
         parent = pa.table({
-            "z": pc.subtract(cur["z"], 1),
+            "z": pc.cast(pc.subtract(cur["z"], 1), cur["z"].type),
             "x": pc.shift_right(cur["x"], 1),
             "y": pc.shift_right(cur["y"], 1),
             "n_pages": cur["n_pages"],
@@ -121,36 +125,42 @@ def pyramid_counts(tile_counts_table: pa.Table, min_zoom: int = 0) -> pa.Table:
 
 
 def pyramid_counts_ds(ds, base_zoom: int, min_zoom: int = 0):
-    """Dataset variant: per-level groupby((z-1, x>>1, y>>1)) reductions.
-    Each level is a (small) shuffle over tile partials; levels are
-    sequential because z-1 needs completed z (the pyramid ordering
-    constraint, SURVEY.md §7.5).  Every level is MATERIALIZED: tile-count
-    tables are tiny (≤4^z rows) and each level is both a branch input
-    (next level + final union) and the checkpoint the reference's
-    per-level resume relies on (gdalalg_raster_tile.cpp:289) — without
-    it, each lazy branch would re-execute the whole upstream pipeline."""
-    from ray.data.aggregate import Sum
+    """Dataset variant of the overview pyramid for COUNT tiles.
 
-    ds = ds.materialize()
-    levels = [ds]
-    cur = ds
-    for _ in range(base_zoom, min_zoom, -1):
-        shifted = cur.map_batches(
-            lambda b: pa.table({
-                "z": pc.subtract(b["z"], 1),
-                "x": pc.shift_right(b["x"], 1),
-                "y": pc.shift_right(b["y"], 1),
-                "n_pages": b["n_pages"],
-            }),
-            batch_format="pyarrow",
-        )
-        cur = shifted.groupby(["z", "x", "y"]).aggregate(
-            Sum("n_pages", alias_name="n_pages")).materialize()
-        levels.append(cur)
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.union(lv)
-    return out
+    Count overviews are fully associative (a parent's count is the sum
+    of all its level-z descendants), so instead of the reference's
+    level-by-level reduction (GenerateOverviewTile child gathering,
+    apps/gdalalg_raster_tile.cpp:6062-6089 — needed there because
+    overview PIXELS resample from child rasters) every base tile emits
+    its ancestor keys for ALL levels in one vectorized pass and a SINGLE
+    groupby sums them: one all-to-all instead of (base-min) sequential
+    shuffle barriers.  Output includes the base level itself.  For
+    pixel-resampled pyramids (render path) use per-level map_groups."""
+    from .aggregate import bucketed_group_agg
+
+    n_levels = base_zoom - min_zoom + 1
+
+    def expand_ancestors(b: pa.Table) -> pa.Table:
+        z = b["z"].to_numpy(zero_copy_only=False)
+        x = b["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n_pages"].to_numpy(zero_copy_only=False)
+        zs, xs, ys, ns = [], [], [], []
+        for k in range(n_levels):
+            zs.append(np.full(len(b), base_zoom - k, dtype=z.dtype))
+            xs.append(x >> k)
+            ys.append(y >> k)
+            ns.append(n)
+        return pa.table({
+            "z": pa.array(np.concatenate(zs)),
+            "x": pa.array(np.concatenate(xs)),
+            "y": pa.array(np.concatenate(ys)),
+            "n_pages": pa.array(np.concatenate(ns)),
+        })
+
+    expanded = ds.map_batches(expand_ancestors, batch_format="pyarrow")
+    return bucketed_group_agg(expanded, ["z", "x", "y"],
+                              [("n_pages", "sum", "n_pages")])
 
 
 # --- per-tile raster rendering --------------------------------------------

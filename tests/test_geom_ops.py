@@ -1,0 +1,132 @@
+"""Unit tests for geometry unary ops (geom.ops) — golden values from
+closed-form math, mirroring the reference's hand-computed oracles
+(SURVEY.md §5 pattern 4)."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.geom import ops, wkb
+
+
+def test_area_box_and_hole():
+    box = wkb.box_polygon(0, 0, 10, 5)
+    assert ops.wkb_area(box) == pytest.approx(50.0)
+    holed = wkb.encode_polygon([
+        [(0, 0), (10, 0), (10, 10), (0, 10)],
+        [(2, 2), (4, 2), (4, 4), (2, 4)],
+    ])
+    assert ops.wkb_area(holed) == pytest.approx(100.0 - 4.0)
+
+
+def test_area_multipolygon_and_nonareal():
+    mp = wkb.encode_multipolygon([
+        [[(0, 0), (1, 0), (1, 1), (0, 1)]],
+        [[(5, 5), (7, 5), (7, 7), (5, 7)]],
+    ])
+    assert ops.wkb_area(mp) == pytest.approx(1.0 + 4.0)
+    assert ops.wkb_area(wkb.encode_point(3, 4)) == 0.0
+    assert ops.wkb_area(wkb.encode_linestring([(0, 0), (5, 5)])) == 0.0
+
+
+def test_centroid_box_diamond_hole():
+    box = wkb.box_polygon(2, 4, 6, 10)
+    assert ops.wkb_centroid(box) == pytest.approx((4.0, 7.0))
+    r = 3.0
+    diamond = wkb.encode_polygon([[(r, 0), (0, r), (-r, 0), (0, -r)]])
+    cx, cy = ops.wkb_centroid(diamond)
+    assert (cx, cy) == pytest.approx((0.0, 0.0), abs=1e-12)
+    # hole pulls centroid away: square [0,4]^2 with hole [3,4]x[0,1]
+    holed = wkb.encode_polygon([
+        [(0, 0), (4, 0), (4, 4), (0, 4)],
+        [(3, 0), (4, 0), (4, 1), (3, 1)],
+    ])
+    # exact: (16*2 - 1*3.5)/15, (16*2 - 1*0.5)/15
+    cx, cy = ops.wkb_centroid(holed)
+    assert cx == pytest.approx(28.5 / 15)
+    assert cy == pytest.approx(31.5 / 15)
+
+
+def test_centroid_hole_winding_independent():
+    """Holes subtract regardless of the ring winding direction."""
+    cw_hole = [(3, 0), (3, 1), (4, 1), (4, 0)]  # opposite winding
+    holed = wkb.encode_polygon([[(0, 0), (4, 0), (4, 4), (0, 4)], cw_hole])
+    cx, cy = ops.wkb_centroid(holed)
+    assert cx == pytest.approx(28.5 / 15)
+    assert cy == pytest.approx(31.5 / 15)
+
+
+def test_convex_hull_drops_interior_and_collinear():
+    pts = np.array([[0, 0], [4, 0], [4, 4], [0, 4],
+                    [2, 2], [2, 0]])  # interior pt + collinear edge pt
+    hull = ops.convex_hull_points(pts)
+    assert sorted(map(tuple, hull)) == [(0, 0), (0, 4), (4, 0), (4, 4)]
+
+
+def test_convex_hull_wkb_of_multipoint_line():
+    line = wkb.encode_linestring([(0, 0), (1, 3), (2, 0), (3, 3), (4, 0)])
+    hull = wkb.decode(ops.wkb_convex_hull(line))
+    assert hull["type"] == "Polygon"
+    assert ops.wkb_area(ops.wkb_convex_hull(line)) == pytest.approx(9.0)
+
+
+def test_simplify_collinear_and_tolerance():
+    line = wkb.encode_linestring([(0, 0), (1, 0.01), (2, 0), (3, 2), (4, 0)])
+    # tol 0.1 removes the 0.01 bump, keeps the 2.0 spike
+    out = wkb.decode(ops.wkb_simplify(line, 0.1))["coordinates"]
+    assert [tuple(p) for p in out] == [(0, 0), (2, 0), (3, 2), (4, 0)]
+    # large tol removes everything but endpoints
+    out2 = wkb.decode(ops.wkb_simplify(line, 10.0))["coordinates"]
+    assert len(out2) == 2
+
+
+def test_segmentize_max_length():
+    line = wkb.encode_linestring([(0, 0), (10, 0)])
+    out = wkb.decode(ops.wkb_segmentize(line, 3.0))["coordinates"]
+    seglens = np.hypot(*np.diff(out, axis=0).T)
+    assert (seglens <= 3.0 + 1e-12).all()
+    assert tuple(out[0]) == (0, 0) and tuple(out[-1]) == (10, 0)
+
+
+def test_swap_xy_roundtrip():
+    poly = wkb.box_polygon(1, 2, 3, 4)
+    swapped = ops.wkb_swap_xy(poly)
+    g = wkb.decode(swapped)
+    ring = g["coordinates"][0]
+    assert ring[:, 0].min() == 2 and ring[:, 1].min() == 1
+    assert ops.wkb_swap_xy(swapped) == poly or \
+        ops.wkb_area(ops.wkb_swap_xy(swapped)) == ops.wkb_area(poly)
+
+
+def test_point_buffer_area_converges():
+    blob = ops.point_buffer(5.0, -3.0, 2.0, quadsegs=30)
+    # 120-gon area = 0.5 * n * r^2 * sin(2π/n)
+    n = 120
+    expect = 0.5 * n * 4.0 * np.sin(2 * np.pi / n)
+    assert ops.wkb_area(blob) == pytest.approx(expect, rel=1e-12)
+    cx, cy = ops.wkb_centroid(blob)
+    assert (cx, cy) == pytest.approx((5.0, -3.0), abs=1e-9)
+
+
+def test_buffer_polygon_raises():
+    with pytest.raises(NotImplementedError):
+        ops.wkb_buffer(wkb.box_polygon(0, 0, 1, 1), 1.0)
+
+
+def test_explode_parts():
+    mp = wkb.encode_multipolygon([
+        [[(0, 0), (1, 0), (1, 1), (0, 1)]],
+        [[(5, 5), (6, 5), (6, 6), (5, 6)]],
+    ])
+    parts = ops.explode_parts(mp)
+    assert len(parts) == 2
+    assert all(wkb.decode(p)["type"] == "Polygon" for p in parts)
+    pt = wkb.encode_point(1, 2)
+    assert ops.explode_parts(pt) == [pt]
+
+
+def test_is_valid():
+    assert ops.wkb_is_valid(wkb.box_polygon(0, 0, 1, 1))
+    degenerate = wkb.encode_polygon([[(0, 0), (1, 1), (2, 2)]])  # zero area
+    assert not ops.wkb_is_valid(degenerate)
+    assert not ops.wkb_is_valid(b"\x01\x99\x00\x00\x00")
+    assert ops.wkb_is_valid(wkb.encode_point(np.inf, 0)) is False

@@ -1,0 +1,104 @@
+"""Pipeline registry + CLI spec tests (the gdal vector pipeline analog)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from gdal_ray.pipelines.registry import REGISTRY, run_pipeline
+from gdal_ray.sources import pages as _pages
+
+
+@pytest.fixture(scope="module")
+def pages_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("regpages")
+    _pages.write_pages_parquet(str(d), 2000, rows_per_file=1000)
+    return str(d)
+
+
+def test_registry_covers_step_families():
+    need = {"read_parquet", "where", "select", "geotag", "make_point",
+            "reproject", "spatial_join", "dedup", "knn", "tile_counts",
+            "pyramid", "render_tiles", "groupby_agg", "sort", "limit",
+            "spatial_sort", "write_parquet", "write_partitioned",
+            "buffer", "simplify", "swap_xy", "explode_collections",
+            "check_geometry", "rename"}
+    assert need <= set(REGISTRY)
+
+
+def test_full_pipeline_spec(ray_session, pages_path, tmp_path):
+    out = str(tmp_path / "tiles_out")
+    spec = [
+        {"step": "read_parquet", "paths": pages_path,
+         "columns": ["url", "warc_ts", "text", "lang"]},
+        {"step": "geotag"},
+        {"step": "dedup", "key": "url", "order_col": "warc_ts"},
+        {"step": "spatial_join", "operation": "intersection",
+         "concurrency": 2},
+        {"step": "tile_counts", "zooms": [5]},
+        {"step": "write_partitioned", "path": out, "partition_col": "z"},
+    ]
+    res = run_pipeline(spec).to_pandas()
+    assert res["rows"].sum() > 0
+    t = pq.read_table(out + "/partition=5")
+    assert t.num_rows == len(
+        run_pipeline(spec[:5]).to_pandas())
+
+
+def test_reproject_and_where_steps(ray_session, pages_path):
+    spec = [
+        {"step": "read_parquet", "paths": pages_path,
+         "columns": ["url", "text", "lang"]},
+        {"step": "where", "expr": "lang IN ('en','de')"},
+        {"step": "geotag"},
+        {"step": "reproject", "dst": "EPSG:3857",
+         "out_x": "mx", "out_y": "my"},
+        {"step": "select", "columns": ["url", "lon", "lat", "mx", "my"]},
+        {"step": "limit", "n": 50},
+    ]
+    df = run_pipeline(spec).to_pandas()
+    assert len(df) == 50
+    from gdal_ray.geom import tiles
+
+    ex, ey = tiles.lonlat_to_meters(df["lon"].values, df["lat"].values)
+    np.testing.assert_allclose(df["mx"].values, ex)
+    np.testing.assert_allclose(df["my"].values, ey)
+
+
+def test_spatial_sort_orders_by_cell(ray_session, pages_path):
+    spec = [
+        {"step": "read_parquet", "paths": pages_path,
+         "columns": ["url", "text"]},
+        {"step": "geotag"},
+        {"step": "spatial_sort", "level": 10},
+    ]
+    df = run_pipeline(spec).to_pandas()
+    keys = df["spatial_key"].values.astype(np.uint64)
+    assert (np.diff(keys.astype(np.float64)) >= 0).all()
+
+
+def test_unknown_step_and_read_first():
+    with pytest.raises(ValueError, match="unknown step"):
+        run_pipeline([{"step": "read_parquet", "paths": "x"},
+                      {"step": "nope"}])
+    with pytest.raises(ValueError, match="must start with a read"):
+        run_pipeline([{"step": "where", "expr": "a = 1"}])
+
+
+def test_cli_main(ray_session, pages_path, tmp_path, capsys):
+    import json
+
+    from gdal_ray.cli import main
+
+    spec = [
+        {"step": "read_parquet", "paths": pages_path,
+         "columns": ["url", "lang"]},
+        {"step": "where", "expr": "lang = 'zh'"},
+        {"step": "limit", "n": 7},
+    ]
+    p = tmp_path / "spec.json"
+    p.write_text(json.dumps(spec))
+    rc = main([str(p), "--show", "2"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert out.out.count("https://") == 2
+    assert "# 7 rows" in out.err
