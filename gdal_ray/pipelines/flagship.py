@@ -23,7 +23,7 @@ import ray.data as rd
 from ..functions.geotag import geotag_batch
 from ..stages import tiling as _tiling
 from ..stages.dedup import dedup_exact
-from ..stages.spatial_join import spatial_join
+from ..stages.spatial_join import build_index, spatial_join
 from ..sources import pages as _pages
 
 
@@ -43,7 +43,7 @@ def geotagged_pages(paths, parallelism: int | None = None,
 
 def flagship(paths, poly_table: pa.Table | None = None,
              zooms=(4, 6, 8), dedup: bool = True,
-             join_concurrency=4, parallelism: int | None = None):
+             join_concurrency=None, parallelism: int | None = None):
     """Full pipeline; returns (join_rows_ds, tile_counts_ds).
 
     Stage order is join-BEFORE-dedup: read → geotag → spatial join is a
@@ -62,19 +62,25 @@ def flagship(paths, poly_table: pa.Table | None = None,
     if poly_table is None:
         poly_table = _pages.make_polygons_table()
     ds = geotagged_pages(paths, parallelism)
+    idx = build_index(poly_table)  # one build, shared by both branches
     joined = spatial_join(ds, poly_table, operation="intersection",
                           predicate="intersects",
-                          concurrency=join_concurrency)
+                          concurrency=join_concurrency, index=idx)
+    # tile branch: project to the narrow columns BEFORE the join — the
+    # join's row gather and every downstream shuffle then never touch
+    # the wide text payload (SURVEY.md §7.5).  Only the branch the
+    # caller consumes executes, so the two joins never both run.
+    narrow_in = ds.select_columns(["url", "warc_ts", "lat", "lon"])
+    narrow = spatial_join(
+        narrow_in, poly_table.select(["poly_id", "geometry"]),
+        operation="intersection", predicate="intersects",
+        concurrency=join_concurrency, index=idx)
     if dedup:
         joined_out = dedup_exact(joined, key=["url", "poly_id"],
                                  order_col="warc_ts")
-        narrow = dedup_exact(
-            joined.select_columns(["url", "poly_id", "warc_ts",
-                                   "lat", "lon"]),
-            key=["url", "poly_id"], order_col="warc_ts")
+        narrow = dedup_exact(narrow, key=["url", "poly_id"],
+                             order_col="warc_ts")
     else:
         joined_out = joined
-        narrow = joined.select_columns(["url", "poly_id", "warc_ts",
-                                        "lat", "lon"])
     tile_ds = _tiling.tile_counts(narrow, zooms)
     return joined_out, tile_ds

@@ -282,6 +282,26 @@ def q_zonal_stats(sf_dir: str):
                             "n": b["n"]}), batch_format="pyarrow")
 
 
+def q_zonal_extended(sf_dir: str):
+    """Extended zonal stats: median / minority / majority / variety
+    (alg/zonal.cpp:661-697) via the hash-bucket non-decomposable-agg
+    plan (stages.zonal)."""
+    from ..stages.zonal import zonal_extended
+
+    joined = _zone_join(sf_dir, "intersection")
+    out = zonal_extended(joined.select_columns(["poly_id", "value"]),
+                         "poly_id", "value")
+    return out.map_batches(
+        lambda b: pa.table({
+            "poly_id": b["poly_id"],
+            "median": pc.round(b["median"], 6),
+            "minority": b["minority"],
+            "majority": b["majority"],
+            "variety": b["variety"],
+            "n": b["n"],
+        }), batch_format="pyarrow")
+
+
 def q_tile_assign_z8(sf_dir: str):
     """Per-point XYZ tile ids at z=8 (gdal2tiles tile math)."""
     pts = event_points(sf_dir, columns=("event_id",))
@@ -553,6 +573,60 @@ def q_emb_threshold_join(sf_dir: str):
     return out.map_batches(
         lambda b: pa.table({"key_a": b["key_a"], "key_b": b["key_b"]}),
         batch_format="pyarrow")
+
+
+# --- raster ops over the tile table -----------------------------------------
+
+
+def _rendered_tiles(sf_dir: str, zoom: int = 3):
+    pts = event_points(sf_dir, columns=("event_id",))
+    return _tiling.render_tiles(pts, zoom=zoom)
+
+
+_PIXEL11_SQL = f"""
+    t AS (
+      SELECT CAST(least(greatest(floor((lon+180.0)/360.0*2048.0), 0), 2047)
+                  AS BIGINT) AS gx,
+             CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                  + 1.0/cos(radians(lat)))/pi())/2.0*2048.0), 0), 2047)
+                  AS BIGINT) AS gy
+      FROM ({_PTS_SQL}))
+"""
+
+
+def q_raster_pixels(sf_dir: str):
+    """gdal raster as-features: nonzero pixels of the z3 count raster as
+    rows.  Pixel (px,py) of XYZ tile (x,y,z) ≡ tile (x*256+px, y*256+py)
+    at z+8=11 — the exact identity the oracle uses."""
+    from ..stages import raster as _raster
+
+    out = _raster.pixels_as_features(_rendered_tiles(sf_dir, 3))
+    return out.map_batches(
+        lambda b: pa.table({
+            "z": b["z"], "x": b["x"], "y": b["y"],
+            "px": pc.cast(b["px"], pa.int32()),
+            "py": pc.cast(b["py"], pa.int32()),
+            "n": b["n"],
+        }), batch_format="pyarrow")
+
+
+def q_raster_value_at_point(sf_dir: str):
+    """GDALRasterInterpolateAtPoint (nearest): sample the z3 count
+    raster back at each event's own location — the value is the number
+    of events sharing that pixel."""
+    import ray as _ray
+
+    from ..stages import raster as _raster
+
+    tiles_t = pa.concat_tables(
+        _ray.get(_rendered_tiles(sf_dir, 3).to_arrow_refs()))
+    pts = event_points(sf_dir, columns=("event_id",))
+    out = _raster.value_at_points(pts, tiles_t, zoom=3, method="nearest")
+    return out.map_batches(
+        lambda b: pa.table({
+            "event_id": b["event_id"],
+            "pix_count": pc.cast(b["raster_value"], pa.int64()),
+        }), batch_format="pyarrow")
 
 
 # --- geometry unary ops ------------------------------------------------------
@@ -836,6 +910,9 @@ QUERIES = {
     "reclassify_tiles": q_reclassify_tiles,
     "grid_idw": q_grid_idw,
     "checkpoint_partitioned": q_checkpoint_partitioned,
+    "zonal_extended": q_zonal_extended,
+    "raster_pixels": q_raster_pixels,
+    "raster_value_at_point": q_raster_value_at_point,
 }
 
 
@@ -1114,5 +1191,47 @@ ORACLES = {
         WITH {_ZONES_SQL}
         SELECT CAST(poly_id AS VARCHAR) AS partition,
                count(*) AS rows FROM matches GROUP BY 1 ORDER BY 1
+    """,
+    "zonal_extended": f"""
+        WITH {_ZONES_SQL},
+        base AS (SELECT poly_id,
+                        round(median(value), 6) AS median,
+                        CAST(count(DISTINCT value) AS BIGINT) AS variety,
+                        count(*) AS n
+                 FROM matches GROUP BY 1),
+        vc AS (SELECT poly_id, value, count(*) AS c
+               FROM matches GROUP BY 1, 2),
+        maj AS (SELECT poly_id, value AS majority,
+                       row_number() OVER (PARTITION BY poly_id
+                           ORDER BY c DESC, value ASC) AS rn FROM vc),
+        mino AS (SELECT poly_id, value AS minority,
+                        row_number() OVER (PARTITION BY poly_id
+                            ORDER BY c ASC, value ASC) AS rn FROM vc)
+        SELECT b.poly_id, b.median, mino.minority, maj.majority,
+               b.variety, b.n
+        FROM base b
+        JOIN maj ON maj.poly_id = b.poly_id AND maj.rn = 1
+        JOIN mino ON mino.poly_id = b.poly_id AND mino.rn = 1
+    """,
+    "raster_pixels": f"""
+        WITH {_PIXEL11_SQL}
+        SELECT CAST(3 AS INTEGER) AS z, gx // 256 AS x, gy // 256 AS y,
+               CAST(gx % 256 AS INTEGER) AS px,
+               CAST(gy % 256 AS INTEGER) AS py,
+               count(*) AS n
+        FROM t GROUP BY 2, 3, 4, 5
+    """,
+    "raster_value_at_point": f"""
+        WITH {_PIXEL11_SQL},
+        e AS (SELECT event_id,
+              CAST(least(greatest(floor((lon+180.0)/360.0*2048.0), 0), 2047)
+                   AS BIGINT) AS gx,
+              CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                   + 1.0/cos(radians(lat)))/pi())/2.0*2048.0), 0), 2047)
+                   AS BIGINT) AS gy
+              FROM ({_PTS_SQL})),
+        c AS (SELECT gx, gy, count(*) AS n FROM t GROUP BY 1, 2)
+        SELECT e.event_id, c.n AS pix_count
+        FROM e JOIN c ON e.gx = c.gx AND e.gy = c.gy
     """,
 }

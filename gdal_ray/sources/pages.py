@@ -156,20 +156,25 @@ def make_admin_polygons(n_target: int = 1024, seed: int = 7) -> pa.Table:
     complexity (8-24 vertices) and overlap mirror real admin layers —
     this is what makes the spatial join compute-dominated, as it is in
     production (joining against 10^3-10^5 boundaries)."""
+    from ..geom import wkb as _wkb
+    from ..geom.ops import convex_hull_points
+
     rs = np.random.RandomState(seed)
     n_hot = n_target // 2
     n_uni = n_target - n_hot
     centers = np.asarray(HOT_CENTERS)
     ci = rs.randint(0, len(centers), n_hot)
+    # hot districts spread over a metro area (±2°) with small radii so a
+    # page matches ~1 district, not a 16-deep pile — join output stays
+    # O(pages), as with real admin layers (a point is in ~1 district)
     lat_c = np.concatenate([
-        centers[ci, 0] + rs.normal(0, 0.5, n_hot),
+        centers[ci, 0] + rs.normal(0, 2.0, n_hot),
         rs.uniform(-60, 70, n_uni)])
     lon_c = np.concatenate([
-        centers[ci, 1] + rs.normal(0, 0.5, n_hot),
+        centers[ci, 1] + rs.normal(0, 2.0, n_hot),
         rs.uniform(-180, 180, n_uni)])
-    # hot polygons small (urban districts), uniform ones larger
     radius = np.concatenate([
-        rs.uniform(0.02, 0.2, n_hot), rs.uniform(0.5, 4.0, n_uni)])
+        rs.uniform(0.02, 0.12, n_hot), rs.uniform(0.3, 2.0, n_uni)])
     geoms = []
     for k in range(n_target):
         nv = int(rs.randint(8, 25))
@@ -178,15 +183,11 @@ def make_admin_polygons(n_target: int = 1024, seed: int = 7) -> pa.Table:
         ring = np.column_stack([
             np.clip(lon_c[k] + r * np.cos(th), -180.0, 180.0),
             np.clip(lat_c[k] + r * np.sin(th), -85.0, 85.0)])
-        from ..geom.ops import convex_hull_points
-
         hull = convex_hull_points(ring)
         if len(hull) < 3:
             hull = np.array([[lon_c[k], lat_c[k]],
                              [lon_c[k] + 0.01, lat_c[k]],
                              [lon_c[k], lat_c[k] + 0.01]])
-        from ..geom import wkb as _wkb
-
         geoms.append(_wkb.encode_polygon([hull]))
     return pa.table({
         "poly_id": pa.array(np.arange(n_target, dtype=np.int32)),

@@ -130,8 +130,9 @@ def bucketed_group_agg(ds, keys, aggs, buckets: int = 256):
         else:
             plan[f"__{fn}_{out}"] = fn
 
-    def final(g):
-        merged = g.groupby(keys, sort=False, as_index=False).agg(plan)
+    def final(g: pa.Table) -> pa.Table:
+        merged = g.to_pandas().groupby(keys, sort=False,
+                                       as_index=False).agg(plan)
         cols = {k: merged[k] for k in keys}
         for col, fn, out in aggs:
             if fn == "mean":
@@ -141,9 +142,11 @@ def bucketed_group_agg(ds, keys, aggs, buckets: int = 256):
                 cols[out] = merged[f"__cnt_{out}"]
             else:
                 cols[out] = merged[f"__{fn}_{out}"]
-        return pd.DataFrame(cols)
+        return pa.Table.from_pandas(pd.DataFrame(cols),
+                                    preserve_index=False)
 
-    return partials.groupby(_BUCKET).map_groups(final, batch_format="pandas")
+    return partials.groupby(_BUCKET).map_groups(final,
+                                                batch_format="pyarrow")
 
 
 def add_salt_batch(batch: pa.Table, key: str, buckets: int,

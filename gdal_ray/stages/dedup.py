@@ -52,12 +52,19 @@ def _hash_bucket(batch: pa.Table, keys: list[str], buckets: int) -> np.ndarray:
 
 
 def dedup_exact(ds, key="url", order_col: str | None = "warc_ts",
-                drop_cols=None, buckets: int = 256):
+                drop_cols=None, buckets: int = 256,
+                pre_combine: bool = False):
     """Exactly one row per key (str or list of str); winner = smallest
     order_col.
 
     Plan (all stages vectorized — no per-key Python):
-      1. within-batch combiner: one surviving row per (key, batch);
+      1. optional within-batch combiner (``pre_combine``): one surviving
+         row per (key, batch).  Enable ONLY when a single batch is
+         likely to hold many rows of the same key — e.g. raw crawl
+         shards with url-clustered dups.  When dup keys are rare or
+         cross-batch (a spatial-join output cannot repeat (url, poly)
+         within a batch at all), the combiner is pure overhead: a full
+         sort + row-hash per batch that removes ~nothing;
       2. hash-bucket shuffle: groupby(hash(key) % buckets) co-locates
          every row of a key in one group call — each call then dedups
          THOUSANDS of keys at once with pandas ``drop_duplicates``
@@ -70,20 +77,26 @@ def dedup_exact(ds, key="url", order_col: str | None = "warc_ts",
         ds = ds.drop_columns(drop_cols)
 
     def combine(b: pa.Table) -> pa.Table:
-        out = _first_per_key_batch(b, keys, order_col)
-        return out.append_column(
-            _BUCKET_COL, pa.array(_hash_bucket(out, keys, buckets)))
+        if pre_combine:
+            b = _first_per_key_batch(b, keys, order_col)
+        return b.append_column(
+            _BUCKET_COL, pa.array(_hash_bucket(b, keys, buckets)))
 
     ds = ds.map_batches(combine, batch_format="pyarrow")
 
-    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        sort_keys = keys + [order_col] if order_col else keys
-        g = g.sort_values(sort_keys, kind="stable")
-        return g.drop_duplicates(subset=keys, keep="first") \
-            .drop(columns=[_BUCKET_COL])
+    def bucket_dedup(g: pa.Table) -> pa.Table:
+        # arrow in/out: payload columns never roundtrip through pandas
+        # (keeps block type arrow and timestamp units intact)
+        sk = [(k, "ascending") for k in keys]
+        if order_col:
+            sk += [(order_col, "ascending")]
+        g = g.take(pc.sort_indices(g, sort_keys=sk))
+        kdf = g.select(keys).to_pandas()
+        keep = ~kdf.duplicated(keep="first").values
+        return g.filter(pa.array(keep)).drop_columns([_BUCKET_COL])
 
     return ds.groupby(_BUCKET_COL).map_groups(bucket_dedup,
-                                              batch_format="pandas")
+                                              batch_format="pyarrow")
 
 
 # --- MinHash + LSH near-dedup ---------------------------------------------

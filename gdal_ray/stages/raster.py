@@ -1,0 +1,198 @@
+"""Raster-side operators over the tile table.
+
+A "raster" is a Dataset of tile rows (z, x, y, raster) where raster is
+a zlib-compressed big-endian uint16 256x256 count grid (SURVEY.md §1.4:
+the reference's band/block model lifted to rows; rendered by
+stages.tiling.render_tile_group).
+
+Operators:
+- pixels_as_features: `gdal raster as-features` (apps/
+  gdalalg_raster_as_features.cpp) — nonzero pixels as vector rows.
+  Pixel (px,py) of XYZ tile (z,x,y) is EXACTLY tile (x*256+px, y*256+py)
+  at zoom z+8 (verified in tests) — the identity the SQL oracle uses.
+- value_at_points: GDALRasterInterpolateAtPoint semantics
+  (alg/gdal_interpolateatpoint.cpp) — nearest / bilinear sampling of
+  the tile table at lon/lat points; tile table broadcast once per actor.
+- raster_calc: `gdal raster calc` — per-tile numpy expression.
+- band_stats: GDALRasterBand::ComputeStatistics — per-tile partials,
+  driver-side combine (count/sum/min/max/mean over all pixels).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..geom import tiles as _tiles
+
+TILE_SIZE = 256
+N_PIX = TILE_SIZE * TILE_SIZE
+
+
+def _decode_grid(blob: bytes) -> np.ndarray:
+    return np.frombuffer(zlib.decompress(blob), dtype=">u2") \
+        .reshape(TILE_SIZE, TILE_SIZE).astype(np.int64)
+
+
+def pixels_as_features_batch(batch: pa.Table) -> pa.Table:
+    """Explode each tile's nonzero pixels into rows (z,x,y,px,py,n)."""
+    zs, xs, ys, pxs, pys, ns = [], [], [], [], [], []
+    for z, x, y, blob in zip(batch["z"].to_pylist(),
+                             batch["x"].to_pylist(),
+                             batch["y"].to_pylist(),
+                             batch["raster"].to_pylist()):
+        grid = _decode_grid(blob)
+        py, px = np.nonzero(grid)
+        k = len(px)
+        zs.append(np.full(k, z, dtype=np.int32))
+        xs.append(np.full(k, x, dtype=np.int64))
+        ys.append(np.full(k, y, dtype=np.int64))
+        pxs.append(px.astype(np.int32))
+        pys.append(py.astype(np.int32))
+        ns.append(grid[py, px])
+    cat = np.concatenate
+    return pa.table({
+        "z": pa.array(cat(zs) if zs else np.empty(0, np.int32)),
+        "x": pa.array(cat(xs) if xs else np.empty(0, np.int64)),
+        "y": pa.array(cat(ys) if ys else np.empty(0, np.int64)),
+        "px": pa.array(cat(pxs) if pxs else np.empty(0, np.int32)),
+        "py": pa.array(cat(pys) if pys else np.empty(0, np.int32)),
+        "n": pa.array(cat(ns) if ns else np.empty(0, np.int64)),
+    })
+
+
+def pixels_as_features(tiles_ds):
+    return tiles_ds.map_batches(pixels_as_features_batch,
+                                batch_format="pyarrow")
+
+
+class RasterSampler:
+    """Actor callable: sample the broadcast tile table at point columns.
+
+    method='nearest' → value of the containing pixel (0 where no tile);
+    method='bilinear' → bilinear blend of the 4 pixel centers around the
+    point (pixel center at +0.5; edge-clamped), the reference's default
+    GRIORA_Bilinear behavior."""
+
+    def __init__(self, tiles_ref, zoom: int, method: str = "nearest",
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 out: str = "raster_value"):
+        t = ray.get(tiles_ref) if isinstance(tiles_ref, ray.ObjectRef) \
+            else tiles_ref
+        self.grids = {
+            (int(x), int(y)): _decode_grid(blob)
+            for x, y, blob in zip(t["x"].to_pylist(), t["y"].to_pylist(),
+                                  t["raster"].to_pylist())}
+        self.zoom, self.method = zoom, method
+        self.lon_col, self.lat_col, self.out = lon_col, lat_col, out
+
+    def _sample_nearest(self, tx, ty, col, row):
+        out = np.zeros(len(tx), dtype=np.float64)
+        for i in range(len(tx)):
+            g = self.grids.get((int(tx[i]), int(ty[i])))
+            if g is not None:
+                out[i] = g[row[i], col[i]]
+        return out
+
+    def _sample_bilinear(self, lon, lat):
+        # global fractional pixel coords in the z+8 grid (pixel centers
+        # at integer+0.5), then blend the 4 surrounding pixels
+        z8 = self.zoom + 8
+        n = np.int64(1) << np.int64(z8)
+        gx = (lon + 180.0) / 360.0 * n
+        r = np.radians(np.clip(lat, -_tiles.MAX_LATITUDE,
+                               _tiles.MAX_LATITUDE))
+        gy = (1.0 - np.log(np.tan(r) + 1.0 / np.cos(r)) / np.pi) / 2.0 * n
+        fx = gx - 0.5
+        fy = gy - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        wx = fx - x0
+        wy = fy - y0
+        out = np.zeros(len(lon), dtype=np.float64)
+        for dx, dy, w in ((0, 0, (1 - wx) * (1 - wy)),
+                          (1, 0, wx * (1 - wy)),
+                          (0, 1, (1 - wx) * wy),
+                          (1, 1, wx * wy)):
+            px = np.clip(x0 + dx, 0, int(n) - 1)
+            py = np.clip(y0 + dy, 0, int(n) - 1)
+            tx, ty = px >> 8, py >> 8
+            cc, rr = px & 255, py & 255
+            for i in range(len(lon)):
+                g = self.grids.get((int(tx[i]), int(ty[i])))
+                if g is not None:
+                    out[i] += w[i] * g[rr[i], cc[i]]
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        if self.method == "bilinear":
+            vals = self._sample_bilinear(lon, lat)
+        else:
+            tx, ty, col, row = _tiles.tile_pixel(lon, lat, self.zoom, "xyz")
+            vals = self._sample_nearest(tx, ty, col, row)
+        return batch.append_column(self.out, pa.array(vals, pa.float64()))
+
+
+def value_at_points(points_ds, tiles_table: pa.Table, zoom: int,
+                    method: str = "nearest", concurrency=2, **kwargs):
+    ref = ray.put(tiles_table)
+    return points_ds.map_batches(
+        RasterSampler,
+        fn_constructor_kwargs=dict(tiles_ref=ref, zoom=zoom, method=method,
+                                   **kwargs),
+        batch_format="pyarrow", concurrency=(1, concurrency))
+
+
+def raster_calc(tiles_ds, fn):
+    """Per-tile numpy expression (gdal raster calc / VRT pixel function,
+    frmts/vrt/vrtderivedrasterband.cpp): fn(np int64 grid) → float grid;
+    output raster column is zlib float32."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        outs = []
+        for blob in batch["raster"].to_pylist():
+            res = np.asarray(fn(_decode_grid(blob)), dtype="<f4")
+            outs.append(zlib.compress(res.tobytes(), 6))
+        i = batch.column_names.index("raster")
+        return batch.set_column(i, "raster", pa.array(outs, pa.binary()))
+
+    return tiles_ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def band_stats(tiles_ds) -> dict:
+    """Global pixel statistics: per-tile partials combined driver-side
+    (the partial rows are one per tile — tiny)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = []
+        for blob in batch["raster"].to_pylist():
+            g = _decode_grid(blob)
+            s.append((g.sum(), int(g.min()), int(g.max()), N_PIX,
+                      int((g > 0).sum())))
+        a = np.asarray(s, dtype=np.int64).reshape(-1, 5)
+        return pa.table({
+            "sum": pa.array(a[:, 0]), "min": pa.array(a[:, 1]),
+            "max": pa.array(a[:, 2]), "n_pix": pa.array(a[:, 3]),
+            "nonzero": pa.array(a[:, 4]),
+        })
+
+    parts = tiles_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return {"sum": 0, "min": 0, "max": 0, "n_pixels": 0,
+                "n_tiles": 0, "nonzero": 0, "mean": 0.0}
+    tot = {k: sum(p[k] for p in parts) for k in ("sum", "n_pix", "nonzero")}
+    return {
+        "sum": int(tot["sum"]),
+        "min": int(min(p["min"] for p in parts)),
+        "max": int(max(p["max"] for p in parts)),
+        "n_pixels": int(tot["n_pix"]),
+        "n_tiles": len(parts),
+        "nonzero": int(tot["nonzero"]),
+        "mean": tot["sum"] / tot["n_pix"],
+    }

@@ -91,30 +91,59 @@ class SpatialJoinIndex:
         blobs = poly_table[geometry_col].to_pylist()
         self.bounds, self.prepared = _polygon_bounds(blobs)
         self.tree = _strtree.STRtree(self.bounds)
-        # level -> {cell -> candidate pid array}
+        # per-poly covering level, fully vectorized
+        b = self.bounds
+        finite = np.isfinite(b[:, 0])
+        if level is not None:
+            lvls = np.full(len(b), level, dtype=np.int64)
+        else:
+            w = np.maximum(np.maximum(b[:, 2] - b[:, 0],
+                                      b[:, 3] - b[:, 1]), 1e-9)
+            # tile span 360/2^L ≈ bbox width → poly covers ~1-4 cells
+            with np.errstate(invalid="ignore"):
+                lvls = np.clip(np.floor(np.log2(360.0 / w)),
+                               self.MIN_LEVEL, self.MAX_LEVEL)
+            lvls = np.where(np.isfinite(lvls), lvls, self.MIN_LEVEL) \
+                .astype(np.int64)
+        # level -> {cell -> candidate pid array}; corner tiles computed
+        # ONCE per level over all its polygons (vectorized — a per-poly
+        # scalar tile call costs ~100 µs × n_polys)
         per_level: dict[int, dict[int, list[int]]] = defaultdict(
             lambda: defaultdict(list))
         broad = []
-        for pid, (minx, miny, maxx, maxy) in enumerate(self.bounds):
-            if not np.isfinite(minx):
+        for lvl in np.unique(lvls[finite]):
+            sel = np.nonzero(finite & (lvls == lvl))[0]
+            tx0, ty0 = _cells.tiles.lonlat_to_tile(b[sel, 0], b[sel, 1],
+                                                   int(lvl))
+            tx1, ty1 = _cells.tiles.lonlat_to_tile(b[sel, 2], b[sel, 3],
+                                                   int(lvl))
+            x0 = np.minimum(tx0, tx1)
+            x1 = np.maximum(tx0, tx1)
+            y0 = np.minimum(ty0, ty1)
+            y1 = np.maximum(ty0, ty1)
+            ncells = (x1 - x0 + 1) * (y1 - y0 + 1)
+            cmap = per_level[int(lvl)]
+            txs: list[int] = []
+            tys: list[int] = []
+            pids: list[int] = []
+            for i, pid in enumerate(sel):
+                if ncells[i] > self.MAX_CELLS_PER_POLYGON:
+                    broad.append(int(pid))
+                    continue
+                for tx in range(int(x0[i]), int(x1[i]) + 1):
+                    for ty in range(int(y0[i]), int(y1[i]) + 1):
+                        txs.append(tx)
+                        tys.append(ty)
+                        pids.append(int(pid))
+            if not txs:
                 continue
-            if level is not None:
-                lvl = level
-            else:
-                w = max(maxx - minx, maxy - miny, 1e-9)
-                # tile span 360/2^L ≈ bbox width → poly covers ~1-4 cells
-                lvl = int(np.clip(np.floor(np.log2(360.0 / w)),
-                                  self.MIN_LEVEL, self.MAX_LEVEL))
-            tx0, ty0 = _cells.tiles.lonlat_to_tile(minx, miny, lvl)
-            tx1, ty1 = _cells.tiles.lonlat_to_tile(maxx, maxy, lvl)
-            ncells = (abs(int(tx1) - int(tx0)) + 1) \
-                * (abs(int(ty1) - int(ty0)) + 1)
-            if ncells > self.MAX_CELLS_PER_POLYGON:
-                broad.append(pid)
-                continue
-            cmap = per_level[lvl]
-            for c in _cells.cells_covering_bbox(minx, miny, maxx, maxy, lvl):
-                cmap[int(c)].append(pid)
+            # ONE vectorized cell encode per level (scalar morton calls
+            # cost ~70 µs each — 10^4 cells would be >1 s)
+            cell_ids = _cells.tile_to_cell(
+                np.asarray(txs, dtype=np.int64),
+                np.asarray(tys, dtype=np.int64), int(lvl))
+            for c, pid in zip(cell_ids.tolist(), pids):
+                cmap[c].append(pid)
         self.level_maps = {
             lvl: {k: np.asarray(v, dtype=np.int64) for k, v in cmap.items()}
             for lvl, cmap in per_level.items()}
@@ -222,9 +251,16 @@ class SpatialJoiner:
                  lon_col: str = "lon", lat_col: str = "lat",
                  level: int | None = None,
                  input_prefix: str = "input_", method_prefix: str = "method_"):
-        table = ray.get(polygons_ref) if isinstance(polygons_ref, ray.ObjectRef) \
+        obj = ray.get(polygons_ref) if isinstance(polygons_ref, ray.ObjectRef) \
             else polygons_ref
-        self.index = SpatialJoinIndex(table, geometry_col, level)
+        if isinstance(obj, SpatialJoinIndex):
+            # prebuilt broadcast index (built ONCE on the driver;
+            # workers pay only the deserialize, not the build)
+            self.index = obj
+            table = obj.table
+        else:
+            table = obj
+            self.index = SpatialJoinIndex(table, geometry_col, level)
         self.operation = operation
         self.predicate = predicate
         self.lon_col, self.lat_col = lon_col, lat_col
@@ -267,18 +303,75 @@ class SpatialJoiner:
         return pa.table(cols)
 
 
+# per-worker-process joiner cache: a task-pool join stage builds the
+# index once per Ray worker PROCESS (workers are reused across tasks),
+# keyed by the broadcast table's ObjectRef.  Same build-once economics
+# as an actor pool, but tasks schedule elastically — no pool sizing, no
+# CPU reservation starving sibling stages on small clusters.
+_JOINER_CACHE: dict = {}
+
+
+def _cached_joiner(polygons_ref, kwargs_key, **kwargs) -> "SpatialJoiner":
+    key = (polygons_ref.hex() if isinstance(polygons_ref, ray.ObjectRef)
+           else id(polygons_ref), kwargs_key)
+    j = _JOINER_CACHE.get(key)
+    if j is None:
+        j = SpatialJoiner(polygons_ref, **kwargs)
+        _JOINER_CACHE.clear()  # one live index per worker (bound memory)
+        _JOINER_CACHE[key] = j
+    return j
+
+
+def build_index(poly_table: pa.Table, geometry_col: str = "geometry",
+                level: int | None = None) -> SpatialJoinIndex:
+    """Build the broadcastable join index once (reusable across several
+    spatial_join calls over the same method layer)."""
+    return SpatialJoinIndex(poly_table, geometry_col, level)
+
+
 def spatial_join(ds, poly_table: pa.Table, operation: str = "intersection",
-                 predicate: str = "intersects", concurrency=4,
-                 batch_size: int | None = None, num_cpus: float = 1, **kwargs):
-    """Dataset-level entry: broadcast poly_table once, join via an actor
-    pool (stateful stage per SURVEY.md §2.3)."""
-    ref = ray.put(poly_table)
-    return ds.map_batches(
-        SpatialJoiner,
-        fn_constructor_kwargs=dict(polygons_ref=ref, operation=operation,
-                                   predicate=predicate, **kwargs),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=_autoscale(concurrency),
-        num_cpus=num_cpus,
-    )
+                 predicate: str = "intersects", concurrency=None,
+                 batch_size: int | None = None, num_cpus: float = 1,
+                 index: SpatialJoinIndex | None = None, **kwargs):
+    """Dataset-level entry: broadcast poly_table once (``ray.put``), join
+    via map_batches (stateful stage per SURVEY.md §2.3).
+
+    concurrency=None (default) → task pool with a per-worker-process
+    index cache (elastic); an int/tuple → explicit actor pool.  In both
+    modes the index is built ONCE driver-side and broadcast prebuilt —
+    workers deserialize (~100 ms) instead of rebuilding (seconds for
+    10^4-polygon layers).  Pass ``index=build_index(...)`` to share one
+    build across several joins on the same layer."""
+    if index is None:
+        index = SpatialJoinIndex(poly_table, kwargs.get("geometry_col",
+                                                        "geometry"),
+                                 kwargs.pop("level", None))
+    else:
+        kwargs.pop("level", None)
+        # rebind the output table (e.g. a projected column subset of the
+        # same layer) without rebuilding geometry structures
+        if index.table is not poly_table:
+            import copy
+
+            index = copy.copy(index)
+            index.table = poly_table
+    ref = ray.put(index)
+    ckwargs = dict(polygons_ref=ref, operation=operation,
+                   predicate=predicate, **kwargs)
+    if concurrency is not None:
+        return ds.map_batches(
+            SpatialJoiner,
+            fn_constructor_kwargs=ckwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=_autoscale(concurrency),
+            num_cpus=num_cpus,
+        )
+    kkey = (operation, predicate, tuple(sorted(kwargs.items())))
+    jkwargs = dict(operation=operation, predicate=predicate, **kwargs)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        return _cached_joiner(ref, kkey, **jkwargs)(batch)
+
+    return ds.map_batches(join_batch, batch_format="pyarrow",
+                          batch_size=batch_size, num_cpus=num_cpus)
