@@ -575,6 +575,60 @@ def q_emb_threshold_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+# --- multimodal (binary media columns) ---------------------------------------
+
+
+def _event_media(sf_dir: str):
+    """Deterministic media-shaped table from events: (url, media:binary)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False)
+        urls = [f"https://site{int(i) % 1000}.example/page/{int(i)}"
+                for i in ids]
+        media = [(f"media-{int(i)}-" + "y" * int(i % 257)).encode()
+                 for i in ids]
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "media": pa.array(media, pa.binary())})
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+def q_media_frame_sample(sf_dir: str):
+    """Video-style frame sampling: 4 frames per media item (flat_map
+    shape; frame bytes omitted from the compare — the oracle checks the
+    (url, frame_idx) row multiset)."""
+    from ..stages.multimodal import frame_sample_stage
+
+    out = frame_sample_stage(_event_media(sf_dir), n_frames=4)
+    return out.select_columns(["url", "frame_idx"])
+
+
+def q_media_decode_embed(sf_dir: str):
+    """decode (stubbed deterministic) → per-actor model → embedding;
+    rows-only (no SQL analog for the tensor path) but byte-deterministic
+    across runs/parallelism: the fake decoder is content-hash seeded."""
+    from ..stages.multimodal import decode_stage, feature_stage
+
+    tens = decode_stage(_event_media(sf_dir), concurrency=2)
+    emb = feature_stage(tens, concurrency=2)
+
+    def norms(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(b), -1)
+        return pa.table({
+            "url": b["url"],
+            "emb_dim": pa.array(np.full(len(b), flat.shape[1]), pa.int32()),
+            "emb_norm": pa.array(np.round(np.linalg.norm(flat, axis=1), 4),
+                                 pa.float64()),
+        })
+
+    return emb.map_batches(norms, batch_format="pyarrow")
+
+
 # --- raster ops over the tile table -----------------------------------------
 
 
@@ -614,12 +668,11 @@ def q_raster_value_at_point(sf_dir: str):
     """GDALRasterInterpolateAtPoint (nearest): sample the z3 count
     raster back at each event's own location — the value is the number
     of events sharing that pixel."""
-    import ray as _ray
-
     from ..stages import raster as _raster
 
-    tiles_t = pa.concat_tables(
-        _ray.get(_rendered_tiles(sf_dir, 3).to_arrow_refs()))
+    parts = [b for b in _rendered_tiles(sf_dir, 3).iter_batches(
+        batch_size=65536, batch_format="pyarrow") if len(b)]
+    tiles_t = pa.concat_tables(parts, promote_options="permissive")
     pts = event_points(sf_dir, columns=("event_id",))
     out = _raster.value_at_points(pts, tiles_t, zoom=3, method="nearest")
     return out.map_batches(
@@ -913,6 +966,8 @@ QUERIES = {
     "zonal_extended": q_zonal_extended,
     "raster_pixels": q_raster_pixels,
     "raster_value_at_point": q_raster_value_at_point,
+    "media_frame_sample": q_media_frame_sample,
+    "media_decode_embed": q_media_decode_embed,
 }
 
 
@@ -1233,5 +1288,12 @@ ORACLES = {
         c AS (SELECT gx, gy, count(*) AS n FROM t GROUP BY 1, 2)
         SELECT e.event_id, c.n AS pix_count
         FROM e JOIN c ON e.gx = c.gx AND e.gy = c.gy
+    """,
+    "media_frame_sample": """
+        SELECT 'https://site' || CAST(event_id % 1000 AS VARCHAR)
+               || '.example/page/' || CAST(event_id AS VARCHAR) AS url,
+               CAST(f.i AS INTEGER) AS frame_idx
+        FROM events
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) f
     """,
 }

@@ -302,6 +302,40 @@ def _spatial_sort(ds, args):
         .sort("spatial_key")
 
 
+@register("zonal_extended")
+def _zonal_extended(ds, args):
+    from ..stages.zonal import zonal_extended
+
+    return zonal_extended(ds, args["zone_col"], args["value_col"],
+                          buckets=int(args.get("buckets", 64)))
+
+
+@register("media_decode")
+def _media_decode(ds, args):
+    from ..stages.multimodal import decode_stage
+
+    return decode_stage(ds, media_col=args.get("col", "media"),
+                        concurrency=int(args.get("concurrency", 4)),
+                        batch_size=int(args.get("batch_size", 64)))
+
+
+@register("media_features")
+def _media_features(ds, args):
+    from ..stages.multimodal import feature_stage
+
+    return feature_stage(ds, dim=int(args.get("dim", 64)),
+                         concurrency=int(args.get("concurrency", 4)))
+
+
+@register("media_frame_sample")
+def _media_frames(ds, args):
+    from ..stages.multimodal import frame_sample_stage
+
+    return frame_sample_stage(ds, media_col=args.get("col", "media"),
+                              n_frames=int(args.get("n_frames", 4)),
+                              key_col=args.get("key", "url"))
+
+
 # --- sinks --------------------------------------------------------------------
 
 
