@@ -125,7 +125,8 @@ def q_lineitem_summary(sf_dir: str):
         "min_qty": pa.array([row["min_qty"]], pa.float64()),
         "max_qty": pa.array([row["max_qty"]], pa.float64()),
         "avg_qty": pa.array([round(row["avg_qty"], 6)], pa.float64()),
-        "sum_qty": pa.array([round(row["sum_qty"], 2)], pa.float64()),
+        "sum_qty_c": pa.array([int(round(row["sum_qty"] * 100))],
+                              pa.int64()),
         "n": pa.array([row["n"]], pa.int64()),
     })
 
@@ -145,8 +146,10 @@ def q_lineitem_groupby(sf_dir: str):
         lambda b: pa.table({
             "l_returnflag": b["l_returnflag"],
             "l_linestatus": b["l_linestatus"],
-            "sum_qty": pc.round(b["sum_qty"], 2),
-            "sum_price": pc.round(b["sum_price"], 2),
+            "sum_qty_c": pc.cast(pc.round(pc.multiply(
+                b["sum_qty"], 100.0), 0), pa.int64()),
+            "sum_price_c": pc.cast(pc.round(pc.multiply(
+                b["sum_price"], 100.0), 0), pa.int64()),
             "n": b["n"],
         }), batch_format="pyarrow")
 
@@ -184,7 +187,8 @@ def q_orders_customer_revenue(sf_dir: str):
                              (None, "count", "n_orders")])
     return out.map_batches(
         lambda b: pa.table({"c_mktsegment": b["c_mktsegment"],
-                            "revenue": pc.round(b["revenue"], 2),
+                            "revenue_c": pc.cast(pc.round(pc.multiply(
+                                b["revenue"], 100.0), 0), pa.int64()),
                             "n_orders": b["n_orders"]}),
         batch_format="pyarrow")
 
@@ -197,6 +201,41 @@ def q_events_filter_where(sf_dir: str):
                          columns=["event_id", "event_type", "value"],
                          filter=expr)
     return ds.map_batches(lambda b: b.filter(expr), batch_format="pyarrow")
+
+
+def q_events_filter_like(sf_dir: str):
+    """LIKE + BETWEEN + IS NOT NULL through the WHERE compiler
+    (swq grammar, ogr/ogr_swq.h:42-81)."""
+    expr = compile_where(
+        "event_type LIKE 'p%' AND value BETWEEN 5.0 AND 50.0 "
+        "AND props IS NOT NULL")
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value",
+                                  "props"])
+    return ds.map_batches(lambda b: b.filter(expr),
+                          batch_format="pyarrow") \
+        .select_columns(["event_id", "event_type", "value"])
+
+
+def q_orders_lineitem_join(sf_dir: str):
+    """Large-x-large distributed hash join (Ray native Dataset.join —
+    both sides shuffle; contrast the broadcast join of
+    orders_customer_revenue) + grouped aggregate."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice"])
+    joined = items.join(orders, join_type="inner", num_partitions=16,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+    out = partial_final_agg(joined, "o_orderpriority",
+                            [("l_extendedprice", "sum", "revenue"),
+                             (None, "count", "n_items")])
+    return out.map_batches(
+        lambda b: pa.table({"o_orderpriority": b["o_orderpriority"],
+                            "revenue_c": pc.cast(pc.round(pc.multiply(
+                                b["revenue"], 100.0), 0), pa.int64()),
+                            "n_items": b["n_items"]}),
+        batch_format="pyarrow")
 
 
 def q_events_count_distinct_users(sf_dir: str):
@@ -230,7 +269,8 @@ def q_events_windowed_hourly(sf_dir: str):
     return out.map_batches(
         lambda b: pa.table({"event_type": b["event_type"],
                             "window": b["window"],
-                            "sum_value": pc.round(b["sum_value"], 2),
+                            "sum_value_c": pc.cast(pc.round(pc.multiply(
+                                b["sum_value"], 100.0), 0), pa.int64()),
                             "n": b["n"]}), batch_format="pyarrow")
 
 
@@ -276,7 +316,8 @@ def q_zonal_stats(sf_dir: str):
                              (None, "count", "n")])
     return out.map_batches(
         lambda b: pa.table({"poly_id": b["poly_id"],
-                            "sum_value": pc.round(b["sum_value"], 2),
+                            "sum_value_c": pc.cast(pc.round(pc.multiply(
+                                b["sum_value"], 100.0), 0), pa.int64()),
                             "min_value": b["min_value"],
                             "max_value": b["max_value"],
                             "n": b["n"]}), batch_format="pyarrow")
@@ -925,6 +966,8 @@ QUERIES = {
     "topk_orders": q_topk_orders,
     "orders_customer_revenue": q_orders_customer_revenue,
     "events_filter_where": q_events_filter_where,
+    "events_filter_like": q_events_filter_like,
+    "orders_lineitem_join": q_orders_lineitem_join,
     "events_count_distinct_users": q_events_count_distinct_users,
     "events_windowed_hourly": q_events_windowed_hourly,
     "geotag_points": q_geotag_points,
@@ -975,14 +1018,15 @@ ORACLES = {
     "lineitem_summary": """
         SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
                round(avg(l_quantity), 6) AS avg_qty,
-               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(round(sum(l_quantity) * 100, 0) AS BIGINT) AS sum_qty_c,
                count(*) AS n
         FROM lineitem
     """,
     "lineitem_groupby": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_price,
+               CAST(round(sum(l_quantity) * 100, 0) AS BIGINT) AS sum_qty_c,
+               CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT)
+                   AS sum_price_c,
                count(*) AS n
         FROM lineitem GROUP BY 1, 2
     """,
@@ -992,7 +1036,9 @@ ORACLES = {
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
     """,
     "orders_customer_revenue": """
-        SELECT c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue,
+        SELECT c.c_mktsegment,
+               CAST(round(sum(o.o_totalprice) * 100, 0) AS BIGINT)
+                   AS revenue_c,
                count(*) AS n_orders
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1
@@ -1001,13 +1047,27 @@ ORACLES = {
         SELECT event_id, event_type, value FROM events
         WHERE event_type IN ('click','view') AND value > 10.0
     """,
+    "events_filter_like": """
+        SELECT event_id, event_type, value FROM events
+        WHERE event_type LIKE 'p%' AND value BETWEEN 5.0 AND 50.0
+          AND props IS NOT NULL
+    """,
+    "orders_lineitem_join": """
+        SELECT o.o_orderpriority,
+               CAST(round(sum(l.l_extendedprice) * 100, 0) AS BIGINT)
+                   AS revenue_c,
+               count(*) AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    """,
     "events_count_distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1
     """,
     "events_windowed_hourly": """
         SELECT event_type, date_trunc('hour', ts) AS window,
-               round(sum(value), 2) AS sum_value, count(*) AS n
+               CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_c,
+               count(*) AS n
         FROM events GROUP BY 1, 2
     """,
     "geotag_points": f"SELECT event_id, lat, lon FROM ({_PTS_SQL})",
@@ -1032,7 +1092,8 @@ ORACLES = {
     """,
     "zonal_stats": f"""
         WITH {_ZONES_SQL}
-        SELECT poly_id, round(sum(value), 2) AS sum_value,
+        SELECT poly_id,
+               CAST(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_c,
                min(value) AS min_value, max(value) AS max_value,
                count(*) AS n
         FROM matches GROUP BY 1
