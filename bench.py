@@ -165,8 +165,12 @@ def main_scaling(sf_dir: str, low: int | None = None,
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env, capture_output=True, text=True, cwd=_REPO)
-        line = proc.stdout.strip().splitlines()[-1]
-        runs[cpus] = json.loads(line)
+        out_lines = proc.stdout.strip().splitlines()
+        if proc.returncode != 0 or not out_lines:
+            raise RuntimeError(
+                f"headline subprocess (cpus={cpus}) failed rc="
+                f"{proc.returncode}: {proc.stderr.strip()[-2000:]}")
+        runs[cpus] = json.loads(out_lines[-1])
     tp_low = runs[low]["pages_per_sec"]
     tp_high = runs[high]["pages_per_sec"]
     eff = (tp_high / tp_low) / (high / low)
