@@ -534,6 +534,18 @@ def q_docs_minhash_pairs(sf_dir: str):
                                           concurrency=2)
 
 
+def q_docs_near_dup_verified(sf_dir: str):
+    """Full MinHash-LSH near-dedup: candidate pairs → exact k-shingle
+    Jaccard verify ≥ 0.5 (rows-only: crc32 shingles have no SQL
+    analog; two-stage plan per the dedup survey)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    cands = _dedup.minhash_candidate_pairs(ds, "doc_id", "text",
+                                           num_perm=64, bands=16,
+                                           concurrency=2)
+    return _dedup.jaccard_verify_pairs(ds, cands, threshold=0.5)
+
+
 def q_docs_simhash(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
@@ -990,6 +1002,7 @@ QUERIES = {
     "docs_quality": q_docs_quality,
     "docs_lang_id": q_docs_lang_id,
     "docs_minhash_pairs": q_docs_minhash_pairs,
+    "docs_near_dup_verified": q_docs_near_dup_verified,
     "docs_simhash": q_docs_simhash,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_ivf_topk": q_emb_ivf_topk,

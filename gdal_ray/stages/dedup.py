@@ -171,6 +171,41 @@ def minhash_candidate_pairs(ds, key_col: str = "doc_id",
         lambda g: g.head(1), batch_format="pandas")
 
 
+def jaccard_verify_pairs(ds, pairs_ds, key_col: str = "doc_id",
+                         text_col: str = "text", shingle_k: int = 3,
+                         threshold: float = 0.5):
+    """Stage 2 of MinHash-LSH near-dedup: exact n-gram (k-shingle)
+    Jaccard over the candidate pairs.  The texts of both sides are
+    joined to the (small) pair list via a broadcast map — candidate
+    pairs after LSH are O(dups), orders of magnitude below the corpus,
+    so the pair table is the broadcast side, never the documents."""
+    import ray as _ray
+
+    pair_tbl = pa.concat_tables(
+        [b for b in pairs_ds.iter_batches(batch_size=65536,
+                                          batch_format="pyarrow")],
+        promote_options="permissive")
+    wanted = set(pair_tbl["key_a"].to_pylist()) \
+        | set(pair_tbl["key_b"].to_pylist())
+    wanted_arr = pa.array(sorted(wanted))
+    docs = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b[key_col], value_set=wanted_arr)),
+        batch_format="pyarrow")
+    texts = {}
+    for b in docs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        texts.update(zip(b[key_col].to_pylist(), b[text_col].to_pylist()))
+    ka = pair_tbl["key_a"].to_pylist()
+    kb = pair_tbl["key_b"].to_pylist()
+    sims = [_text.ngram_jaccard(texts.get(a, ""), texts.get(b, ""),
+                                shingle_k) for a, b in zip(ka, kb)]
+    out = pa.table({
+        "key_a": pair_tbl["key_a"],
+        "key_b": pair_tbl["key_b"],
+        "jaccard": pa.array(np.round(sims, 6), pa.float64()),
+    })
+    return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+
 class SimHasher:
     """Actor callable: append a 64-bit SimHash column."""
 

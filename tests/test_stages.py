@@ -205,6 +205,29 @@ def test_minhash_identical_docs_pair(ray_session):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_jaccard_verify_pairs(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.functions.text import ngram_jaccard
+    from gdal_ray.stages.dedup import jaccard_verify_pairs
+
+    near = "the quick brown fox jumps over the lazy dog and runs away"
+    near2 = "the quick brown fox jumps over the lazy dog and walks away"
+    far = "completely different text about distributed query engines"
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([near, near2, far]),
+    }))
+    pairs = rd.from_arrow(pa.table({
+        "key_a": pa.array([1, 1], pa.int64()),
+        "key_b": pa.array([2, 3], pa.int64()),
+    }))
+    out = jaccard_verify_pairs(docs, pairs, threshold=0.5).to_pandas()
+    assert set(zip(out["key_a"], out["key_b"])) == {(1, 2)}
+    expect = round(ngram_jaccard(near, near2, 3), 6)
+    assert out["jaccard"].iloc[0] == expect
+
+
 def test_broadcast_join_matches_pandas(ray_session):
     import ray.data as rd
 
