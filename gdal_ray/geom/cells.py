@@ -94,6 +94,36 @@ def cell_parent(cell, parent_level: int) -> np.ndarray:
     return (np.uint64(parent_level) << np.uint64(58)) | code
 
 
+def hilbert_from_tile(tx, ty, order: int) -> np.ndarray:
+    """Hilbert-curve distance of tile (tx, ty) on the 2^order grid —
+    the reference's spatial-sort key (`gdal vector sort --method
+    hilbert`, apps/gdalalg_vector_sort.cpp:351-375).  Vectorized
+    xy→d (iterative rotate-and-accumulate); like the Morton cell id it
+    is a space-filling-curve key, with strictly better locality
+    (consecutive keys are always grid neighbors)."""
+    x = np.array(tx, dtype=np.int64, copy=True).reshape(-1)
+    y = np.array(ty, dtype=np.int64, copy=True).reshape(-1)
+    d = np.zeros(len(x), dtype=np.int64)
+    s = np.int64(1) << np.int64(order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        flip = (ry == 0) & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x, y = (np.where(swap, y_f, x_f), np.where(swap, x_f, y_f))
+        s >>= 1
+    return d
+
+
+def lonlat_to_hilbert(lon, lat, order: int) -> np.ndarray:
+    tx, ty = tiles.lonlat_to_tile(lon, lat, order, convention="xyz")
+    return hilbert_from_tile(tx, ty, order)
+
+
 def cells_covering_bbox(min_lon, min_lat, max_lon, max_lat, level) -> np.ndarray:
     """All cell ids at `level` whose tile intersects the lon/lat bbox —
     the candidate-pruning covering used by the spatial join (the analog

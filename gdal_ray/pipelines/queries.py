@@ -154,6 +154,42 @@ def q_lineitem_groupby(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_lineitem_stddev(sf_dir: str):
+    """STDDEV_POP / STDDEV_SAMP (swq SWQCF ops, ogr/ogr_swq.h:326-334)
+    via sum/sumsq partials — numerically the two-pass formula; rounded
+    to 6 decimals on both sides (values O(10), formula-order noise
+    ~1e-12)."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "q": b["l_quantity"],
+            "q2": pa.array(q * q, pa.float64()),
+        })
+
+    agg = partial_final_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), "l_returnflag",
+        [("q", "sum", "s"), ("q2", "sum", "s2"), (None, "count", "n")])
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        s2 = b["s2"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        var_pop = np.maximum(s2 / n - (s / n) ** 2, 0.0)
+        var_samp = var_pop * n / np.maximum(n - 1.0, 1.0)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "std_pop": pa.array(np.round(np.sqrt(var_pop), 6)),
+            "std_samp": pa.array(np.round(np.sqrt(var_samp), 6)),
+            "n": b["n"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_distinct_mktsegment(sf_dir: str):
     """SELECT DISTINCT (SWQM_DISTINCT_LIST, ogr_gensql.cpp:705)."""
     ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
@@ -701,6 +737,21 @@ _PIXEL11_SQL = f"""
 """
 
 
+def q_polygonize_regions(sf_dir: str):
+    """Distributed polygonize (alg/polygonize.cpp semantics): connected
+    regions of the z5 count raster across tile boundaries (per-tile
+    labeling + seam merge).  Rows-only: connected components have no
+    tractable SQL analog; labeling vs brute-force BFS and the seam
+    merge are pinned in tests/test_polygonize.py; pixel conservation
+    (sum n_pixels == distinct occupied pixels) holds by construction."""
+    from ..stages.polygonize import polygonize_regions
+
+    t = polygonize_regions(_rendered_tiles(sf_dir, 5))
+    import pyarrow.compute as _pc
+
+    return t.take(_pc.sort_indices(t["region_id"]))
+
+
 def q_raster_pixels(sf_dir: str):
     """gdal raster as-features: nonzero pixels of the z3 count raster as
     rows.  Pixel (px,py) of XYZ tile (x,y,z) ≡ tile (x*256+px, y*256+py)
@@ -974,6 +1025,7 @@ def q_checkpoint_partitioned(sf_dir: str):
 QUERIES = {
     "lineitem_summary": q_lineitem_summary,
     "lineitem_groupby": q_lineitem_groupby,
+    "lineitem_stddev": q_lineitem_stddev,
     "distinct_mktsegment": q_distinct_mktsegment,
     "topk_orders": q_topk_orders,
     "orders_customer_revenue": q_orders_customer_revenue,
@@ -1022,6 +1074,7 @@ QUERIES = {
     "zonal_extended": q_zonal_extended,
     "raster_pixels": q_raster_pixels,
     "raster_value_at_point": q_raster_value_at_point,
+    "polygonize_regions": q_polygonize_regions,
     "media_frame_sample": q_media_frame_sample,
     "media_decode_embed": q_media_decode_embed,
 }
@@ -1044,6 +1097,13 @@ ORACLES = {
         FROM lineitem GROUP BY 1, 2
     """,
     "distinct_mktsegment": "SELECT DISTINCT c_mktsegment FROM customer",
+    "lineitem_stddev": """
+        SELECT l_returnflag,
+               round(stddev_pop(l_quantity), 6) AS std_pop,
+               round(stddev_samp(l_quantity), 6) AS std_samp,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
+    """,
     "topk_orders": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10

@@ -284,22 +284,38 @@ def _limit(ds, args):
 
 @register("spatial_sort")
 def _spatial_sort(ds, args):
-    """Spatial sort (gdal vector sort, hilbert method ≈ Z-order): the
-    cell id IS the space-filling-curve key (SURVEY.md §2.6)."""
+    """Spatial sort (gdal vector sort): method 'hilbert' (the
+    reference's default curve, gdalalg_vector_sort.cpp:351-375) or
+    'morton' (the engine's cell id) as the space-filling-curve key
+    (SURVEY.md §2.6)."""
     from ..geom import cells as _cells
 
     level = int(args.get("level", 12))
+    method = args.get("method", "hilbert")
 
     def add_key(b: pa.Table) -> pa.Table:
-        import numpy as np
-
-        cell = _cells.lonlat_to_cell(
-            b[args.get("x", "lon")].to_numpy(zero_copy_only=False),
-            b[args.get("y", "lat")].to_numpy(zero_copy_only=False), level)
-        return b.append_column("spatial_key", pa.array(cell, pa.uint64()))
+        lon = b[args.get("x", "lon")].to_numpy(zero_copy_only=False)
+        lat = b[args.get("y", "lat")].to_numpy(zero_copy_only=False)
+        if method == "hilbert":
+            key = _cells.lonlat_to_hilbert(lon, lat, level).astype("uint64")
+        elif method == "morton":
+            key = _cells.lonlat_to_cell(lon, lat, level)
+        else:
+            raise ValueError(f"method must be hilbert|morton, got {method}")
+        return b.append_column("spatial_key", pa.array(key, pa.uint64()))
 
     return ds.map_batches(add_key, batch_format="pyarrow") \
         .sort("spatial_key")
+
+
+@register("polygonize")
+def _polygonize(ds, args):
+    """Tile table → merged connected regions (raster→vector)."""
+    import ray.data as rd
+
+    from ..stages.polygonize import polygonize_regions
+
+    return rd.from_arrow(polygonize_regions(ds))
 
 
 @register("zonal_extended")

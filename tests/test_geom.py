@@ -183,6 +183,26 @@ def test_cell_parent_is_prefix():
     np.testing.assert_array_equal(cells.cell_parent(c12, 4), c4_direct)
 
 
+def test_hilbert_order1_golden():
+    # the canonical order-1 curve: (0,0)=0 (0,1)=1 (1,1)=2 (1,0)=3
+    d = cells.hilbert_from_tile(np.array([0, 0, 1, 1]),
+                                np.array([0, 1, 1, 0]), 1)
+    assert d.tolist() == [0, 1, 2, 3]
+
+
+def test_hilbert_is_bijective_and_adjacent():
+    order = 4
+    n = 1 << order
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    d = cells.hilbert_from_tile(xs.ravel(), ys.ravel(), order)
+    assert sorted(d.tolist()) == list(range(n * n))  # bijection
+    # locality: consecutive curve positions are grid neighbors
+    order_idx = np.argsort(d)
+    px, py = xs.ravel()[order_idx], ys.ravel()[order_idx]
+    steps = np.abs(np.diff(px)) + np.abs(np.diff(py))
+    assert (steps == 1).all()
+
+
 def test_cells_covering_bbox_contains_interior_points():
     cov = set(cells.cells_covering_bbox(10.0, 40.0, 20.0, 50.0, 6).tolist())
     rs = np.random.RandomState(2)
