@@ -752,6 +752,21 @@ def q_polygonize_regions(sf_dir: str):
     return t.take(_pc.sort_indices(t["region_id"]))
 
 
+def q_contour_segments(sf_dir: str):
+    """Contour (marching squares, alg/contour.cpp semantics) of the z4
+    count raster at levels 0.5 and 2.5 (rows-only: isoline geometry has no
+    SQL analog; analytic-isoline goldens in tests/test_contour.py)."""
+    from ..stages.contour import contour_segments
+
+    out = contour_segments(_rendered_tiles(sf_dir, 4), levels=[0.5, 2.5])
+    return out.map_batches(
+        lambda b: pa.table({
+            "z": b["z"], "level": b["level"],
+            "x0": pc.round(b["x0"], 4), "y0": pc.round(b["y0"], 4),
+            "x1": pc.round(b["x1"], 4), "y1": pc.round(b["y1"], 4),
+        }), batch_format="pyarrow")
+
+
 def q_raster_pixels(sf_dir: str):
     """gdal raster as-features: nonzero pixels of the z3 count raster as
     rows.  Pixel (px,py) of XYZ tile (x,y,z) ≡ tile (x*256+px, y*256+py)
@@ -1075,6 +1090,7 @@ QUERIES = {
     "raster_pixels": q_raster_pixels,
     "raster_value_at_point": q_raster_value_at_point,
     "polygonize_regions": q_polygonize_regions,
+    "contour_segments": q_contour_segments,
     "media_frame_sample": q_media_frame_sample,
     "media_decode_embed": q_media_decode_embed,
 }

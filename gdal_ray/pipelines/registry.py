@@ -308,6 +308,14 @@ def _spatial_sort(ds, args):
         .sort("spatial_key")
 
 
+@register("contour")
+def _contour(ds, args):
+    """Tile table → marching-squares contour segments."""
+    from ..stages.contour import contour_segments
+
+    return contour_segments(ds, args["levels"])
+
+
 @register("polygonize")
 def _polygonize(ds, args):
     """Tile table → merged connected regions (raster→vector)."""
