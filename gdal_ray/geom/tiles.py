@@ -106,26 +106,41 @@ def tile_bounds_meters(tx, ty, z):
     return minx, miny, minx + TILE_SIZE * res, miny + TILE_SIZE * res
 
 
+def global_pixel(lon, lat, z):
+    """Global pixel coordinates (gx, gy) at zoom z, XYZ orientation
+    (gy = 0 at the NORTH edge), via the direct slippy formula:
+        gx = floor((lon+180)/360 * 256*2^z)
+        gy = floor((1 - ln(tan φ + sec φ)/π)/2 * 256*2^z)
+    operation-for-operation identical to `lonlat_to_tile` and the SQL
+    oracles, so boundary-exact longitudes (e.g. -90, 0, 45) land on the
+    same pixel in both; the meters→pixels chain differs by 1 ulp there."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -MAX_LATITUDE, MAX_LATITUDE)
+    npix = np.int64(TILE_SIZE) << np.int64(z)
+    gx = np.clip(np.floor((lon + 180.0) / 360.0 * npix).astype(np.int64), 0, npix - 1)
+    r = np.radians(lat)
+    y_frac = (1.0 - np.log(np.tan(r) + 1.0 / np.cos(r)) / np.pi) / 2.0
+    gy = np.clip(np.floor(y_frac * npix).astype(np.int64), 0, npix - 1)
+    return gx, gy
+
+
 def tile_pixel(lon, lat, z, convention: str = "xyz"):
     """(tile x, tile y, pixel col 0..255, pixel row 0..255) for each point.
     Pixel row follows the convention: xyz → row 0 at tile's NORTH edge
-    (raster order, as a PNG tile is written)."""
-    lat = np.clip(np.asarray(lat, dtype=np.float64), -MAX_LATITUDE, MAX_LATITUDE)
-    mx, my = lonlat_to_meters(lon, lat)
-    res = resolution(z)
-    px = (mx + ORIGIN_SHIFT) / res
-    py = (my + ORIGIN_SHIFT) / res
-    n = np.int64(1) << np.int64(z)
-    tx = np.clip(np.ceil(px / float(TILE_SIZE)).astype(np.int64) - 1, 0, n - 1)
-    ty = np.clip(np.ceil(py / float(TILE_SIZE)).astype(np.int64) - 1, 0, n - 1)
-    col = np.clip((px - tx * TILE_SIZE).astype(np.int64), 0, TILE_SIZE - 1)
-    row_s = np.clip((py - ty * TILE_SIZE).astype(np.int64), 0, TILE_SIZE - 1)
+    (raster order, as a PNG tile is written).
+
+    Derived from `global_pixel` (tx = gx>>8, col = gx&255) so it agrees
+    bit-for-bit with `lonlat_to_tile` on boundary-exact coordinates."""
+    gx, gy = global_pixel(lon, lat, z)
+    tx = gx >> 8
+    col = gx & (TILE_SIZE - 1)
+    ty_xyz = gy >> 8
+    row_xyz = gy & (TILE_SIZE - 1)
     if convention == "xyz":
-        ty_out = tms_to_xyz(ty, z)
-        row = TILE_SIZE - 1 - row_s
-    else:
-        ty_out, row = ty, row_s
-    return tx, ty_out, col, row
+        return tx, ty_xyz, col, row_xyz
+    if convention == "tms":
+        return tx, tms_to_xyz(ty_xyz, z), col, TILE_SIZE - 1 - row_xyz
+    raise ValueError(f"convention must be xyz|tms, got {convention}")
 
 
 def parent_tile(tx, ty, z):

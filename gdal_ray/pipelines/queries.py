@@ -28,6 +28,7 @@ from ..functions import text as _textfn
 from ..functions.expr import compile_where
 from ..geom import tiles as _tiles
 from ..geom import wkb as _wkb
+from ..stages import _pool
 from ..stages import dedup as _dedup
 from ..stages import knn as _knn
 from ..stages import similarity as _sim
@@ -107,7 +108,7 @@ def zone_table() -> pa.Table:
 
 def _zone_join(sf_dir: str, operation: str):
     return _sj.spatial_join(event_points(sf_dir), zone_table(),
-                            operation=operation, concurrency=2)
+                            operation=operation)
 
 
 # --- relational core -------------------------------------------------------
@@ -217,7 +218,7 @@ def q_orders_customer_revenue(sf_dir: str):
                              columns=["o_custkey", "o_totalprice"])
     joined = broadcast_join(
         orders, cust_t.rename_columns(["o_custkey", "c_mktsegment"]),
-        keys="o_custkey", concurrency=2)
+        keys="o_custkey")
     out = partial_final_agg(joined, "c_mktsegment",
                             [("o_totalprice", "sum", "revenue"),
                              (None, "count", "n_orders")])
@@ -464,7 +465,7 @@ def q_knn_nearest_nation(sf_dir: str):
     """Nearest reference feature (GDALGridNearestNeighbor; tie → later
     scan order)."""
     pts = event_points(sf_dir, columns=("event_id",))
-    out = _knn.knn_lookup(pts, _nation_refs(sf_dir), concurrency=2)
+    out = _knn.knn_lookup(pts, _nation_refs(sf_dir))
     return out.select_columns(["event_id", "nearest_id"])
 
 
@@ -472,7 +473,7 @@ def q_knn_radius_nodata(sf_dir: str):
     """Fixed search radius → NODATA (null) when nothing is in range
     (gdalgrid.cpp:935-984)."""
     pts = event_points(sf_dir, columns=("event_id",))
-    out = _knn.knn_lookup(pts, _nation_refs(sf_dir), concurrency=2,
+    out = _knn.knn_lookup(pts, _nation_refs(sf_dir),
                           radius=20.0)
     return out.select_columns(["event_id", "nearest_id"])
 
@@ -485,7 +486,7 @@ def q_knn_idw(sf_dir: str):
     refs = refs.append_column(
         "refval", pa.array(refs["ref_id"].to_numpy().astype(np.float64) * 10.0,
                            pa.float64()))
-    out = _knn.knn_lookup(pts, refs, concurrency=2, value_col="refval",
+    out = _knn.knn_lookup(pts, refs, value_col="refval",
                           max_points=4, min_points=2, power=2.0)
     return out.select_columns(["event_id", "nearest_idw", "nearest_n"])
 
@@ -566,8 +567,7 @@ def q_docs_minhash_pairs(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return _dedup.minhash_candidate_pairs(ds, "doc_id", "text",
-                                          num_perm=64, bands=16,
-                                          concurrency=2)
+                                          num_perm=64, bands=16)
 
 
 def q_docs_near_dup_verified(sf_dir: str):
@@ -577,8 +577,7 @@ def q_docs_near_dup_verified(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     cands = _dedup.minhash_candidate_pairs(ds, "doc_id", "text",
-                                           num_perm=64, bands=16,
-                                           concurrency=2)
+                                           num_perm=64, bands=16)
     return _dedup.jaccard_verify_pairs(ds, cands, threshold=0.5)
 
 
@@ -586,7 +585,7 @@ def q_docs_simhash(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ds.map_batches(_dedup.SimHasher, batch_format="pyarrow",
-                         concurrency=2)
+                         concurrency=_pool.autoscale(None))
     return out.map_batches(
         lambda b: pa.table({"doc_id": b["doc_id"],
                             "simhash": pc.cast(b["simhash"], pa.string())}),
@@ -615,7 +614,7 @@ def q_emb_cosine_topk(sf_dir: str):
     across engines in the last float ulps)."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    out = _sim.cosine_topk(ds, _query_vectors(sf_dir), k=5, concurrency=2)
+    out = _sim.cosine_topk(ds, _query_vectors(sf_dir), k=5)
     return out.map_batches(
         lambda b: pa.table({
             "query_id": pc.cast(b["query_id"], pa.int64()),
@@ -630,7 +629,7 @@ def q_emb_ivf_topk(sf_dir: str):
     q = _query_vectors(sf_dir)
     cent = _sim.train_centroids(q if len(q) >= 4 else np.tile(q, (4, 1)),
                                 n_centroids=4)
-    out = _sim.ivf_topk(ds, q, cent, k=5, nprobe=2, concurrency=2)
+    out = _sim.ivf_topk(ds, q, cent, k=5, nprobe=2)
     return out.map_batches(
         lambda b: pa.table({"query_id": pc.cast(b["query_id"], pa.int64()),
                             "vec_id": b["vec_id"],
@@ -658,7 +657,7 @@ def q_emb_threshold_join(sf_dir: str):
     (key_a < key_b) pairs with cosine ≥ 0.3."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    out = _sim.cosine_threshold_self_join(ds, threshold=0.3, concurrency=2)
+    out = _sim.cosine_threshold_self_join(ds, threshold=0.3)
     return out.map_batches(
         lambda b: pa.table({"key_a": b["key_a"], "key_b": b["key_b"]}),
         batch_format="pyarrow")
@@ -699,8 +698,8 @@ def q_media_decode_embed(sf_dir: str):
     across runs/parallelism: the fake decoder is content-hash seeded."""
     from ..stages.multimodal import decode_stage, feature_stage
 
-    tens = decode_stage(_event_media(sf_dir), concurrency=2)
-    emb = feature_stage(tens, concurrency=2)
+    tens = decode_stage(_event_media(sf_dir))
+    emb = feature_stage(tens)
 
     def norms(b: pa.Table) -> pa.Table:
         col = b["embedding"]
@@ -789,11 +788,10 @@ def q_raster_value_at_point(sf_dir: str):
     of events sharing that pixel."""
     from ..stages import raster as _raster
 
-    parts = [b for b in _rendered_tiles(sf_dir, 3).iter_batches(
-        batch_size=65536, batch_format="pyarrow") if len(b)]
-    tiles_t = pa.concat_tables(parts, promote_options="permissive")
     pts = event_points(sf_dir, columns=("event_id",))
-    out = _raster.value_at_points(pts, tiles_t, zoom=3, method="nearest")
+    out = _raster.value_at_points_bucketed(
+        pts, _rendered_tiles(sf_dir, 3), zoom=3, id_col="event_id",
+        method="nearest")
     return out.map_batches(
         lambda b: pa.table({
             "event_id": b["event_id"],
@@ -996,7 +994,7 @@ def q_grid_idw(sf_dir: str):
         "lon": pa.array(gx.ravel()), "lat": pa.array(gy.ravel()),
     })
     ds = rd.from_arrow(nodes)
-    out = _knn.knn_lookup(ds, refs, concurrency=2, value_col="refval",
+    out = _knn.knn_lookup(ds, refs, value_col="refval",
                           max_points=25, min_points=1, power=2.0,
                           radius=60.0)
     return out.map_batches(

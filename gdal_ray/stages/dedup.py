@@ -148,7 +148,7 @@ class MinHasher:
 def minhash_candidate_pairs(ds, key_col: str = "doc_id",
                             text_col: str = "text", num_perm: int = 64,
                             bands: int = 16, shingle_k: int = 3,
-                            concurrency=4):
+                            concurrency=None):
     """documents → candidate near-dup pairs (key_a < key_b) via LSH:
     shingle→minhash→band rows → groupby(band_id, band_hash) → pairs.
     Verification (exact Jaccard) is the caller's second stage."""

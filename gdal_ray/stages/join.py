@@ -37,7 +37,7 @@ class BroadcastJoiner:
 
 
 def broadcast_join(ds, small_table: pa.Table, keys,
-                   join_type: str = "inner", concurrency=2,
+                   join_type: str = "inner", concurrency=None,
                    batch_size: int = 65536):
     ref = ray.put(small_table)
     return ds.map_batches(

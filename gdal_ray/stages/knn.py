@@ -141,7 +141,7 @@ class KnnLookup:
         return out
 
 
-def knn_lookup(ds, ref_table: pa.Table, concurrency=4, batch_size: int | None = None,
+def knn_lookup(ds, ref_table: pa.Table, concurrency=None, batch_size: int | None = None,
                **kwargs):
     """Dataset-level kNN stage: broadcast refs once, actor pool lookup."""
     ref = ray.put(ref_table)

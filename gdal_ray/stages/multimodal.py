@@ -85,7 +85,7 @@ class MediaDecoder:
 
 
 def decode_stage(ds, media_col: str = "media", out: str = "tensor",
-                 shape=IMAGE_SHAPE, decoder=None, concurrency=4,
+                 shape=IMAGE_SHAPE, decoder=None, concurrency=None,
                  batch_size: int = 64):
     """binary media → tensor column.  batch_size is small by design:
     batch bytes = batch_size × media size must fit the worker heap."""
@@ -124,7 +124,7 @@ class FeatureExtractor:
 
 
 def feature_stage(ds, tensor_col: str = "tensor", out: str = "embedding",
-                  dim: int = 64, concurrency=4, batch_size: int = 256,
+                  dim: int = 64, concurrency=None, batch_size: int = 256,
                   in_dim: int = int(np.prod(IMAGE_SHAPE))):
     return ds.map_batches(
         FeatureExtractor,

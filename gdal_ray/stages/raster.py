@@ -28,6 +28,7 @@ import pyarrow as pa
 import ray
 
 from ..geom import tiles as _tiles
+from ._pool import autoscale as _autoscale
 
 TILE_SIZE = 256
 N_PIX = TILE_SIZE * TILE_SIZE
@@ -90,13 +91,27 @@ class RasterSampler:
         self.zoom, self.method = zoom, method
         self.lon_col, self.lat_col, self.out = lon_col, lat_col, out
 
-    def _sample_nearest(self, tx, ty, col, row):
+    def _gather(self, tx, ty, rr, cc):
+        """values = grid[(tx,ty)][rr,cc], 0 where no tile — vectorized:
+        pack (tx,ty) into one int64 key, argsort to group points by tile,
+        then ONE dict lookup + ONE fancy-index gather per distinct tile."""
         out = np.zeros(len(tx), dtype=np.float64)
-        for i in range(len(tx)):
-            g = self.grids.get((int(tx[i]), int(ty[i])))
+        if len(tx) == 0:
+            return out
+        key = (tx.astype(np.int64) << 32) | ty.astype(np.int64)
+        order = np.argsort(key, kind="stable")
+        uniq, starts = np.unique(key[order], return_index=True)
+        bounds = np.append(starts, len(key))
+        for j in range(len(uniq)):
+            g = self.grids.get((int(uniq[j] >> 32),
+                                int(uniq[j] & 0xFFFFFFFF)))
             if g is not None:
-                out[i] = g[row[i], col[i]]
+                idx = order[bounds[j]:bounds[j + 1]]
+                out[idx] = g[rr[idx], cc[idx]]
         return out
+
+    def _sample_nearest(self, tx, ty, col, row):
+        return self._gather(tx, ty, row, col)
 
     def _sample_bilinear(self, lon, lat):
         # global fractional pixel coords in the z+8 grid (pixel centers
@@ -120,12 +135,7 @@ class RasterSampler:
                           (1, 1, wx * wy)):
             px = np.clip(x0 + dx, 0, int(n) - 1)
             py = np.clip(y0 + dy, 0, int(n) - 1)
-            tx, ty = px >> 8, py >> 8
-            cc, rr = px & 255, py & 255
-            for i in range(len(lon)):
-                g = self.grids.get((int(tx[i]), int(ty[i])))
-                if g is not None:
-                    out[i] += w[i] * g[rr[i], cc[i]]
+            out += w * self._gather(px >> 8, py >> 8, py & 255, px & 255)
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -140,13 +150,143 @@ class RasterSampler:
 
 
 def value_at_points(points_ds, tiles_table: pa.Table, zoom: int,
-                    method: str = "nearest", concurrency=2, **kwargs):
+                    method: str = "nearest", concurrency=None, **kwargs):
     ref = ray.put(tiles_table)
     return points_ds.map_batches(
         RasterSampler,
         fn_constructor_kwargs=dict(tiles_ref=ref, zoom=zoom, method=method,
                                    **kwargs),
-        batch_format="pyarrow", concurrency=(1, concurrency))
+        batch_format="pyarrow", concurrency=_autoscale(concurrency))
+
+
+def _pack_xy(x, y):
+    return (np.asarray(x, np.int64) << 32) | np.asarray(y, np.int64)
+
+
+def value_at_points_bucketed(points_ds, tiles_ds, zoom: int,
+                             id_col: str = "event_id",
+                             lon_col: str = "lon", lat_col: str = "lat",
+                             out: str = "raster_value",
+                             method: str = "nearest",
+                             n_buckets: int | None = None):
+    """Scale path for value_at_points: NO tile-table broadcast and NO
+    driver materialization.  Both sides are hash-bucketed by packed tile
+    key (x<<32|y), co-grouped per bucket, and each bucket decodes only
+    its own tile blobs once — a tile blob is never replicated per point.
+
+    nearest: one exchange.  bilinear: each point emits ≤4 corner legs
+    (tile, col, row, weight); legs are gathered per bucket then summed
+    per point id in a second small exchange.
+
+    Returns a Dataset (id_col, out)."""
+    from ._pool import cluster_cpus
+    B = n_buckets or max(8, cluster_cpus() * 2)
+
+    schema = pa.schema([
+        ("bucket", pa.int32()), ("key", pa.int64()), ("src", pa.int8()),
+        ("pid", pa.int64()), ("col", pa.int16()), ("row", pa.int16()),
+        ("w", pa.float64()), ("raster", pa.binary()),
+    ])
+
+    def tiles_side(batch: pa.Table) -> pa.Table:
+        key = _pack_xy(batch["x"].to_numpy(zero_copy_only=False),
+                       batch["y"].to_numpy(zero_copy_only=False))
+        k = len(key)
+        return pa.table({
+            "bucket": pa.array((key % B).astype(np.int32)),
+            "key": pa.array(key), "src": pa.array(np.ones(k, np.int8)),
+            "pid": pa.array(np.zeros(k, np.int64)),
+            "col": pa.array(np.zeros(k, np.int16)),
+            "row": pa.array(np.zeros(k, np.int16)),
+            "w": pa.array(np.zeros(k, np.float64)),
+            "raster": batch["raster"].cast(pa.binary()),
+        }, schema=schema)
+
+    def points_side(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        pid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if method == "bilinear":
+            npx = np.int64(1) << np.int64(zoom + 8)
+            gx = (lon + 180.0) / 360.0 * npx
+            r = np.radians(np.clip(lat, -_tiles.MAX_LATITUDE,
+                                   _tiles.MAX_LATITUDE))
+            gy = (1.0 - np.log(np.tan(r) + 1.0 / np.cos(r)) / np.pi) \
+                / 2.0 * npx
+            fx, fy = gx - 0.5, gy - 0.5
+            x0 = np.floor(fx).astype(np.int64)
+            y0 = np.floor(fy).astype(np.int64)
+            wx, wy = fx - x0, fy - y0
+            keys, pids, cols, rows, ws = [], [], [], [], []
+            for dx, dy, w in ((0, 0, (1 - wx) * (1 - wy)),
+                              (1, 0, wx * (1 - wy)),
+                              (0, 1, (1 - wx) * wy),
+                              (1, 1, wx * wy)):
+                px = np.clip(x0 + dx, 0, int(npx) - 1)
+                py = np.clip(y0 + dy, 0, int(npx) - 1)
+                keys.append(_pack_xy(px >> 8, py >> 8))
+                pids.append(pid)
+                cols.append((px & 255).astype(np.int16))
+                rows.append((py & 255).astype(np.int16))
+                ws.append(w)
+            key = np.concatenate(keys)
+            pid_o = np.concatenate(pids)
+            col = np.concatenate(cols)
+            row = np.concatenate(rows)
+            w_o = np.concatenate(ws)
+        else:
+            tx, ty, col_, row_ = _tiles.tile_pixel(lon, lat, zoom, "xyz")
+            key = _pack_xy(tx, ty)
+            pid_o, w_o = pid, np.ones(len(pid), np.float64)
+            col, row = col_.astype(np.int16), row_.astype(np.int16)
+        return pa.table({
+            "bucket": pa.array((key % B).astype(np.int32)),
+            "key": pa.array(key),
+            "src": pa.array(np.zeros(len(key), np.int8)),
+            "pid": pa.array(pid_o), "col": pa.array(col),
+            "row": pa.array(row), "w": pa.array(w_o),
+            "raster": pa.array([None] * len(key), pa.binary()),
+        }, schema=schema)
+
+    both = tiles_ds.map_batches(tiles_side, batch_format="pyarrow").union(
+        points_ds.map_batches(points_side, batch_format="pyarrow"))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        src = g["src"].to_numpy(zero_copy_only=False)
+        t = src == 1
+        grids = {int(k): _decode_grid(blob) for k, blob in zip(
+            g["key"].to_numpy(zero_copy_only=False)[t],
+            np.asarray(g["raster"].to_pylist(), dtype=object)[t])}
+        p = ~t
+        key = g["key"].to_numpy(zero_copy_only=False)[p]
+        col = g["col"].to_numpy(zero_copy_only=False)[p].astype(np.int64)
+        row = g["row"].to_numpy(zero_copy_only=False)[p].astype(np.int64)
+        w = g["w"].to_numpy(zero_copy_only=False)[p]
+        pid = g["pid"].to_numpy(zero_copy_only=False)[p]
+        vals = np.zeros(len(key), np.float64)
+        order = np.argsort(key, kind="stable")
+        uniq, starts = np.unique(key[order], return_index=True)
+        bounds = np.append(starts, len(key))
+        for j in range(len(uniq)):
+            gr = grids.get(int(uniq[j]))
+            if gr is not None:
+                idx = order[bounds[j]:bounds[j + 1]]
+                vals[idx] = gr[row[idx], col[idx]]
+        return pa.table({"pid": pa.array(pid),
+                         "leg": pa.array(w * vals, pa.float64())})
+
+    legs = both.groupby("bucket").map_groups(per_bucket,
+                                             batch_format="pyarrow")
+    if method == "bilinear":
+        import ray.data.aggregate as _agg
+        res = legs.groupby("pid").aggregate(_agg.Sum("leg", alias_name=out))
+    else:
+        res = legs.map_batches(
+            lambda b: pa.table({"pid": b["pid"], out: b["leg"]}),
+            batch_format="pyarrow")
+    return res.map_batches(
+        lambda b: pa.table({id_col: b["pid"], out: b[out]}),
+        batch_format="pyarrow")
 
 
 def raster_calc(tiles_ds, fn):

@@ -64,7 +64,7 @@ class CosineTopK:
 
 def cosine_topk(ds, queries: np.ndarray, k: int = 10,
                 key_col: str = "vec_id", vec_col: str = "embedding",
-                concurrency=4):
+                concurrency=None):
     """Global top-k per query: per-batch partial top-k (actor pool) →
     per-query merge.  The shuffle moves only (nq × k × batches) partial
     rows, never the vectors."""
@@ -118,7 +118,7 @@ class CosineThresholdJoiner:
 
 def cosine_threshold_self_join(ds, threshold: float = 0.3,
                                key_col: str = "vec_id",
-                               vec_col: str = "embedding", concurrency=2):
+                               vec_col: str = "embedding", concurrency=None):
     """Exact all-pairs cosine ≥ threshold (key_a < key_b)."""
     tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
     keys = tbl[key_col].to_numpy(zero_copy_only=False)
@@ -168,7 +168,7 @@ def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
 
 def ivf_topk(ds, queries: np.ndarray, centroids: np.ndarray, k: int = 10,
              nprobe: int = 2, key_col: str = "vec_id",
-             vec_col: str = "embedding", concurrency=4):
+             vec_col: str = "embedding", concurrency=None):
     """IVF search: bucket the dataset, keep only buckets within the
     queries' nprobe nearest centroids, then exact cosine top-k on the
     surviving subset."""
