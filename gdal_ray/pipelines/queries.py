@@ -627,9 +627,14 @@ def q_emb_ivf_topk(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     q = _query_vectors(sf_dir)
-    cent = _sim.train_centroids(q if len(q) >= 4 else np.tile(q, (4, 1)),
-                                n_centroids=4)
-    out = _sim.ivf_topk(ds, q, cent, k=5, nprobe=2)
+    # centroids from a corpus sample (limit = deterministic prefix), not
+    # the query vectors: the index partitioning must reflect the DATA
+    samp_t = pa.concat_tables([b for b in ds.limit(1024).iter_batches(
+        batch_size=1024, batch_format="pyarrow")])
+    samp = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in samp_t["embedding"].to_pylist()])
+    cent = _sim.train_centroids(samp, n_centroids=16)
+    out = _sim.ivf_topk(ds, q, cent, k=5, nprobe=4)
     return out.map_batches(
         lambda b: pa.table({"query_id": pc.cast(b["query_id"], pa.int64()),
                             "vec_id": b["vec_id"],
@@ -644,7 +649,8 @@ def q_emb_near_dup(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     out = _dedup.embedding_near_dup_pairs(ds, "vec_id", "embedding",
-                                          threshold=0.3, buckets=4)
+                                          threshold=0.3, n_bands=8,
+                                          bits_per_band=4)
     return out.map_batches(
         lambda b: pa.table({"key_a": pc.cast(b["key_a"], pa.int64()),
                             "key_b": pc.cast(b["key_b"], pa.int64())}),

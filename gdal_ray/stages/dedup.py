@@ -21,8 +21,19 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray.data as rd
+
 from ..functions import text as _text
 from ._pool import autoscale as _autoscale
+
+
+def _list_col_to_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """Arrow list<float> / fixed_size_list column → (n, dim) float64
+    matrix without a Python-list round-trip."""
+    arr = col.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(
+        flat.reshape(len(arr), -1).astype(np.float64, copy=False))
 
 
 def _first_per_key_batch(batch: pa.Table, keys: list[str],
@@ -145,13 +156,83 @@ class MinHasher:
         })
 
 
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci-hash mix constant
+
+
+def dedup_pairs(pairs_ds, buckets: int = 256):
+    """Distinct (key_a, key_b) rows: ONE hash-bucket exchange +
+    vectorized ``drop_duplicates`` per bucket — the `dedup_exact` plan,
+    never a per-pair Python call.  Extra columns (e.g. cosine) keep the
+    first-seen value (identical across bands by construction)."""
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            _BUCKET_COL,
+            pa.array(_hash_bucket(b, ["key_a", "key_b"], buckets)))
+
+    def bucket_dedup(g: pa.Table) -> pa.Table:
+        kdf = g.select(["key_a", "key_b"]).to_pandas()
+        keep = ~kdf.duplicated(keep="first").values
+        return g.filter(pa.array(keep)).drop_columns([_BUCKET_COL])
+
+    return pairs_ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby(_BUCKET_COL).map_groups(bucket_dedup,
+                                         batch_format="pyarrow")
+
+
+def _emit_segment_pairs(seg: np.ndarray, order_payload: list,
+                        max_bucket: int):
+    """Intra-segment candidate pairs over rows sorted by segment id.
+
+    ``seg`` is the sorted segment array; ``order_payload`` is a list of
+    (already-sorted) per-row arrays to pair up (keys, and optionally
+    vectors).  Returns (ia, ib) global row indices of each pair.
+
+    Segments with ≤ max_bucket rows emit all C(n,2) pairs; larger
+    (hot LSH buckets — mass-duplicated boilerplate is the common case
+    at scale) emit the sorted-adjacency CHAIN (k[i], k[i+1]) — O(b)
+    edges whose transitive closure spans the same connected component,
+    which is what a dedup grouping consumes."""
+    starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+    ends = np.r_[starts[1:], len(seg)]
+    sizes = ends - starts
+    ia_all, ib_all = [], []
+    for si in np.flatnonzero(sizes >= 2):
+        s, n = starts[si], sizes[si]
+        if n <= max_bucket:
+            ia, ib = np.triu_indices(n, k=1)
+            ia_all.append(s + ia)
+            ib_all.append(s + ib)
+        else:
+            idx = np.arange(s, s + n)
+            ia_all.append(idx[:-1])
+            ib_all.append(idx[1:])
+    if not ia_all:
+        e = np.array([], dtype=np.int64)
+        return e, e
+    return np.concatenate(ia_all), np.concatenate(ib_all)
+
+
 def minhash_candidate_pairs(ds, key_col: str = "doc_id",
                             text_col: str = "text", num_perm: int = 64,
                             bands: int = 16, shingle_k: int = 3,
+                            max_bucket: int = 64,
+                            n_buckets: int | None = None,
                             concurrency=None):
-    """documents → candidate near-dup pairs (key_a < key_b) via LSH:
-    shingle→minhash→band rows → groupby(band_id, band_hash) → pairs.
-    Verification (exact Jaccard) is the caller's second stage."""
+    """documents → distinct candidate near-dup pairs (key_a < key_b).
+
+    Plan (two exchanges, everything vectorized):
+      1. MinHasher emits (key, band_id, band_hash) rows; a coarse
+         bucket key mix(band_hash, band_id) % B co-locates each LSH
+         bucket without one Python call per (band, hash) group;
+      2. per coarse bucket: sort rows by segment id, emit pairs per
+         segment (all-pairs ≤ max_bucket, adjacency chain above — a hot
+         bucket of b near-identical docs emits O(b) not O(b²) rows);
+      3. `dedup_pairs` hash-bucket exchange removes multi-band repeats.
+    """
+    from ._pool import cluster_cpus
+    B = n_buckets or max(16, cluster_cpus() * 4)
+
     band_rows = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(key_col=key_col, text_col=text_col,
@@ -159,51 +240,189 @@ def minhash_candidate_pairs(ds, key_col: str = "doc_id",
                                    shingle_k=shingle_k),
         batch_format="pyarrow", concurrency=_autoscale(concurrency))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ks = np.sort(g[key_col].values)
-        ia, ib = np.triu_indices(len(ks), k=1)
-        return pd.DataFrame({"key_a": ks[ia], "key_b": ks[ib]})
+    def add_seg(b: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            seg = b["band_hash"].to_numpy(zero_copy_only=False) * _GOLDEN \
+                + b["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            key_col: b[key_col],
+            "seg": pa.array(seg, pa.uint64()),
+            _BUCKET_COL: pa.array((seg % np.uint64(B)).astype(np.int32)),
+        })
 
-    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    # distinct pairs (a pair can collide in several bands)
-    return pairs.groupby(["key_a", "key_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    segged = band_rows.map_batches(add_seg, batch_format="pyarrow")
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        seg = g["seg"].to_numpy(zero_copy_only=False)
+        key = g[key_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, seg))
+        seg, key = seg[order], key[order]
+        ia, ib = _emit_segment_pairs(seg, [key], max_bucket)
+        kt = g[key_col].type
+        return pa.table({"key_a": pa.array(key[ia], type=kt),
+                         "key_b": pa.array(key[ib], type=kt)})
+
+    pairs = segged.groupby(_BUCKET_COL).map_groups(bucket_pairs,
+                                                   batch_format="pyarrow")
+    return dedup_pairs(pairs)
+
+
+class _ShingleSets:
+    """Actor callable: text → sorted-unique k-shingle hash set column
+    (list<uint64>) — the exact-Jaccard operand."""
+
+    def __init__(self, key_col: str, text_col: str, k: int):
+        self.key_col, self.text_col, self.k = key_col, text_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sets = [np.unique(_text.shingle_hashes(t or "", self.k))
+                for t in batch[self.text_col].to_pylist()]
+        return pa.table({
+            self.key_col: batch[self.key_col],
+            "shingles": pa.array([s.tolist() for s in sets],
+                                 pa.list_(pa.uint64())),
+        })
 
 
 def jaccard_verify_pairs(ds, pairs_ds, key_col: str = "doc_id",
                          text_col: str = "text", shingle_k: int = 3,
-                         threshold: float = 0.5):
-    """Stage 2 of MinHash-LSH near-dedup: exact n-gram (k-shingle)
-    Jaccard over the candidate pairs.  The texts of both sides are
-    joined to the (small) pair list via a broadcast map — candidate
-    pairs after LSH are O(dups), orders of magnitude below the corpus,
-    so the pair table is the broadcast side, never the documents."""
+                         threshold: float = 0.5,
+                         n_buckets: int | None = None, concurrency=None):
+    """Stage 2 of MinHash-LSH near-dedup: exact k-shingle Jaccard over
+    the candidate pairs — fully DISTRIBUTED (returns a Dataset; no
+    driver dicts, no driver Jaccard loop).
+
+    Plan: the pair-KEY set (small side, O(dups) keys) is broadcast via
+    ``ray.put`` to semi-join-filter the corpus; surviving docs compute
+    their sorted-unique shingle sets once; two hash-bucket exchanges
+    then do the work:
+      1. key-bucket co-group: attach each doc's shingles to every pair
+         leg that references it;
+      2. pair-bucket co-group: the two legs of a pair meet, Jaccard =
+         |∩| / |∪| via ``np.intersect1d`` on the sorted sets.
+    """
     import ray as _ray
 
-    pair_tbl = pa.concat_tables(
-        [b for b in pairs_ds.iter_batches(batch_size=65536,
-                                          batch_format="pyarrow")],
-        promote_options="permissive")
-    wanted = set(pair_tbl["key_a"].to_pylist()) \
-        | set(pair_tbl["key_b"].to_pylist())
-    wanted_arr = pa.array(sorted(wanted))
-    docs = ds.map_batches(
-        lambda b: b.filter(pc.is_in(b[key_col], value_set=wanted_arr)),
+    from ._pool import cluster_cpus
+    B = n_buckets or max(16, cluster_cpus() * 2)
+
+    # --- small side: distinct keys referenced by any pair ------------------
+    # pairs after LSH are O(dups) — materialize once so the LSH pipeline
+    # is not re-executed by the key scan AND the legs map below
+    pairs_ds = pairs_ds.materialize()
+    key_batches = [b for b in pairs_ds.iter_batches(
+        batch_size=65536, batch_format="pyarrow") if len(b)]
+    if not key_batches:
+        kt = pairs_ds.schema().base_schema.field("key_a").type
+        return rd.from_arrow(pa.table({
+            "key_a": pa.array([], kt), "key_b": pa.array([], kt),
+            "jaccard": pa.array([], pa.float64())}))
+    pair_keys = pa.concat_tables(
+        [pa.table({"k": b["key_a"]}) for b in key_batches]
+        + [pa.table({"k": b["key_b"]}) for b in key_batches])
+    wanted_ref = _ray.put(pc.unique(pair_keys["k"]))
+
+    def pair_legs(b: pa.Table) -> pa.Table:
+        ka = b["key_a"].combine_chunks()
+        kb = b["key_b"].combine_chunks()
+        key = pa.concat_arrays([ka, kb])
+        t = pa.table({"key": key})
+        return pa.table({
+            _BUCKET_COL: pa.array(_hash_bucket(t, ["key"], B)),
+            "key": key, "src": pa.array(np.zeros(len(key), np.int8)),
+            "key_a": pa.concat_arrays([ka, ka]),
+            "key_b": pa.concat_arrays([kb, kb]),
+            "shingles": pa.array([None] * len(key), pa.list_(pa.uint64())),
+        })
+
+    class DocSide:
+        def __init__(self, wanted_ref):
+            self.wanted = _ray.get(wanted_ref) \
+                if isinstance(wanted_ref, _ray.ObjectRef) else wanted_ref
+            self.sh = _ShingleSets(key_col, text_col, shingle_k)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_in(b[key_col], value_set=self.wanted))
+            t = self.sh(b)
+            key = t[key_col].combine_chunks()
+            kt = pa.table({"key": key})
+            n = len(t)
+            return pa.table({
+                _BUCKET_COL: pa.array(_hash_bucket(kt, ["key"], B)),
+                "key": key, "src": pa.array(np.ones(n, np.int8)),
+                "key_a": pa.nulls(n, key.type),
+                "key_b": pa.nulls(n, key.type),
+                "shingles": t["shingles"],
+            })
+
+    both = pairs_ds.map_batches(pair_legs, batch_format="pyarrow").union(
+        ds.map_batches(DocSide, fn_constructor_kwargs=dict(
+            wanted_ref=wanted_ref), batch_format="pyarrow",
+            concurrency=_autoscale(concurrency)))
+
+    def attach(g: pa.Table) -> pa.Table:
+        src = g["src"].to_numpy(zero_copy_only=False)
+        keys = g["key"].to_pylist()
+        sh_col = g["shingles"].to_pylist()
+        doc_sh = {keys[i]: sh_col[i] for i in np.flatnonzero(src == 1)}
+        legs = pa.array(np.flatnonzero(src == 0))
+        return pa.table({
+            "key_a": g["key_a"].take(legs),
+            "key_b": g["key_b"].take(legs),
+            "key": g["key"].take(legs),
+            "shingles": pa.array(
+                [doc_sh.get(keys[i]) for i in legs.to_pylist()],
+                pa.list_(pa.uint64())),
+        })
+
+    attached = both.groupby(_BUCKET_COL).map_groups(
+        attach, batch_format="pyarrow")
+
+    def pair_bucket(b: pa.Table) -> pa.Table:
+        t = pa.table({"key_a": b["key_a"].combine_chunks(),
+                      "key_b": b["key_b"].combine_chunks()})
+        return b.append_column(
+            "__pb", pa.array(_hash_bucket(t, ["key_a", "key_b"], B)))
+
+    def join_legs(g: pa.Table) -> pa.Table:
+        ka = np.asarray(g["key_a"].to_pylist(), dtype=object)
+        kb = np.asarray(g["key_b"].to_pylist(), dtype=object)
+        kk = np.asarray(g["key"].to_pylist(), dtype=object)
+        sh = g["shingles"].to_pylist()
+        out_a, out_b, out_j = [], [], []
+        order = np.lexsort((kb, ka))
+        ka_s, kb_s = ka[order], kb[order]
+        change = (ka_s[1:] != ka_s[:-1]) | (kb_s[1:] != kb_s[:-1])
+        starts = np.flatnonzero(np.r_[True, change])
+        ends = np.r_[starts[1:], len(ka_s)]
+        for s, e in zip(starts, ends):
+            rows = order[s:e]
+            a, b_ = ka[rows[0]], kb[rows[0]]
+            sa = sb = None
+            for r in rows:
+                if kk[r] == a and sh[r] is not None:
+                    sa = np.asarray(sh[r], dtype=np.uint64)
+                if kk[r] == b_ and sh[r] is not None:
+                    sb = np.asarray(sh[r], dtype=np.uint64)
+            if sa is None or sb is None:
+                continue  # a referenced doc is absent from the corpus
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            out_a.append(a)
+            out_b.append(b_)
+            out_j.append(1.0 if union == 0 else inter / union)
+        kt = g["key_a"].type
+        return pa.table({
+            "key_a": pa.array(out_a, kt),
+            "key_b": pa.array(out_b, kt),
+            "jaccard": pa.array(np.round(out_j, 6), pa.float64()),
+        })
+
+    verified = attached.map_batches(pair_bucket, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(join_legs, batch_format="pyarrow")
+    return verified.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["jaccard"], threshold)),
         batch_format="pyarrow")
-    texts = {}
-    for b in docs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        texts.update(zip(b[key_col].to_pylist(), b[text_col].to_pylist()))
-    ka = pair_tbl["key_a"].to_pylist()
-    kb = pair_tbl["key_b"].to_pylist()
-    sims = [_text.ngram_jaccard(texts.get(a, ""), texts.get(b, ""),
-                                shingle_k) for a, b in zip(ka, kb)]
-    out = pa.table({
-        "key_a": pair_tbl["key_a"],
-        "key_b": pair_tbl["key_b"],
-        "jaccard": pa.array(np.round(sims, 6), pa.float64()),
-    })
-    return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
 
 class SimHasher:
@@ -222,45 +441,73 @@ class SimHasher:
 
 def embedding_near_dup_pairs(ds, key_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             threshold: float = 0.95, buckets: int = 8,
-                             seed: int = 5):
-    """Embedding-cosine near-dup via random-hyperplane LSH bucketing +
-    in-bucket exact cosine.  One shuffle on the bucket key; exact check
-    vectorized per bucket."""
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        emb = np.stack([np.asarray(v, dtype=np.float64)
-                        for v in batch[vec_col].to_pylist()])
-        dim = emb.shape[1]
-        rs = np.random.RandomState(seed)
-        planes = rs.normal(size=(dim, buckets))  # deterministic per call
+                             threshold: float = 0.95,
+                             n_bands: int = 8, bits_per_band: int = 12,
+                             max_bucket: int = 256,
+                             n_buckets: int | None = None, seed: int = 5):
+    """Embedding-cosine near-dup via BANDED random-hyperplane LSH
+    (SimHash bands, the MinHash-band analog): each vector emits one
+    bucket key per band = the packed sign-bit pattern of that band's
+    hyperplanes, so bucket cardinality scales with N (2^bits_per_band
+    per band) instead of the round-1 fixed 256 buckets; multiple bands
+    recover the recall a single longer code would lose.
+
+    Per band-bucket the check is EXACT cosine (all-pairs ≤ max_bucket
+    rows, sorted-adjacency chain above — O(b) on hot buckets of
+    mass-duplicated vectors); `dedup_pairs` removes multi-band repeats.
+    Vectors travel as Arrow list columns end-to-end (no Python lists)."""
+    from ._pool import cluster_cpus
+    B = n_buckets or max(16, cluster_cpus() * 4)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        emb = _list_col_to_matrix(batch[vec_col])
+        n, dim = emb.shape
+        rs = np.random.RandomState(seed)  # same planes in every task
+        planes = rs.normal(size=(dim, n_bands * bits_per_band))
         bits = (emb @ planes) > 0
-        bucket = (bits.astype(np.uint64)
-                  << np.arange(buckets, dtype=np.uint64)).sum(axis=1)
+        weights = (np.uint64(1) << np.arange(bits_per_band,
+                                             dtype=np.uint64))
         norm = np.linalg.norm(emb, axis=1)
+        unit = emb / np.where(norm > 0, norm, 1.0)[:, None]
+        segs = np.empty((n, n_bands), dtype=np.uint64)
+        for bi in range(n_bands):
+            code = bits[:, bi * bits_per_band:(bi + 1) * bits_per_band] \
+                .astype(np.uint64) @ weights
+            with np.errstate(over="ignore"):
+                segs[:, bi] = code * _GOLDEN + np.uint64(bi)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        seg_flat = segs.ravel()
         return pa.table({
-            key_col: batch[key_col],
-            "bucket": pa.array(bucket, pa.uint64()),
-            "vec": pa.array((emb / np.where(norm > 0, norm, 1.0)[:, None])
-                            .tolist()),
+            key_col: pa.array(np.repeat(keys, n_bands)),
+            "seg": pa.array(seg_flat, pa.uint64()),
+            _BUCKET_COL: pa.array((seg_flat % np.uint64(B))
+                                  .astype(np.int32)),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.repeat(unit, n_bands, axis=0).ravel()), dim),
         })
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    segged = ds.map_batches(band_rows, batch_format="pyarrow")
 
-    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
-        ks = g[key_col].values
-        if len(g) < 2:
-            return pd.DataFrame({
-                "key_a": np.array([], dtype=ks.dtype),
-                "key_b": np.array([], dtype=ks.dtype),
-                "cosine": np.array([], dtype=np.float64)})
-        order = np.argsort(ks, kind="stable")
-        ks = ks[order]
-        V = np.stack(g["vec"].values)[order]
-        sims = V @ V.T
-        ia, ib = np.triu_indices(len(ks), k=1)
-        m = sims[ia, ib] >= threshold
-        return pd.DataFrame({"key_a": ks[ia[m]], "key_b": ks[ib[m]],
-                             "cosine": sims[ia[m], ib[m]]})
+    def bucket_dups(g: pa.Table) -> pa.Table:
+        seg = g["seg"].to_numpy(zero_copy_only=False)
+        key = g[key_col].to_numpy(zero_copy_only=False)
+        V = _list_col_to_matrix(g["vec"])
+        order = np.lexsort((key, seg))
+        seg, key, V = seg[order], key[order], V[order]
+        ia, ib = _emit_segment_pairs(seg, [key], max_bucket)
+        kt = g[key_col].type
+        if len(ia) == 0:
+            return pa.table({"key_a": pa.array([], kt),
+                             "key_b": pa.array([], kt),
+                             "cosine": pa.array([], pa.float64())})
+        cos = np.einsum("ij,ij->i", V[ia], V[ib])
+        m = cos >= threshold
+        return pa.table({
+            "key_a": pa.array(key[ia[m]], type=kt),
+            "key_b": pa.array(key[ib[m]], type=kt),
+            "cosine": pa.array(np.round(cos[m], 9), pa.float64()),
+        })
 
-    return bucketed.groupby("bucket").map_groups(
-        bucket_dups, batch_format="pandas")
+    pairs = segged.groupby(_BUCKET_COL).map_groups(bucket_dups,
+                                                   batch_format="pyarrow")
+    return dedup_pairs(pairs)

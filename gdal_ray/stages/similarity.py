@@ -116,10 +116,25 @@ class CosineThresholdJoiner:
         })
 
 
+MAX_SELF_JOIN_ROWS = 2_000_000
+
+
 def cosine_threshold_self_join(ds, threshold: float = 0.3,
                                key_col: str = "vec_id",
-                               vec_col: str = "embedding", concurrency=None):
-    """Exact all-pairs cosine ≥ threshold (key_a < key_b)."""
+                               vec_col: str = "embedding", concurrency=None,
+                               max_rows: int = MAX_SELF_JOIN_ROWS):
+    """Exact all-pairs cosine ≥ threshold (key_a < key_b).
+
+    TEST ORACLE, not a production path: it broadcasts the full
+    normalized matrix to every worker (O(N·dim) driver + per-actor
+    memory).  ``max_rows`` fences it — use `embedding_near_dup_pairs`
+    (banded hyperplane LSH) for corpora beyond the fence."""
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_threshold_self_join is the exact test oracle and "
+            f"materializes all {n} rows (> max_rows={max_rows}); use "
+            f"embedding_near_dup_pairs for production-scale near-dup")
     tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
     keys = tbl[key_col].to_numpy(zero_copy_only=False)
     mat = _to_matrix(tbl[vec_col])
