@@ -1,0 +1,151 @@
+"""Polygon clipping kernels for layer algebra — pure numpy.
+
+Re-expresses the geometric core of OGR's layer-algebra methods
+(Intersection/Union/SymDifference/Update/Clip/Erase,
+ogr/ogrsf_frmts/generic/ogrlayer.cpp:5385-7188 — there delegated to
+GEOS boolean ops) with from-scratch kernels:
+
+- `sh_clip`: Sutherland–Hodgman polygon clipping.  Exact for any
+  SIMPLE subject polygon against a CONVEX clip polygon: the subject is
+  clipped successively against each clip half-plane.  A concave
+  subject split into several components by the clip comes back as one
+  ring with degenerate connecting edges — its shoelace area is still
+  exactly the intersection area.
+- `convex_difference_pieces`: subject minus a convex clip as a list of
+  DISJOINT convex-corner pieces, via the standard half-plane
+  decomposition: piece_i = subject ∩ outside(e_i) ∩ inside(e_0..e_i-1).
+  The pieces partition subject\\clip exactly (no overlap, no gap).
+- `difference_many`: subject minus a SEQUENCE of convex clips
+  (successive decomposition) — the kernel behind Erase/Update and the
+  leftover features of Union/SymDifference/Identity.
+
+The method (clip) layer must be convex polygons; the reference has no
+such restriction (GEOS) — decompose concave method features upstream.
+All coordinates float64; `EPS` guards orientation/degeneracy tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPS = 1e-9
+
+
+def _open_ring(ring: np.ndarray) -> np.ndarray:
+    """Drop a repeated closing vertex if present."""
+    ring = np.asarray(ring, dtype=np.float64)
+    if len(ring) >= 2 and np.allclose(ring[0], ring[-1]):
+        ring = ring[:-1]
+    return ring
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Shoelace area (positive for CCW) of an open ring."""
+    r = _open_ring(ring)
+    if len(r) < 3:
+        return 0.0
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def ensure_ccw(ring: np.ndarray) -> np.ndarray:
+    r = _open_ring(ring)
+    return r[::-1] if ring_area(r) < 0 else r
+
+
+def _clip_halfplane(pts: np.ndarray, a: np.ndarray, b: np.ndarray,
+                    keep_left: bool = True) -> np.ndarray:
+    """One Sutherland–Hodgman pass: keep the part of polygon ``pts``
+    on the left (or right) side of the directed line a→b."""
+    n = len(pts)
+    if n == 0:
+        return pts
+    d = b - a
+    cross = d[0] * (pts[:, 1] - a[1]) - d[1] * (pts[:, 0] - a[0])
+    if not keep_left:
+        cross = -cross
+    inside = cross >= -EPS
+    if inside.all():
+        return pts
+    if not inside.any():
+        return pts[:0]
+    out = []
+    for i in range(n):
+        j = (i + 1) % n
+        p, q = pts[i], pts[j]
+        ci, cj = cross[i], cross[j]
+        if inside[i]:
+            out.append(p)
+        if inside[i] != inside[j]:
+            # edge crosses the line: parameter where cross == 0
+            t = ci / (ci - cj)
+            out.append(p + t * (q - p))
+    return np.asarray(out, dtype=np.float64).reshape(-1, 2)
+
+
+def _dedupe_ring(pts: np.ndarray) -> np.ndarray:
+    """Remove consecutive (near-)duplicate vertices."""
+    if len(pts) < 2:
+        return pts
+    keep = np.r_[True, np.any(np.abs(np.diff(pts, axis=0)) > EPS, axis=1)]
+    pts = pts[keep]
+    if len(pts) >= 2 and np.all(np.abs(pts[0] - pts[-1]) <= EPS):
+        pts = pts[:-1]
+    return pts
+
+
+def sh_clip(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """subject ∩ clip (clip CONVEX).  Returns an open CCW ring; empty
+    array (0,2) when the intersection has no area."""
+    out = ensure_ccw(subject)
+    cl = ensure_ccw(clip)
+    m = len(cl)
+    for i in range(m):
+        out = _clip_halfplane(out, cl[i], cl[(i + 1) % m], keep_left=True)
+        if len(out) == 0:
+            break
+    out = _dedupe_ring(out)
+    return out if abs(ring_area(out)) > EPS else out[:0]
+
+
+def convex_difference_pieces(subject: np.ndarray,
+                             clip: np.ndarray) -> list[np.ndarray]:
+    """subject \\ clip as a list of disjoint open CCW rings.
+
+    piece_i = subject ∩ outside(edge_i) ∩ inside(edge_0..edge_{i-1});
+    the half-plane wedges partition the complement of the convex clip,
+    so the pieces partition the difference exactly."""
+    subj = ensure_ccw(subject)
+    cl = ensure_ccw(clip)
+    m = len(cl)
+    pieces = []
+    inside_so_far = subj
+    for i in range(m):
+        a, b = cl[i], cl[(i + 1) % m]
+        piece = _clip_halfplane(inside_so_far, a, b, keep_left=False)
+        piece = _dedupe_ring(piece)
+        if abs(ring_area(piece)) > EPS:
+            pieces.append(piece)
+        inside_so_far = _clip_halfplane(inside_so_far, a, b, keep_left=True)
+        if len(inside_so_far) == 0:
+            break
+    return pieces
+
+
+def difference_many(subject: np.ndarray,
+                    clips: list[np.ndarray]) -> list[np.ndarray]:
+    """subject minus every polygon in ``clips`` (each convex), as
+    disjoint pieces: successive application of the piece decomposition."""
+    pieces = [ensure_ccw(subject)]
+    for cl in clips:
+        nxt: list[np.ndarray] = []
+        for p in pieces:
+            nxt.extend(convex_difference_pieces(p, cl))
+        pieces = nxt
+        if not pieces:
+            break
+    return pieces
+
+
+def pieces_area(pieces: list[np.ndarray]) -> float:
+    return float(sum(abs(ring_area(p)) for p in pieces))

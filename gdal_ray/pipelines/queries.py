@@ -1038,6 +1038,185 @@ def q_checkpoint_partitioned(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+# --- polygon×polygon layer algebra ------------------------------------------
+# OGR layer methods with REAL clipped geometry (ogrlayer.cpp:5385-7188;
+# autotest/ogr/ogr_layer_algebra.py semantics).  Fixture: the 4 box
+# zones (input layer) × a deterministic 3×2 grid (method layer).  The
+# diamond zone is excluded here because its clipped areas are not
+# SQL-expressible; the diamond path is golden-tested in
+# tests/test_layer_algebra.py.
+
+_GRID_BOXES = [
+    (0, "g00", -150.0, -50.0, -50.0, 4.0),
+    (1, "g10", -50.0, -50.0, 50.0, 4.0),
+    (2, "g20", 50.0, -50.0, 150.0, 4.0),
+    (3, "g01", -150.0, 4.0, -50.0, 58.0),
+    (4, "g11", -50.0, 4.0, 50.0, 58.0),
+    (5, "g21", 50.0, 4.0, 150.0, 58.0),
+]
+
+
+def grid_table() -> pa.Table:
+    return pa.table({
+        "grid_id": pa.array([g[0] for g in _GRID_BOXES], pa.int32()),
+        "gname": pa.array([g[1] for g in _GRID_BOXES], pa.string()),
+        "geometry": pa.array(
+            [_wkb.box_polygon(x0, y0, x1, y1)
+             for _, _, x0, y0, x1, y1 in _GRID_BOXES], pa.binary()),
+    })
+
+
+def _box_zones_ds():
+    t = zone_table()
+    return rd.from_arrow(t.filter(pc.less(t["poly_id"], 4)))
+
+
+_ALG_SQL_BASE = """
+    boxes(poly_id, minx, miny, maxx, maxy) AS (VALUES
+        (0,-180.0025,-60.0025,-90.0025,0.0025),
+        (1,-90.0025,0.0025,0.0025,60.0025),
+        (2,0.0025,-30.0025,90.0025,30.0025),
+        (3,90.0025,30.0025,180.0025,69.0025)),
+    grid(grid_id, gminx, gminy, gmaxx, gmaxy) AS (VALUES
+        (0,-150.0,-50.0,-50.0,4.0),
+        (1,-50.0,-50.0,50.0,4.0),
+        (2,50.0,-50.0,150.0,4.0),
+        (3,-150.0,4.0,-50.0,58.0),
+        (4,-50.0,4.0,50.0,58.0),
+        (5,50.0,4.0,150.0,58.0)),
+    inter AS (
+        SELECT b.poly_id, g.grid_id,
+               greatest(b.minx, g.gminx) AS ix0,
+               greatest(b.miny, g.gminy) AS iy0,
+               least(b.maxx, g.gmaxx) AS ix1,
+               least(b.maxy, g.gmaxy) AS iy1
+        FROM boxes b, grid g
+        WHERE least(b.maxx, g.gmaxx) > greatest(b.minx, g.gminx)
+          AND least(b.maxy, g.gmaxy) > greatest(b.miny, g.gminy)),
+    barea AS (SELECT poly_id, (maxx-minx)*(maxy-miny) AS area FROM boxes),
+    garea AS (SELECT grid_id, (gmaxx-gminx)*(gmaxy-gminy) AS area
+              FROM grid),
+    icov AS (SELECT poly_id, sum((ix1-ix0)*(iy1-iy0)) AS cov FROM inter
+             GROUP BY poly_id),
+    gcov AS (SELECT grid_id, sum((ix1-ix0)*(iy1-iy0)) AS cov FROM inter
+             GROUP BY grid_id)
+"""
+
+
+def _wkb_bbox(blob: bytes) -> tuple[float, float, float, float]:
+    g = _wkb.decode(blob)
+    rings = g["coordinates"] if g["type"] == "Polygon" else \
+        [r for poly in g["coordinates"] for r in poly]
+    pts = np.vstack(rings)
+    return (pts[:, 0].min(), pts[:, 1].min(),
+            pts[:, 0].max(), pts[:, 1].max())
+
+
+def _q8(v) -> int:
+    # 1e8 quantum: the fixture coords have 4 decimals, so true areas and
+    # coords are exact 8-decimal values -> integral at 1e8; engine float
+    # error (~1e-9) stays far from any rounding boundary (1e6 landed
+    # exactly on .5 -> numpy banker's vs DuckDB half-up mismatch)
+    return int(np.round(v * 100_000_000))
+
+
+def _alg_ds(operation: str):
+    from ..stages.layer_algebra import layer_algebra
+
+    return layer_algebra(_box_zones_ds(), grid_table(), operation,
+                         input_schema_table=zone_table().slice(0, 0))
+
+
+def _alg_merged_rows(operation: str, with_bbox: bool = False):
+    from ..geom.ops import wkb_area
+
+    def finish(b: pa.Table) -> pa.Table:
+        geoms = b["geometry"].to_pylist()
+        cols = {
+            "poly_id": pc.cast(b["poly_id"], pa.int32()) if "poly_id"
+            in b.column_names else None,
+            "grid_id": pc.cast(b["grid_id"], pa.int32()) if "grid_id"
+            in b.column_names else None,
+        }
+        out = {k: v for k, v in cols.items() if v is not None}
+        out["area_q8"] = pa.array([_q8(wkb_area(g)) for g in geoms],
+                                     pa.int64())
+        if with_bbox:
+            bbs = [_wkb_bbox(g) for g in geoms]
+            for i, name in enumerate(("minx_q8", "miny_q8",
+                                      "maxx_q8", "maxy_q8")):
+                out[name] = pa.array([_q8(bb[i]) for bb in bbs],
+                                     pa.int64())
+        return pa.table(out)
+
+    return _alg_ds(operation).map_batches(finish, batch_format="pyarrow")
+
+
+def q_poly_intersection(sf_dir: str):
+    """Layer Intersection with clipped polygon geometry: area + bbox of
+    every (zone, grid) piece (ogrlayer.cpp:5565)."""
+    return _alg_merged_rows("intersection", with_bbox=True)
+
+
+def q_poly_union(sf_dir: str):
+    """Layer Union: intersection pieces + input leftovers + method
+    leftovers (ogrlayer.cpp:5803)."""
+    return _alg_merged_rows("union")
+
+
+def q_poly_identity(sf_dir: str):
+    """Layer Identity: intersection pieces + input leftovers
+    (ogrlayer.cpp:6770)."""
+    return _alg_merged_rows("identity")
+
+
+def q_poly_symdiff(sf_dir: str):
+    """Layer SymDifference: both leftovers, no intersection pieces
+    (ogrlayer.cpp:6340)."""
+    return _alg_merged_rows("symdifference")
+
+
+def q_poly_clip(sf_dir: str):
+    """Layer Clip: input ∩ union(method), input schema
+    (ogrlayer.cpp:6983)."""
+    from ..geom.ops import wkb_area
+
+    return _alg_ds("clip").map_batches(
+        lambda b: pa.table({
+            "poly_id": pc.cast(b["poly_id"], pa.int32()),
+            "area_q8": pa.array(
+                [_q8(wkb_area(g)) for g in b["geometry"].to_pylist()],
+                pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_poly_erase(sf_dir: str):
+    """Layer Erase: input \\ union(method) (ogrlayer.cpp:7105)."""
+    from ..geom.ops import wkb_area
+
+    return _alg_ds("erase").map_batches(
+        lambda b: pa.table({
+            "poly_id": pc.cast(b["poly_id"], pa.int32()),
+            "area_q8": pa.array(
+                [_q8(wkb_area(g)) for g in b["geometry"].to_pylist()],
+                pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_poly_update(sf_dir: str):
+    """Layer Update: input \\ method + the method features themselves
+    (input schema, ogrlayer.cpp:7188)."""
+    from ..geom.ops import wkb_area
+
+    return _alg_ds("update").map_batches(
+        lambda b: pa.table({
+            "poly_id": pc.cast(b["poly_id"], pa.int32()),
+            "area_q8": pa.array(
+                [_q8(wkb_area(g)) for g in b["geometry"].to_pylist()],
+                pa.int64())}),
+        batch_format="pyarrow")
+
+
 # --- registry --------------------------------------------------------------
 
 
@@ -1097,6 +1276,97 @@ QUERIES = {
     "contour_segments": q_contour_segments,
     "media_frame_sample": q_media_frame_sample,
     "media_decode_embed": q_media_decode_embed,
+    "poly_intersection": q_poly_intersection,
+    "poly_union": q_poly_union,
+    "poly_identity": q_poly_identity,
+    "poly_symdiff": q_poly_symdiff,
+    "poly_clip": q_poly_clip,
+    "poly_erase": q_poly_erase,
+    "poly_update": q_poly_update,
+}
+
+
+_ALG_INTER_SQL = """
+        SELECT poly_id, grid_id,
+               CAST(round((ix1-ix0)*(iy1-iy0)*100000000, 0) AS BIGINT)
+                   AS area_q8
+        FROM inter
+"""
+
+_ALG_IN_LEFT_SQL = """
+        SELECT b.poly_id, NULL AS grid_id,
+               CAST(round((a.area - COALESCE(c.cov, 0))*100000000, 0)
+                    AS BIGINT) AS area_q8
+        FROM boxes b JOIN barea a USING (poly_id)
+        LEFT JOIN icov c USING (poly_id)
+        WHERE a.area - COALESCE(c.cov, 0) > 1e-9
+"""
+
+_ALG_M_LEFT_SQL = """
+        SELECT NULL AS poly_id, g.grid_id,
+               CAST(round((a.area - COALESCE(c.cov, 0))*100000000, 0)
+                    AS BIGINT) AS area_q8
+        FROM grid g JOIN garea a USING (grid_id)
+        LEFT JOIN gcov c USING (grid_id)
+        WHERE a.area - COALESCE(c.cov, 0) > 1e-9
+"""
+
+_ALG_ORACLES = {
+    "poly_intersection": f"""
+        WITH {_ALG_SQL_BASE}
+        SELECT poly_id, grid_id,
+               CAST(round((ix1-ix0)*(iy1-iy0)*100000000, 0) AS BIGINT)
+                   AS area_q8,
+               CAST(round(ix0*100000000, 0) AS BIGINT) AS minx_q8,
+               CAST(round(iy0*100000000, 0) AS BIGINT) AS miny_q8,
+               CAST(round(ix1*100000000, 0) AS BIGINT) AS maxx_q8,
+               CAST(round(iy1*100000000, 0) AS BIGINT) AS maxy_q8
+        FROM inter
+    """,
+    "poly_union": f"""
+        WITH {_ALG_SQL_BASE}
+        {_ALG_INTER_SQL}
+        UNION ALL {_ALG_IN_LEFT_SQL}
+        UNION ALL {_ALG_M_LEFT_SQL}
+    """,
+    "poly_identity": f"""
+        WITH {_ALG_SQL_BASE}
+        {_ALG_INTER_SQL}
+        UNION ALL {_ALG_IN_LEFT_SQL}
+    """,
+    "poly_symdiff": f"""
+        WITH {_ALG_SQL_BASE}
+        {_ALG_IN_LEFT_SQL}
+        UNION ALL {_ALG_M_LEFT_SQL}
+    """,
+    "poly_clip": f"""
+        WITH {_ALG_SQL_BASE}
+        SELECT poly_id,
+               CAST(round(c.cov*100000000, 0) AS BIGINT) AS area_q8
+        FROM icov c
+    """,
+    "poly_erase": f"""
+        WITH {_ALG_SQL_BASE}
+        SELECT b.poly_id,
+               CAST(round((a.area - COALESCE(c.cov, 0))*100000000, 0)
+                    AS BIGINT) AS area_q8
+        FROM boxes b JOIN barea a USING (poly_id)
+        LEFT JOIN icov c USING (poly_id)
+        WHERE a.area - COALESCE(c.cov, 0) > 1e-9
+    """,
+    "poly_update": f"""
+        WITH {_ALG_SQL_BASE}
+        SELECT b.poly_id,
+               CAST(round((a.area - COALESCE(c.cov, 0))*100000000, 0)
+                    AS BIGINT) AS area_q8
+        FROM boxes b JOIN barea a USING (poly_id)
+        LEFT JOIN icov c USING (poly_id)
+        WHERE a.area - COALESCE(c.cov, 0) > 1e-9
+        UNION ALL
+        SELECT NULL AS poly_id,
+               CAST(round(a.area*100000000, 0) AS BIGINT) AS area_q8
+        FROM garea a
+    """,
 }
 
 
@@ -1451,3 +1721,5 @@ ORACLES = {
         CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) f
     """,
 }
+
+ORACLES.update(_ALG_ORACLES)

@@ -1,0 +1,401 @@
+"""Polygon×polygon layer algebra — OGR layer-method semantics on Ray.
+
+Re-expresses OGR_L_Intersection / Clip / Erase / Identity / Union /
+Update / SymDifference (ogr/ogrsf_frmts/generic/ogrlayer.cpp:5385-7188)
+for POLYGON inputs with REAL clipped geometry (round 1 only handled
+point payloads).  The geometric kernels are `geom.clip` (Sutherland–
+Hodgman + disjoint difference decomposition; method features must be
+convex — decompose concave method polygons upstream).
+
+Distribution model (the same as the point spatial join): the INPUT
+layer is the distributed Dataset; the METHOD layer is the small side,
+broadcast once via ``ray.put``.  Per-feature work is bbox-prefiltered.
+The method-leftover features of Union/SymDifference need each method
+feature diffed against EVERY input feature that touches it, a
+reduction over the distributed side — implemented as candidate rows
+(method_idx, input ring) shuffled by ``groupby(method_idx)``, so each
+method feature's difference runs in one task wherever its candidates
+land (partitioning assumption: one method feature's intersecting
+input features fit one task — spatial locality bounds this).
+
+Overlapping METHOD features are handled exactly: piece_j of Clip is
+(input ∩ m_j) \\ (m_0..m_{j-1}), so coverage is counted once
+(UnaryUnion(method) semantics, ogrlayer.cpp:5440-5470).  Overlapping
+INPUT features are per-feature independent, as in OGR.
+
+Schema rule = `spatial_join.merge_schemas` (set_result_schema,
+ogrlayer.cpp:5117-5199): input fields then method fields, collisions
+prefixed input_/method_.  PROMOTE_TO_MULTI: multi-piece results are
+MULTIPOLYGON; single pieces stay POLYGON unless ``promote_to_multi``.
+KEEP_LOWER_DIMENSION_GEOMETRIES (ogrlayer.cpp:5580-5588): when on,
+zero-area boundary contacts are emitted as LINESTRING/POINT rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..geom import clip as _clip
+from ..geom import wkb as _wkb
+from ._pool import autoscale as _autoscale
+from .spatial_join import merge_schemas
+
+_OPS = ("intersection", "clip", "erase", "identity", "union", "update",
+        "symdifference")
+
+
+def _outer_ring(blob: bytes) -> np.ndarray:
+    g = _wkb.decode(blob)
+    if g["type"] == "MultiPolygon":
+        if len(g["coordinates"]) != 1:
+            raise NotImplementedError(
+                "multi-part layer-algebra inputs: explode first")
+        rings = g["coordinates"][0]
+    elif g["type"] == "Polygon":
+        rings = g["coordinates"]
+    else:
+        raise ValueError(f"layer algebra needs polygons, got {g['type']}")
+    if len(rings) != 1:
+        raise NotImplementedError("polygons with holes not supported")
+    return _clip.ensure_ccw(np.asarray(rings[0], dtype=np.float64))
+
+
+def _pieces_wkb(pieces: list[np.ndarray], promote: bool) -> bytes:
+    closed = [[np.vstack([p, p[:1]])] for p in pieces]
+    if len(closed) == 1 and not promote:
+        return _wkb.encode_polygon(closed[0])
+    return _wkb.encode_multipolygon(closed)
+
+
+def _lower_dim_wkb(ring: np.ndarray) -> bytes | None:
+    """Degenerate (zero-area) clip result → LINESTRING / POINT WKB."""
+    if len(ring) >= 2:
+        return _wkb.encode_linestring(ring)
+    if len(ring) == 1:
+        return _wkb.encode_point(float(ring[0, 0]), float(ring[0, 1]))
+    return None
+
+
+class _MethodLayer:
+    """Broadcast-side decode: rings + bboxes, done once per actor."""
+
+    def __init__(self, table: pa.Table, geometry_col: str):
+        self.table = table
+        self.rings = [_outer_ring(b)
+                      for b in table[geometry_col].to_pylist()]
+        self.bboxes = np.array(
+            [[r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()]
+             for r in self.rings]).reshape(-1, 4)
+
+    def candidates(self, ring: np.ndarray) -> np.ndarray:
+        bb = (ring[:, 0].min(), ring[:, 1].min(),
+              ring[:, 0].max(), ring[:, 1].max())
+        b = self.bboxes
+        hit = ((b[:, 0] <= bb[2]) & (b[:, 2] >= bb[0])
+               & (b[:, 1] <= bb[3]) & (b[:, 3] >= bb[1]))
+        return np.flatnonzero(hit)
+
+
+class LayerAlgebra:
+    """Actor callable: input polygon-feature batches → result rows."""
+
+    def __init__(self, method_ref, operation: str,
+                 geometry_col: str = "geometry",
+                 input_prefix: str = "input_",
+                 method_prefix: str = "method_",
+                 promote_to_multi: bool = False,
+                 keep_lower_dims: bool = False):
+        if operation not in _OPS:
+            raise ValueError(f"operation must be one of {_OPS}")
+        tbl = ray.get(method_ref) \
+            if isinstance(method_ref, ray.ObjectRef) else method_ref
+        self.method = _MethodLayer(tbl, geometry_col)
+        self.operation = operation
+        self.geometry_col = geometry_col
+        self.input_prefix, self.method_prefix = input_prefix, method_prefix
+        self.promote = promote_to_multi
+        self.keep_lower = keep_lower_dims
+
+    # --- output assembly ---------------------------------------------------
+
+    def _merged_table(self, batch: pa.Table, in_rows: list[int],
+                      m_rows: list[int | None],
+                      geoms: list[bytes]) -> pa.Table:
+        out_in, out_m = merge_schemas(batch, self.method.table,
+                                      self.geometry_col,
+                                      self.input_prefix, self.method_prefix)
+        cols, names = [], []
+        take_in = pa.array(in_rows, pa.int64())
+        for src, dst in out_in:
+            if src == self.geometry_col:
+                continue
+            cols.append(batch[src].take(take_in))
+            names.append(dst)
+        mt = self.method.table
+        # method rows: None → null (leftover / unmatched rows)
+        m_idx = pa.array([r if r is not None else None for r in m_rows],
+                         pa.int64())
+        for src, dst in out_m:
+            cols.append(mt[src].take(m_idx))
+            names.append(dst)
+        cols.append(pa.array(geoms, pa.binary()))
+        names.append(self.geometry_col)
+        return pa.table(dict(zip(names, cols)))
+
+    def _input_table(self, batch: pa.Table, in_rows: list[int],
+                     geoms: list[bytes]) -> pa.Table:
+        take_in = pa.array(in_rows, pa.int64())
+        cols, names = [], []
+        for c in batch.column_names:
+            if c == self.geometry_col:
+                continue
+            cols.append(batch[c].take(take_in))
+            names.append(c)
+        cols.append(pa.array(geoms, pa.binary()))
+        names.append(self.geometry_col)
+        return pa.table(dict(zip(names, cols)))
+
+    # --- per-operation row emission ---------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        op = self.operation
+        rings = [_outer_ring(b)
+                 for b in batch[self.geometry_col].to_pylist()]
+        if op in ("intersection", "identity", "union"):
+            return self._pairwise(batch, rings,
+                                  with_leftover=op in ("identity", "union"))
+        if op in ("clip",):
+            return self._coverage(batch, rings, keep="inside")
+        if op in ("erase", "update"):
+            return self._coverage(batch, rings, keep="outside")
+        if op == "symdifference":
+            return self._symdiff_input_side(batch, rings)
+        raise AssertionError(op)
+
+    def _pairwise(self, batch, rings, with_leftover: bool):
+        in_rows: list[int] = []
+        m_rows: list[int | None] = []
+        geoms: list[bytes] = []
+        for i, ring in enumerate(rings):
+            cands = self.method.candidates(ring)
+            covered: list[np.ndarray] = []
+            for mi in cands:
+                piece = _clip.sh_clip(ring, self.method.rings[mi])
+                if len(piece):
+                    in_rows.append(i)
+                    m_rows.append(int(mi))
+                    geoms.append(_pieces_wkb([piece], self.promote))
+                    covered.append(self.method.rings[mi])
+                elif self.keep_lower:
+                    raw = self._boundary_contact(ring, self.method.rings[mi])
+                    if raw is not None:
+                        in_rows.append(i)
+                        m_rows.append(int(mi))
+                        geoms.append(raw)
+            if with_leftover:
+                left = _clip.difference_many(
+                    ring, [self.method.rings[mi] for mi in cands])
+                if left:
+                    in_rows.append(i)
+                    m_rows.append(None)
+                    geoms.append(_pieces_wkb(left, self.promote))
+        return self._merged_table(batch, in_rows, m_rows, geoms)
+
+    def _boundary_contact(self, ring, mring) -> bytes | None:
+        """KEEP_LOWER_DIMENSION_GEOMETRIES: the degenerate (pre-area-
+        filter) Sutherland–Hodgman output, as LINESTRING/POINT."""
+        out = _clip.ensure_ccw(ring)
+        m = _clip.ensure_ccw(mring)
+        k = len(m)
+        for i in range(k):
+            out = _clip._clip_halfplane(out, m[i], m[(i + 1) % k])
+            if len(out) == 0:
+                return None
+        out = _clip._dedupe_ring(out)
+        if len(out) == 0 or abs(_clip.ring_area(out)) > _clip.EPS:
+            return None
+        return _lower_dim_wkb(out)
+
+    def _coverage(self, batch, rings, keep: str):
+        """clip: input ∩ union(method); erase/update input side:
+        input \\ union(method) — one output row per surviving input."""
+        in_rows: list[int] = []
+        geoms: list[bytes] = []
+        for i, ring in enumerate(rings):
+            cands = self.method.candidates(ring)
+            mrings = [self.method.rings[mi] for mi in cands]
+            if keep == "inside":
+                pieces = []
+                for j, mr in enumerate(mrings):
+                    piece = _clip.sh_clip(ring, mr)
+                    if len(piece):
+                        # subtract earlier method polys: UnaryUnion
+                        # semantics when method features overlap
+                        pieces.extend(_clip.difference_many(
+                            piece, mrings[:j]))
+                if not pieces:
+                    continue
+            else:
+                pieces = _clip.difference_many(ring, mrings)
+                if not pieces:
+                    continue
+            in_rows.append(i)
+            geoms.append(_pieces_wkb(pieces, self.promote))
+        return self._input_table(batch, in_rows, geoms)
+
+    def _symdiff_input_side(self, batch, rings):
+        """SymDifference input half: input \\ union(method), merged
+        schema with method fields null (method half comes from
+        `method_leftovers`)."""
+        in_rows: list[int | None] = []
+        geoms: list[bytes] = []
+        for i, ring in enumerate(rings):
+            cands = self.method.candidates(ring)
+            pieces = _clip.difference_many(
+                ring, [self.method.rings[mi] for mi in cands])
+            if pieces:
+                in_rows.append(i)
+                geoms.append(_pieces_wkb(pieces, self.promote))
+        return self._merged_table(batch, in_rows, [None] * len(in_rows),
+                                  geoms)
+
+
+class _CandidateEmitter:
+    """input features → (method_idx, input ring wkb) candidate rows,
+    the shuffle feed for `method_leftovers`."""
+
+    def __init__(self, method_ref, geometry_col: str):
+        tbl = ray.get(method_ref) \
+            if isinstance(method_ref, ray.ObjectRef) else method_ref
+        self.method = _MethodLayer(tbl, geometry_col)
+        self.geometry_col = geometry_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        midx: list[int] = []
+        rwkb: list[bytes] = []
+        for blob in batch[self.geometry_col].to_pylist():
+            ring = _outer_ring(blob)
+            for mi in self.method.candidates(ring):
+                midx.append(int(mi))
+                rwkb.append(blob)
+        return pa.table({
+            "method_idx": pa.array(midx, pa.int32()),
+            "input_wkb": pa.array(rwkb, pa.binary()),
+        })
+
+
+def method_leftovers(input_ds, method_table: pa.Table, method_ref,
+                     geometry_col: str = "geometry",
+                     promote_to_multi: bool = False,
+                     merged_with=None, input_prefix: str = "input_",
+                     method_prefix: str = "method_", concurrency=None):
+    """method features minus union(input) — the method-side rows of
+    Union / SymDifference (ogrlayer.cpp:5803, 6340).
+
+    One exchange keyed on method_idx; per group, the method ring is
+    diffed against every gathered input ring.  ``merged_with`` (the
+    input-side schema table) makes the output schema match the
+    pair/leftover rows so the two datasets union cleanly."""
+    cands = input_ds.map_batches(
+        _CandidateEmitter,
+        fn_constructor_kwargs=dict(method_ref=method_ref,
+                                   geometry_col=geometry_col),
+        batch_format="pyarrow", concurrency=_autoscale(concurrency))
+
+    mt = method_table
+    schema_cols: list[tuple[str, str]] = []
+    if merged_with is not None:
+        out_in, out_m = merge_schemas(merged_with, mt, geometry_col,
+                                      input_prefix, method_prefix)
+        schema_cols = [(src, dst) for src, dst in out_in
+                       if src != geometry_col]
+        m_cols = [(src, dst) for src, dst in out_m]
+    else:
+        m_cols = [(c, c) for c in mt.column_names if c != geometry_col]
+    in_types = {src: merged_with.schema.field(src).type
+                for src, _ in schema_cols} if merged_with is not None else {}
+
+    def per_method(g: pa.Table) -> pa.Table:
+        mi = int(g["method_idx"][0].as_py())
+        mring = _outer_ring(mt[geometry_col][mi].as_py())
+        wkbs = [w for w in g["input_wkb"].to_pylist() if w is not None]
+        in_rings = [_outer_ring(b) for b in dict.fromkeys(wkbs)]
+        # method ring is the subject; the (convex) input rings clip it
+        # (no candidates → passes through whole, difference vs [])
+        pieces = _clip.difference_many(mring, in_rings)
+        n = 1 if pieces else 0
+        cols, names = [], []
+        for src, dst in schema_cols:
+            cols.append(pa.nulls(n, in_types[src]))
+            names.append(dst)
+        for src, dst in m_cols:
+            cols.append(mt[src].take(pa.array([mi] * n, pa.int64())))
+            names.append(dst)
+        cols.append(pa.array(
+            [_pieces_wkb(pieces, promote_to_multi)] if n else [],
+            pa.binary()))
+        names.append(geometry_col)
+        return pa.table(dict(zip(names, cols)))
+
+    # method features with NO candidate rows must still pass through
+    # whole: a null-wkb sentinel per method feature guarantees a group
+    all_m = pa.table({
+        "method_idx": pa.array(np.arange(len(mt), dtype=np.int32)),
+        "input_wkb": pa.array([None] * len(mt), pa.binary()),
+    })
+    import ray.data as rd
+    full = cands.union(rd.from_arrow(all_m))
+    return full.groupby("method_idx").map_groups(per_method,
+                                                 batch_format="pyarrow")
+
+
+def layer_algebra(input_ds, method_table: pa.Table, operation: str,
+                  geometry_col: str = "geometry",
+                  promote_to_multi: bool = False,
+                  keep_lower_dims: bool = False,
+                  input_schema_table: pa.Table | None = None,
+                  concurrency=None):
+    """Full OGR layer-method dispatch.  ``input_schema_table``: an
+    empty/sample arrow table with the input schema (needed by
+    union/symdifference to null-fill input fields on method-side rows;
+    defaults to a zero-row schema probe of ``input_ds``)."""
+    ref = ray.put(method_table)
+    base = input_ds.map_batches(
+        LayerAlgebra,
+        fn_constructor_kwargs=dict(
+            method_ref=ref, operation=operation, geometry_col=geometry_col,
+            promote_to_multi=promote_to_multi,
+            keep_lower_dims=keep_lower_dims),
+        batch_format="pyarrow", concurrency=_autoscale(concurrency))
+    if operation in ("union", "symdifference"):
+        if input_schema_table is None:
+            sch = input_ds.schema().base_schema
+            input_schema_table = sch.empty_table()
+        m_left = method_leftovers(
+            input_ds, method_table, ref, geometry_col,
+            promote_to_multi=promote_to_multi,
+            merged_with=input_schema_table, concurrency=concurrency)
+        base = base.union(m_left)
+    if operation == "update":
+        # Update appends the method features themselves (input schema,
+        # fields matched by name — ogrlayer.cpp:7188)
+        import ray.data as rd
+        if input_schema_table is None:
+            sch = input_ds.schema().base_schema
+            input_schema_table = sch.empty_table()
+        cols, names = [], []
+        for f in input_schema_table.schema:
+            names.append(f.name)
+            if f.name == geometry_col:
+                cols.append(method_table[geometry_col]
+                            .combine_chunks().cast(pa.binary()))
+            elif f.name in method_table.column_names:
+                cols.append(method_table[f.name].combine_chunks()
+                            .cast(f.type))
+            else:
+                cols.append(pa.nulls(len(method_table), f.type))
+        base = base.union(rd.from_arrow(pa.table(dict(zip(names, cols)))))
+    return base

@@ -1,0 +1,199 @@
+"""Polygon×polygon layer algebra goldens.
+
+Mirrors autotest/ogr/ogr_layer_algebra.py's fixture style: tiny layers
+with hand-computable expected areas/geometries for every operation,
+plus kernel-level invariants (piece disjointness, area conservation)
+the reference gets for free from GEOS."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gdal_ray.geom import wkb as _wkb
+from gdal_ray.geom.clip import (
+    convex_difference_pieces,
+    difference_many,
+    pieces_area,
+    ring_area,
+    sh_clip,
+)
+from gdal_ray.geom.ops import wkb_area
+from gdal_ray.stages.layer_algebra import layer_algebra
+
+
+def _box(x0, y0, x1, y1):
+    return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1)], float)
+
+
+def _box_wkb(x0, y0, x1, y1):
+    return _wkb.box_polygon(x0, y0, x1, y1)
+
+
+# --- kernel ---------------------------------------------------------------
+
+
+def test_sh_clip_rect_rect():
+    out = sh_clip(_box(0, 0, 10, 10), _box(5, 5, 15, 15))
+    assert ring_area(out) == pytest.approx(25.0, abs=1e-12)
+
+
+def test_sh_clip_diamond_box():
+    r = 4.0
+    dia = np.array([(r, 0), (0, r), (-r, 0), (0, -r)], float)
+    # right half of the diamond: area = r*r (half of 2r^2)
+    out = sh_clip(dia, _box(0, -10, 10, 10))
+    assert ring_area(out) == pytest.approx(r * r, abs=1e-12)
+
+
+def test_sh_clip_touching_boxes_empty():
+    assert len(sh_clip(_box(0, 0, 5, 5), _box(5, 0, 10, 5))) == 0
+
+
+def test_difference_pieces_disjoint_and_conserve():
+    A, B = _box(0, 0, 10, 10), _box(5, 5, 15, 15)
+    pieces = convex_difference_pieces(A, B)
+    assert pieces_area(pieces) == pytest.approx(75.0, abs=1e-9)
+    # pieces pairwise disjoint (mutual clip has no area)
+    for i, p in enumerate(pieces):
+        for q in pieces[i + 1:]:
+            assert abs(ring_area(sh_clip(p, q))) < 1e-9
+    # conservation: inter + diff == subject
+    inter = abs(ring_area(sh_clip(A, B)))
+    assert inter + pieces_area(pieces) == pytest.approx(100.0, abs=1e-9)
+
+
+def test_difference_concave_subject():
+    U = np.array([(0, 0), (6, 0), (6, 6), (4, 6), (4, 2), (2, 2),
+                  (2, 6), (0, 6)], float)
+    assert ring_area(U) == pytest.approx(28.0)
+    hole = _box(1, 1, 5, 5)
+    inter = abs(ring_area(sh_clip(U, hole)))
+    diff = pieces_area(difference_many(U, [hole]))
+    assert inter == pytest.approx(10.0, abs=1e-9)
+    assert diff == pytest.approx(18.0, abs=1e-9)
+
+
+def test_difference_many_overlapping_clips():
+    # two overlapping clips must not double-subtract their overlap
+    A = _box(0, 0, 10, 10)
+    c1, c2 = _box(2, 2, 6, 6), _box(4, 4, 8, 8)
+    # union of clips area inside A = 16 + 16 - 4 = 28
+    left = pieces_area(difference_many(A, [c1, c2]))
+    assert left == pytest.approx(100 - 28, abs=1e-9)
+
+
+# --- layer ops ------------------------------------------------------------
+
+
+@pytest.fixture()
+def _layers():
+    inp = pa.table({
+        "poly_id": pa.array([0, 1], pa.int32()),
+        "geometry": pa.array([_box_wkb(0, 0, 10, 10),
+                              _box_wkb(20, 0, 30, 10)], pa.binary()),
+    })
+    meth = pa.table({
+        "grid_id": pa.array([0, 1], pa.int32()),
+        "geometry": pa.array([_box_wkb(5, 5, 25, 15),
+                              _box_wkb(-5, -5, 2, 2)], pa.binary()),
+    })
+    return inp, meth
+
+
+def _areas(df):
+    return sorted(round(wkb_area(g), 6) for g in df["geometry"])
+
+
+def test_union_covers_everything(ray_session, _layers):
+    import ray.data as rd
+
+    inp, meth = _layers
+    out = layer_algebra(rd.from_arrow(inp), meth, "union").to_pandas()
+    # total area of the union decomposition == area(A)+area(B)+area(M)-inter
+    total = sum(wkb_area(g) for g in out["geometry"])
+    # inputs 100+100, methods 200+49, overlaps 25+25+4
+    assert total == pytest.approx(100 + 100 + 200 + 49 - 54, abs=1e-9)
+    # every row class present: pair pieces, input leftover, method leftover
+    has_pair = ((out["poly_id"].notna()) & (out["grid_id"].notna())).any()
+    has_in = ((out["poly_id"].notna()) & (out["grid_id"].isna())).any()
+    has_m = ((out["poly_id"].isna()) & (out["grid_id"].notna())).any()
+    assert has_pair and has_in and has_m
+
+
+def test_clip_overlapping_method_not_double_counted(ray_session):
+    import ray.data as rd
+
+    inp = pa.table({
+        "poly_id": pa.array([0], pa.int32()),
+        "geometry": pa.array([_box_wkb(0, 0, 10, 10)], pa.binary()),
+    })
+    meth = pa.table({
+        "grid_id": pa.array([0, 1], pa.int32()),
+        "geometry": pa.array([_box_wkb(2, 2, 6, 6), _box_wkb(4, 4, 8, 8)],
+                             pa.binary()),
+    })
+    out = layer_algebra(rd.from_arrow(inp), meth, "clip").to_pandas()
+    assert len(out) == 1
+    # UnaryUnion semantics: 16 + 16 - 4 overlap counted once
+    assert wkb_area(out["geometry"].iloc[0]) == pytest.approx(28.0,
+                                                              abs=1e-9)
+
+
+def test_diamond_intersection_golden(ray_session):
+    import ray.data as rd
+
+    r = 4.0
+    dia = _wkb.encode_polygon([[(r, 0.0), (0.0, r), (-r, 0.0),
+                                (0.0, -r), (r, 0.0)]])
+    inp = pa.table({"poly_id": pa.array([0], pa.int32()),
+                    "geometry": pa.array([dia], pa.binary())})
+    meth = pa.table({"grid_id": pa.array([0], pa.int32()),
+                     "geometry": pa.array([_box_wkb(0, -10, 10, 10)],
+                                          pa.binary())})
+    out = layer_algebra(rd.from_arrow(inp), meth,
+                        "intersection").to_pandas()
+    assert len(out) == 1
+    assert wkb_area(out["geometry"].iloc[0]) == pytest.approx(r * r,
+                                                              abs=1e-9)
+    # and the erase leftover is the other half
+    left = layer_algebra(rd.from_arrow(inp), meth, "erase").to_pandas()
+    assert wkb_area(left["geometry"].iloc[0]) == pytest.approx(r * r,
+                                                               abs=1e-9)
+
+
+def test_keep_lower_dimension_geometries(ray_session):
+    import ray.data as rd
+
+    inp = pa.table({"poly_id": pa.array([0], pa.int32()),
+                    "geometry": pa.array([_box_wkb(0, 0, 5, 5)],
+                                         pa.binary())})
+    meth = pa.table({"grid_id": pa.array([0], pa.int32()),
+                     "geometry": pa.array([_box_wkb(5, 0, 10, 5)],
+                                          pa.binary())})
+    ds = rd.from_arrow(inp)
+    # default: zero-area contact dropped (1 row with KLDG, 0 without)
+    out0 = layer_algebra(ds, meth, "intersection").to_pandas()
+    assert len(out0) == 0
+    out1 = layer_algebra(ds, meth, "intersection",
+                         keep_lower_dims=True).to_pandas()
+    assert len(out1) == 1
+    g = _wkb.decode(out1["geometry"].iloc[0])
+    assert g["type"] in ("LineString", "Point")
+
+
+def test_update_replaces_method_area(ray_session, _layers):
+    import ray.data as rd
+
+    inp, meth = _layers
+    out = layer_algebra(rd.from_arrow(inp), meth, "update").to_pandas()
+    # input leftovers 71 + 75, method features whole 200 + 49
+    assert _areas(out) == [49.0, 71.0, 75.0, 200.0]
+
+
+def test_symdifference_areas(ray_session, _layers):
+    import ray.data as rd
+
+    inp, meth = _layers
+    out = layer_algebra(rd.from_arrow(inp), meth,
+                        "symdifference").to_pandas()
+    assert _areas(out) == [45.0, 71.0, 75.0, 150.0]
