@@ -1038,6 +1038,68 @@ def q_checkpoint_partitioned(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_grid_metrics(sf_dir: str):
+    """gdal_grid moving-average + data-metrics algorithms over the same
+    24x8 node grid as grid_idw (alg/gdalgrid.cpp:630,1059-2000):
+    count / min / max / range / average / average-distance /
+    average-distance-between-points within radius 60."""
+    refs = _nation_refs(sf_dir)
+    refs = refs.append_column(
+        "refval", pa.array(refs["ref_id"].to_numpy().astype(np.float64)
+                           * 10.0, pa.float64()))
+    gx, gy = np.meshgrid(np.arange(-172.5, 180.0, 15.0),
+                         np.arange(-57.5, 60.0, 15.0))
+    nodes = pa.table({
+        "node_id": pa.array(np.arange(gx.size, dtype=np.int64)),
+        "lon": pa.array(gx.ravel()), "lat": pa.array(gy.ravel()),
+    })
+    out = _knn.grid_metrics(rd.from_arrow(nodes), refs,
+                            value_col="refval", radius=60.0, min_points=1)
+
+    def finish(b: pa.Table) -> pa.Table:
+        def r6(name):
+            v = b[name].to_numpy(zero_copy_only=False)
+            return pa.array(np.round(v, 6), pa.float64(),
+                            mask=np.isnan(v))
+        return pa.table({
+            "node_id": b["node_id"], "n_in": b["n_in"],
+            "zmin": r6("zmin"), "zmax": r6("zmax"),
+            "zrange": r6("zrange"), "avg": r6("avg"),
+            "avg_dist": r6("avg_dist"),
+            "avg_dist_pts": r6("avg_dist_pts"),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_tile_checksum(sf_dir: str):
+    """GDALChecksumImage per z3 tile (alg/gdalchecksum.cpp:48) — the
+    reference's golden-test oracle for every tile test."""
+    from ..stages import raster as _raster
+
+    out = _raster.tile_checksum(_rendered_tiles(sf_dir, 3))
+    return out.map_batches(
+        lambda b: pa.table({
+            "z": pc.cast(b["z"], pa.int32()),
+            "x": b["x"], "y": b["y"], "checksum": b["checksum"],
+        }), batch_format="pyarrow")
+
+
+def q_band_histogram(sf_dir: str):
+    """GDALRasterBand::GetHistogram over the z3 count raster: 16 unit
+    buckets [0,16), overflow clamped into the last bucket."""
+    from ..stages import raster as _raster
+
+    out = _raster.band_histogram(_rendered_tiles(sf_dir, 3),
+                                 vmin=0.0, vmax=16.0, n_buckets=16,
+                                 include_out_of_range=True)
+    return out.map_batches(
+        lambda b: pa.table({
+            "bucket": pc.cast(b["bucket"], pa.int32()),
+            "n_pixels": pc.cast(b["n_pixels"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
 # --- polygon×polygon layer algebra ------------------------------------------
 # OGR layer methods with REAL clipped geometry (ogrlayer.cpp:5385-7188;
 # autotest/ogr/ogr_layer_algebra.py semantics).  Fixture: the 4 box
@@ -1276,6 +1338,9 @@ QUERIES = {
     "contour_segments": q_contour_segments,
     "media_frame_sample": q_media_frame_sample,
     "media_decode_embed": q_media_decode_embed,
+    "grid_metrics": q_grid_metrics,
+    "tile_checksum": q_tile_checksum,
+    "band_histogram": q_band_histogram,
     "poly_intersection": q_poly_intersection,
     "poly_union": q_poly_union,
     "poly_identity": q_poly_identity,
@@ -1310,6 +1375,83 @@ _ALG_M_LEFT_SQL = """
         LEFT JOIN gcov c USING (grid_id)
         WHERE a.area - COALESCE(c.cov, 0) > 1e-9
 """
+
+_RASTER2_ORACLES = {
+    "grid_metrics": """
+        WITH nodes AS (
+          SELECT (gy.i * 24 + gx.i) AS node_id,
+                 -172.5 + gx.i * 15.0 AS lon, -57.5 + gy.i * 15.0 AS lat
+          FROM (SELECT unnest(generate_series(0, 23)) AS i) gx
+          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) gy),
+        refs AS (SELECT n_nationkey AS ref_id,
+                        -50.0 + n_nationkey * 4.0 AS ry,
+                        -150.0 + n_nationkey * 12.0 AS rx,
+                        n_nationkey * 10.0 AS refval
+                 FROM nation),
+        w AS (SELECT n.node_id,
+                     sqrt((n.lon-r.rx)*(n.lon-r.rx)
+                          + (n.lat-r.ry)*(n.lat-r.ry)) AS d,
+                     r.refval
+              FROM nodes n JOIN refs r
+                ON (n.lon-r.rx)*(n.lon-r.rx)
+                   + (n.lat-r.ry)*(n.lat-r.ry) <= 3600.0),
+        agg AS (SELECT node_id, CAST(count(*) AS BIGINT) AS n_in,
+                       min(refval) AS zmin, max(refval) AS zmax,
+                       max(refval) - min(refval) AS zrange,
+                       avg(refval) AS avg, avg(d) AS avg_dist
+                FROM w GROUP BY node_id),
+        pairs AS (SELECT n.node_id,
+                         sqrt((r1.rx-r2.rx)*(r1.rx-r2.rx)
+                              + (r1.ry-r2.ry)*(r1.ry-r2.ry)) AS pd
+                  FROM nodes n
+                  JOIN refs r1 ON (n.lon-r1.rx)*(n.lon-r1.rx)
+                       + (n.lat-r1.ry)*(n.lat-r1.ry) <= 3600.0
+                  JOIN refs r2 ON (n.lon-r2.rx)*(n.lon-r2.rx)
+                       + (n.lat-r2.ry)*(n.lat-r2.ry) <= 3600.0
+                   AND r1.ref_id < r2.ref_id),
+        pagg AS (SELECT node_id, avg(pd) AS adp FROM pairs
+                 GROUP BY node_id)
+        SELECT n.node_id, COALESCE(a.n_in, 0) AS n_in,
+               round(a.zmin, 6) AS zmin, round(a.zmax, 6) AS zmax,
+               round(a.zrange, 6) AS zrange, round(a.avg, 6) AS avg,
+               round(a.avg_dist, 6) AS avg_dist,
+               round(p.adp, 6) AS avg_dist_pts
+        FROM nodes n LEFT JOIN agg a USING (node_id)
+        LEFT JOIN pagg p USING (node_id)
+    """,
+    "tile_checksum": """
+        WITH {PIX},
+        pix AS (SELECT gx // 256 AS x, gy // 256 AS y,
+                       CAST(gx % 256 AS INTEGER) AS px,
+                       CAST(gy % 256 AS INTEGER) AS py,
+                       count(*) AS n
+                FROM t GROUP BY 1, 2, 3, 4),
+        pr(i, p) AS (VALUES (0,7),(1,11),(2,13),(3,17),(4,19),(5,23),
+                            (6,29),(7,31),(8,37),(9,41),(10,43))
+        SELECT CAST(3 AS INTEGER) AS z, x, y,
+               CAST(sum(n % pr.p) % 65536 AS INTEGER) AS checksum
+        FROM pix JOIN pr ON pr.i = (py * 256 + px) % 11
+        GROUP BY x, y
+    """,
+    "band_histogram": """
+        WITH {PIX},
+        pix AS (SELECT gx, gy, count(*) AS n FROM t GROUP BY 1, 2),
+        nz AS (SELECT CAST(least(floor(n), 15) AS INTEGER) AS bucket,
+                      count(*) AS c
+               FROM pix GROUP BY 1),
+        zeros AS (SELECT CAST(0 AS INTEGER) AS bucket,
+                  (SELECT count(DISTINCT [gx // 256, gy // 256]) FROM t)
+                    * 65536 - (SELECT count(*) FROM pix) AS c),
+        agg AS (SELECT bucket, sum(c) AS c
+                FROM (SELECT * FROM nz UNION ALL SELECT * FROM zeros)
+                GROUP BY bucket)
+        SELECT CAST(b.i AS INTEGER) AS bucket,
+               CAST(COALESCE(a.c, 0) AS BIGINT) AS n_pixels
+        FROM (SELECT unnest(generate_series(0, 15)) AS i) b
+        LEFT JOIN agg a ON a.bucket = b.i
+    """,
+}
+
 
 _ALG_ORACLES = {
     "poly_intersection": f"""
@@ -1723,3 +1865,5 @@ ORACLES = {
 }
 
 ORACLES.update(_ALG_ORACLES)
+ORACLES.update({k: v.replace("{PIX}", _PIXEL11_SQL)
+                for k, v in _RASTER2_ORACLES.items()})

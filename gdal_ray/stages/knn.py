@@ -152,3 +152,80 @@ def knn_lookup(ds, ref_table: pa.Table, concurrency=None, batch_size: int | None
         batch_size=batch_size,
         concurrency=_autoscale(concurrency),
     )
+
+
+class GridMetrics:
+    """Moving-average + data-metrics gridding algorithms
+    (GDALGridMovingAverage alg/gdalgrid.cpp:630, GDALGridDataMetric*
+    :1059-2000): per grid node, over the reference points within the
+    (circular) search radius —
+      n_in, zmin, zmax, zrange, avg (moving average),
+      avg_dist (node→point distances, :2232),
+      avg_dist_pts (pairwise i<j distances between the points,
+      :2558 brute-force branch; the reference's quadtree branch
+      counts self-pairs — a divergence inside the reference itself,
+      we follow the documented i<j semantics).
+    Nodes with n_in < min_points yield NODATA (null); avg_dist_pts
+    additionally needs ≥2 points."""
+
+    def __init__(self, ref_table_ref, ref_x_col: str = "x",
+                 ref_y_col: str = "y", value_col: str = "val",
+                 query_x_col: str = "lon", query_y_col: str = "lat",
+                 radius: float = 1.0, min_points: int = 1):
+        table = ray.get(ref_table_ref) \
+            if isinstance(ref_table_ref, ray.ObjectRef) else ref_table_ref
+        self.rx = table[ref_x_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        self.ry = table[ref_y_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        self.rz = table[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        self.radius2 = float(radius) ** 2
+        self.qx, self.qy = query_x_col, query_y_col
+        self.min_points = min_points
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qx = batch[self.qx].to_numpy(zero_copy_only=False).astype(np.float64)
+        qy = batch[self.qy].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(qx)
+        d2 = (qx[:, None] - self.rx[None, :]) ** 2 \
+            + (qy[:, None] - self.ry[None, :]) ** 2
+        within = d2 <= self.radius2
+        cnt = within.sum(axis=1)
+        ok = cnt >= self.min_points
+        z = np.broadcast_to(self.rz, d2.shape)
+        zin = np.where(within, z, np.nan)
+        with np.errstate(invalid="ignore"):
+            zmin = np.nanmin(np.where(cnt[:, None] > 0, zin, np.inf), axis=1)
+            zmax = np.nanmax(np.where(cnt[:, None] > 0, zin, -np.inf), axis=1)
+            avg = np.nansum(zin, axis=1) / np.maximum(cnt, 1)
+            avg_dist = np.nansum(np.where(within, np.sqrt(d2), np.nan),
+                                 axis=1) / np.maximum(cnt, 1)
+        # pairwise distances among the in-radius points, per node
+        adp = np.full(n, np.nan)
+        for i in np.flatnonzero(cnt >= 2):
+            idx = np.flatnonzero(within[i])
+            px, py = self.rx[idx], self.ry[idx]
+            dd = np.sqrt((px[:, None] - px[None, :]) ** 2
+                         + (py[:, None] - py[None, :]) ** 2)
+            iu = np.triu_indices(len(idx), k=1)
+            adp[i] = dd[iu].mean()
+        nan = np.nan
+        return pa.table({
+            **{c: batch[c] for c in batch.column_names},
+            "n_in": pa.array(cnt.astype(np.int64)),
+            "zmin": pa.array(np.where(ok, zmin, nan), pa.float64()),
+            "zmax": pa.array(np.where(ok, zmax, nan), pa.float64()),
+            "zrange": pa.array(np.where(ok, zmax - zmin, nan), pa.float64()),
+            "avg": pa.array(np.where(ok, avg, nan), pa.float64()),
+            "avg_dist": pa.array(np.where(ok, avg_dist, nan), pa.float64()),
+            "avg_dist_pts": pa.array(np.where(ok, adp, nan), pa.float64()),
+        })
+
+
+def grid_metrics(ds, ref_table: pa.Table, concurrency=None, **kwargs):
+    ref = ray.put(ref_table)
+    return ds.map_batches(
+        GridMetrics,
+        fn_constructor_kwargs=dict(ref_table_ref=ref, **kwargs),
+        batch_format="pyarrow", concurrency=_autoscale(concurrency))

@@ -305,6 +305,68 @@ def raster_calc(tiles_ds, fn):
     return tiles_ds.map_batches(kernel, batch_format="pyarrow")
 
 
+# GDALChecksumImage's fixed prime table (alg/gdalchecksum.cpp:55-57):
+# pixel k = row*W + col contributes value % primes[k % 11]; the running
+# sum is masked to 16 bits (alg/gdalchecksum.cpp:319-324).
+_CHECKSUM_PRIMES = np.array([7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43],
+                            dtype=np.int64)
+_PRIME_GRID = _CHECKSUM_PRIMES[
+    (np.arange(N_PIX) % 11)].reshape(TILE_SIZE, TILE_SIZE)
+
+
+def checksum_grid(grid: np.ndarray) -> int:
+    """GDALChecksumImage of one 256×256 tile treated as its own image
+    — the per-tile golden the reference's tile tests compare
+    (autotest/utilities/test_gdalalg_raster_tile.py:55-69)."""
+    return int((grid % _PRIME_GRID).sum() & 0xFFFF)
+
+
+def tile_checksum(tiles_ds):
+    """Per-tile checksum rows (z, x, y, checksum)."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        cs = [checksum_grid(_decode_grid(b))
+              for b in batch["raster"].to_pylist()]
+        return pa.table({
+            "z": batch["z"], "x": batch["x"], "y": batch["y"],
+            "checksum": pa.array(cs, pa.int32()),
+        })
+
+    return tiles_ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def band_histogram(tiles_ds, vmin: float, vmax: float, n_buckets: int,
+                   include_out_of_range: bool = True):
+    """GDALRasterBand::GetHistogram semantics (gcore/rasterband.cpp):
+    bucket = floor((v - vmin) * n_buckets / (vmax - vmin)); out-of-range
+    values go to the edge buckets when ``include_out_of_range`` else
+    are dropped.  Per-tile bincount partials, one tiny bucket-sum
+    exchange — never a per-pixel shuffle."""
+    import ray.data.aggregate as _agg
+
+    scale = n_buckets / (vmax - vmin)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(n_buckets, dtype=np.int64)
+        for blob in batch["raster"].to_pylist():
+            v = _decode_grid(blob).ravel()
+            idx = np.floor((v - vmin) * scale).astype(np.int64)
+            if include_out_of_range:
+                idx = np.clip(idx, 0, n_buckets - 1)
+            else:
+                m = (idx >= 0) & (idx < n_buckets)
+                idx = idx[m]
+            acc += np.bincount(idx, minlength=n_buckets)
+        return pa.table({
+            "bucket": pa.array(np.arange(n_buckets, dtype=np.int32)),
+            "n_pixels": pa.array(acc),
+        })
+
+    parts = tiles_ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("bucket").aggregate(
+        _agg.Sum("n_pixels", alias_name="n_pixels"))
+
+
 def band_stats(tiles_ds) -> dict:
     """Global pixel statistics: per-tile partials combined driver-side
     (the partial rows are one per tile — tiny)."""

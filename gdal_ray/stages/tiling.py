@@ -202,6 +202,50 @@ def encode_png_gray16(grid_be_u2: bytes) -> bytes:
             + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
 
 
+def write_tile_directory(tiles_ds, out_dir: str, resume: bool = False):
+    """z/x/y tile-directory datasink: each tile row becomes
+    ``out_dir/<z>/<x>/<y>.png`` (16-bit grayscale PNG), the layout of
+    `gdal raster tile` (apps/gdalalg_raster_tile.cpp:655-671, file y =
+    XYZ row via GetFileY :510-512 — the tile table already carries XYZ
+    rows).
+
+    ``resume=True`` skips tiles whose file already exists
+    (gdalalg_raster_tile.cpp:289 --resume), making a re-run after a
+    failure write only the missing tiles.  Writes are atomic
+    (tmp + rename), so a killed run never leaves a torn tile and
+    resume semantics stay correct.
+
+    Returns a Dataset of (z, x, y, path, written) rows — consuming it
+    drives the writes (one task per block, embarrassingly parallel)."""
+    import os
+
+    def write_batch(b: pa.Table) -> pa.Table:
+        paths, written = [], []
+        for z, x, y, blob in zip(b["z"].to_pylist(), b["x"].to_pylist(),
+                                 b["y"].to_pylist(),
+                                 b["raster"].to_pylist()):
+            d = os.path.join(out_dir, str(int(z)), str(int(x)))
+            path = os.path.join(d, f"{int(y)}.png")
+            paths.append(path)
+            if resume and os.path.exists(path):
+                written.append(False)
+                continue
+            os.makedirs(d, exist_ok=True)
+            png = encode_png_gray16(zlib.decompress(blob))
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(png)
+            os.replace(tmp, path)
+            written.append(True)
+        return pa.table({
+            "z": b["z"], "x": b["x"], "y": b["y"],
+            "path": pa.array(paths, pa.string()),
+            "written": pa.array(written, pa.bool_()),
+        })
+
+    return tiles_ds.map_batches(write_batch, batch_format="pyarrow")
+
+
 def render_tiles(ds, zoom: int, convention: str = "xyz",
                  lon_col: str = "lon", lat_col: str = "lat"):
     """Full tile-build pipeline at one zoom: assign with pixels →

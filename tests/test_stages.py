@@ -421,3 +421,34 @@ def test_embedding_near_dup_exact_dups_full_recall(ray_session):
         va = vecs[a] / np.linalg.norm(vecs[a])
         vb = vecs[b] / np.linalg.norm(vecs[b])
         assert va @ vb >= 0.999 - 1e-9
+
+
+def test_tile_directory_sink_layout_and_resume(ray_session, tmp_path):
+    """z/x/y.png layout + --resume skip, mirroring
+    autotest/utilities/test_gdalalg_raster_tile.py:55-69's exact
+    recursive-listing assertion."""
+    import os
+
+    ds, _ = _points_ds(ray_session, n=300)
+    tiles = tiling.render_tiles(ds, zoom=2)
+    out_dir = str(tmp_path / "tiles")
+    res = tiling.write_tile_directory(tiles, out_dir).to_pandas()
+    assert res["written"].all()
+    # exact recursive listing == one z/x/y.png per tile row
+    listing = sorted(
+        os.path.relpath(os.path.join(r, f), out_dir)
+        for r, _, fs in os.walk(out_dir) for f in fs)
+    expect = sorted(f"2/{int(x)}/{int(y)}.png"
+                    for x, y in zip(res["x"], res["y"]))
+    assert listing == expect
+    # every file is a valid 16-bit gray PNG
+    with open(os.path.join(out_dir, listing[0]), "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+    # resume: delete one file, re-run -> only that one rewritten
+    victim = os.path.join(out_dir, listing[0])
+    os.remove(victim)
+    tiles2 = tiling.render_tiles(ds, zoom=2)
+    res2 = tiling.write_tile_directory(tiles2, out_dir,
+                                       resume=True).to_pandas()
+    assert res2["written"].sum() == 1
+    assert os.path.exists(victim)
