@@ -751,10 +751,7 @@ def q_polygonize_regions(sf_dir: str):
     (sum n_pixels == distinct occupied pixels) holds by construction."""
     from ..stages.polygonize import polygonize_regions
 
-    t = polygonize_regions(_rendered_tiles(sf_dir, 5))
-    import pyarrow.compute as _pc
-
-    return t.take(_pc.sort_indices(t["region_id"]))
+    return polygonize_regions(_rendered_tiles(sf_dir, 5)).sort("region_id")
 
 
 def q_contour_segments(sf_dir: str):
@@ -769,6 +766,22 @@ def q_contour_segments(sf_dir: str):
             "z": b["z"], "level": b["level"],
             "x0": pc.round(b["x0"], 4), "y0": pc.round(b["y0"], 4),
             "x1": pc.round(b["x1"], 4), "y1": pc.round(b["y1"], 4),
+        }), batch_format="pyarrow")
+
+
+def q_contour_polylines(sf_dir: str):
+    """Contour polylines: seam-complete segments merged into ordered
+    lines per (z, level) — the reference's line-merge step
+    (alg/contour.cpp appenders).  Rows-only; gap-free seam goldens in
+    tests/test_contour.py."""
+    from ..stages.contour import assemble_polylines, contour_segments
+
+    segs = contour_segments(_rendered_tiles(sf_dir, 4), levels=[0.5, 2.5])
+    out = assemble_polylines(segs)
+    return out.map_batches(
+        lambda b: pa.table({
+            "z": b["z"], "level": b["level"],
+            "n_pts": b["n_pts"], "closed": b["closed"],
         }), batch_format="pyarrow")
 
 
@@ -1336,6 +1349,7 @@ QUERIES = {
     "raster_value_at_point": q_raster_value_at_point,
     "polygonize_regions": q_polygonize_regions,
     "contour_segments": q_contour_segments,
+    "contour_polylines": q_contour_polylines,
     "media_frame_sample": q_media_frame_sample,
     "media_decode_embed": q_media_decode_embed,
     "grid_metrics": q_grid_metrics,

@@ -323,7 +323,7 @@ def _polygonize(ds, args):
 
     from ..stages.polygonize import polygonize_regions
 
-    return rd.from_arrow(polygonize_regions(ds))
+    return polygonize_regions(ds)
 
 
 @register("zonal_extended")

@@ -3,11 +3,21 @@
 The reference's contour (alg/contour.cpp, marching-squares core in
 alg/marching_squares/) re-expressed per tile: each 2x2 pixel-center
 cell emits 0-2 line segments per level, linearly interpolated, in
-GLOBAL z+8 pixel coordinates (pixel centers at integer+0.5).  Segment
-soup output (the reference's polygon/ring assembly is a downstream
-merge); cells straddling tile seams are not evaluated — at tiling zoom
-z the gap is one pixel row/column per seam (documented limitation; the
-seam-cell pass would mirror polygonize's border exchange).
+GLOBAL z+8 pixel coordinates (pixel centers at integer+0.5).
+
+Seam cells (cells straddling a tile boundary) are evaluated by a
+dedicated exchange: every tile emits its four edge strips and four
+corner pixels keyed by the seam they belong to; one hash-bucketed
+``groupby`` re-assembles each seam's 2-wide grid (absent neighbors
+are zero-filled — the tile mosaic is the zero-padded global grid, so
+a level>0 isoline is closed around the data) and runs the SAME
+marching-squares kernel on it.  An isoline crossing a tile boundary
+is therefore gap-free (golden-tested against a single-array run over
+the zero-padded mosaic in tests/test_contour.py).
+
+`assemble_polylines` merges the segment soup into ordered polylines
+per (z, level) — the reference's line-merge step (alg/contour.cpp
+appenders), implemented as an endpoint-matching walk per group.
 """
 
 from __future__ import annotations
@@ -84,11 +94,161 @@ def tile_contour_segments(grid: np.ndarray, level: float,
     return np.vstack(segs) if segs else np.empty((0, 4))
 
 
-def contour_segments(tiles_ds, levels):
-    """Tile table → Dataset of contour segments:
-    (z, level, x0, y0, x1, y1) in global pixel coordinates."""
-    levels = [float(v) for v in levels]
+def _seg_table(z_arr, lv_arr, seg_arrs) -> pa.Table:
+    cat = np.concatenate
+    empty = np.empty(0)
+    if seg_arrs:
+        s = np.vstack(seg_arrs)
+    else:
+        s = np.empty((0, 4))
+    return pa.table({
+        "z": pa.array(cat(z_arr) if z_arr else np.empty(0, np.int32)),
+        "level": pa.array(cat(lv_arr) if lv_arr else empty, pa.float64()),
+        "x0": pa.array(s[:, 0], pa.float64()),
+        "y0": pa.array(s[:, 1], pa.float64()),
+        "x1": pa.array(s[:, 2], pa.float64()),
+        "y1": pa.array(s[:, 3], pa.float64()),
+    })
 
+
+# seam kinds: 0 = vertical (between (x,y) and (x+1,y)), 1 = horizontal
+# (between (x,y) and (x,y+1)), 2 = corner (4 tiles around the
+# (x+1,y+1) grid corner); side = which neighbor contributed the strip
+_SEAM_V, _SEAM_H, _SEAM_C = 0, 1, 2
+
+
+def _pack_seam(z: int, kind: int, x: int, y: int) -> int:
+    return (int(z) << 54) | (int(kind) << 52) | (int(x) << 26) | int(y)
+
+
+def seam_strips(batch: pa.Table) -> pa.Table:
+    """Per tile: emit the 4 edge strips + 4 corner pixels, keyed by the
+    seam each belongs to.  Payload = the strip's uint16 values."""
+    keys, kinds, xs, ys, zs, sides, payloads = [], [], [], [], [], [], []
+
+    def emit(z, kind, sx, sy, side, vals):
+        if sx < 0 or sy < 0:
+            return
+        keys.append(_pack_seam(z, kind, sx, sy))
+        kinds.append(kind)
+        xs.append(sx)
+        ys.append(sy)
+        zs.append(z)
+        sides.append(side)
+        payloads.append(np.ascontiguousarray(vals, dtype=np.uint16)
+                        .tobytes())
+
+    for z, x, y, blob in zip(batch["z"].to_pylist(),
+                             batch["x"].to_pylist(),
+                             batch["y"].to_pylist(),
+                             batch["raster"].to_pylist()):
+        g = np.frombuffer(zlib.decompress(blob), dtype=">u2") \
+            .reshape(TILE, TILE)
+        z, x, y = int(z), int(x), int(y)
+        emit(z, _SEAM_V, x, y, 0, g[:, -1])        # my right edge
+        emit(z, _SEAM_V, x - 1, y, 1, g[:, 0])     # neighbor's left seam
+        emit(z, _SEAM_H, x, y, 0, g[-1, :])        # my bottom edge
+        emit(z, _SEAM_H, x, y - 1, 1, g[0, :])     # neighbor's top seam
+        emit(z, _SEAM_C, x, y, 0, g[-1:, -1])      # corner pixels
+        emit(z, _SEAM_C, x - 1, y, 1, g[-1:, 0])
+        emit(z, _SEAM_C, x, y - 1, 2, g[:1, -1])
+        emit(z, _SEAM_C, x - 1, y - 1, 3, g[:1, 0])
+    return pa.table({
+        "skey": pa.array(keys, pa.int64()),
+        "kind": pa.array(kinds, pa.int8()),
+        "sx": pa.array(xs, pa.int32()),
+        "sy": pa.array(ys, pa.int32()),
+        "z": pa.array(zs, pa.int32()),
+        "side": pa.array(sides, pa.int8()),
+        "strip": pa.array(payloads, pa.binary()),
+    })
+
+
+def _seam_grid(kind: int, parts: dict[int, np.ndarray]) -> tuple:
+    """Assemble one seam's little grid (absent sides → zeros) and its
+    global-pixel origin offsets relative to (sx*TILE, sy*TILE)."""
+    if kind == _SEAM_V:
+        grid = np.zeros((TILE, 2))
+        if 0 in parts:
+            grid[:, 0] = parts[0]
+        if 1 in parts:
+            grid[:, 1] = parts[1]
+        return grid, TILE - 1, 0
+    if kind == _SEAM_H:
+        grid = np.zeros((2, TILE))
+        if 0 in parts:
+            grid[0, :] = parts[0]
+        if 1 in parts:
+            grid[1, :] = parts[1]
+        return grid, 0, TILE - 1
+    grid = np.zeros((2, 2))
+    for side, (r, c) in ((0, (0, 0)), (1, (0, 1)), (2, (1, 0)),
+                         (3, (1, 1))):
+        if side in parts:
+            grid[r, c] = parts[side][0]
+    return grid, TILE - 1, TILE - 1
+
+
+def seam_segments(levels, n_buckets: int = 64):
+    """Group fn factory: one hash bucket of seam strips → seam-cell
+    contour segments (vectorized per seam via the shared kernel)."""
+    def per_bucket(g: pa.Table) -> pa.Table:
+        skey = g["skey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(skey, kind="stable")
+        zs_arr, lv_arr, segs = [], [], []
+        kind_a = g["kind"].to_numpy(zero_copy_only=False)
+        sx_a = g["sx"].to_numpy(zero_copy_only=False)
+        sy_a = g["sy"].to_numpy(zero_copy_only=False)
+        zz_a = g["z"].to_numpy(zero_copy_only=False)
+        side_a = g["side"].to_numpy(zero_copy_only=False)
+        strips = g["strip"].to_pylist()
+        ks = skey[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        ends = np.r_[starts[1:], len(ks)]
+        for s, e in zip(starts, ends):
+            rows = order[s:e]
+            r0 = rows[0]
+            kind = int(kind_a[r0])
+            parts = {int(side_a[r]): np.frombuffer(strips[r],
+                                                   dtype=np.uint16)
+                     for r in rows}
+            grid, ox, oy = _seam_grid(kind, parts)
+            gx0 = int(sx_a[r0]) * TILE + ox
+            gy0 = int(sy_a[r0]) * TILE + oy
+            for level in levels:
+                segm = tile_contour_segments(grid, level, gx0, gy0)
+                if len(segm):
+                    zs_arr.append(np.full(len(segm), zz_a[r0],
+                                          dtype=np.int32))
+                    lv_arr.append(np.full(len(segm), level))
+                    segs.append(segm)
+        return _seg_table(zs_arr, lv_arr, segs)
+
+    return per_bucket
+
+
+def contour_segments(tiles_ds, levels, seams: bool = True,
+                     n_buckets: int = 64):
+    """Tile table → Dataset of contour segments:
+    (z, level, x0, y0, x1, y1) in global pixel coordinates.
+    ``seams=True`` adds the cross-tile seam cells via one bucketed
+    exchange of edge strips (gap-free isolines at tile boundaries)."""
+    levels = [float(v) for v in levels]
+    interior = _contour_interior(tiles_ds, levels)
+    if not seams:
+        return interior
+    strips = tiles_ds.map_batches(seam_strips, batch_format="pyarrow")
+    strips = strips.map_batches(
+        lambda b: b.append_column(
+            "bucket", pa.array((b["skey"].to_numpy(zero_copy_only=False)
+                                % n_buckets).astype(np.int32))),
+        batch_format="pyarrow")
+    seam = strips.groupby("bucket").map_groups(
+        seam_segments(levels, n_buckets), batch_format="pyarrow")
+    return interior.union(seam)
+
+
+def _contour_interior(tiles_ds, levels):
     def per_tile(batch: pa.Table) -> pa.Table:
         zs, lv, x0s, y0s, x1s, y1s = [], [], [], [], [], []
         for z, x, y, blob in zip(batch["z"].to_pylist(),
@@ -120,3 +280,96 @@ def contour_segments(tiles_ds, levels):
         })
 
     return tiles_ds.map_batches(per_tile, batch_format="pyarrow")
+
+
+def _quant(v: np.ndarray) -> np.ndarray:
+    # endpoints are pixel centers or linear interpolations; 2^20
+    # sub-pixel quanta keyed as int64 makes endpoint matching exact
+    return np.round(np.asarray(v, dtype=np.float64)
+                    * 1048576.0).astype(np.int64)
+
+
+def assemble_group_polylines(g: pa.Table) -> pa.Table:
+    """One (z, level) group of segments → ordered polylines
+    (endpoint-matching walk, the reference's line-merge step in
+    alg/contour.cpp's appenders).  Open chains start at odd-degree
+    endpoints; remaining segments form closed rings."""
+    x0 = g["x0"].to_numpy(zero_copy_only=False)
+    y0 = g["y0"].to_numpy(zero_copy_only=False)
+    x1 = g["x1"].to_numpy(zero_copy_only=False)
+    y1 = g["y1"].to_numpy(zero_copy_only=False)
+    n = len(x0)
+    ka = _quant(x0) << np.int64(22) ^ _quant(y0)
+    kb = _quant(x1) << np.int64(22) ^ _quant(y1)
+    adj: dict[int, list[int]] = {}
+    for i in range(n):
+        adj.setdefault(int(ka[i]), []).append(i)
+        adj.setdefault(int(kb[i]), []).append(i)
+    used = np.zeros(n, dtype=bool)
+
+    def walk(start_seg: int, start_key: int):
+        """Follow segments from start_key; returns point list."""
+        pts_x, pts_y = [], []
+        key = start_key
+        seg = start_seg
+        # first point = the endpoint we start from
+        if int(ka[seg]) == key:
+            pts_x.append(x0[seg]); pts_y.append(y0[seg])
+        else:
+            pts_x.append(x1[seg]); pts_y.append(y1[seg])
+        while True:
+            used[seg] = True
+            nxt_key = int(kb[seg]) if int(ka[seg]) == key else int(ka[seg])
+            if nxt_key == int(kb[seg]):
+                pts_x.append(x1[seg]); pts_y.append(y1[seg])
+            else:
+                pts_x.append(x0[seg]); pts_y.append(y0[seg])
+            cands = [s for s in adj.get(nxt_key, []) if not used[s]]
+            if not cands:
+                break
+            seg, key = cands[0], nxt_key
+        return pts_x, pts_y
+
+    lines = []
+    # open chains first: endpoints of odd degree
+    for key, segs in adj.items():
+        if len(segs) % 2 == 1:
+            for s in segs:
+                if not used[s]:
+                    lines.append(walk(s, key))
+    # remaining: closed rings
+    for i in range(n):
+        if not used[i]:
+            lines.append(walk(i, int(ka[i])))
+    z0 = g["z"][0].as_py() if n else 0
+    lv0 = g["level"][0].as_py() if n else 0.0
+    from ..geom import wkb as _wkb
+    out_wkb, n_pts, closed = [], [], []
+    for px, py in lines:
+        out_wkb.append(_wkb.encode_linestring(
+            np.column_stack([px, py])))
+        n_pts.append(len(px))
+        closed.append(abs(px[0] - px[-1]) < 1e-9
+                      and abs(py[0] - py[-1]) < 1e-9)
+    k = len(lines)
+    return pa.table({
+        "z": pa.array(np.full(k, z0, dtype=np.int32)),
+        "level": pa.array(np.full(k, lv0), pa.float64()),
+        "line_id": pa.array(np.arange(k, dtype=np.int32)),
+        "n_pts": pa.array(n_pts, pa.int64()),
+        "closed": pa.array(closed, pa.bool_()),
+        "wkb": pa.array(out_wkb, pa.binary()),
+    })
+
+
+def assemble_polylines(segments_ds):
+    """Segment soup → polylines per (z, level).
+
+    PARTITIONING ASSUMPTION: one (z, level) group's segments fit one
+    task — isolines are global objects, so the merge is inherently a
+    per-level gather (the reference does it single-process for the
+    whole raster, alg/contour.cpp).  For rasters whose per-level
+    segment count exceeds a task, assemble per tile-region first and
+    stitch region borders hierarchically."""
+    return segments_ds.groupby(["z", "level"]).map_groups(
+        assemble_group_polylines, batch_format="pyarrow")

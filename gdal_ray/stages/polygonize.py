@@ -6,19 +6,24 @@ component merge within one raster) re-expressed for the tile table:
 1. per-tile 4-connected component labeling of nonzero pixels — a
    vectorized min-label flood (numpy shifts, iterated to fixpoint);
 2. per-tile component summaries + BORDER signatures (which global edge
-   pixels each component touches);
-3. cross-tile merge: components in adjacent tiles sharing a border
-   pixel are the same region — the component-adjacency graph is tiny
-   (O(components), not O(pixels)), so the union-find over it runs on
-   the driver, exactly like the reference's final equivalence-class
-   resolution (alg/polygonize_polygonizer.cpp) — then a groupby over
-   global ids aggregates per-region stats.
+   pixels each component touches), all numeric and vectorized: the
+   seam key is one packed int64 shared by both sides of the seam;
+3. cross-tile merge: border rows are hash-bucketed by seam key and
+   each bucket emits its cross-edges (comp_a, comp_b) vectorized —
+   only this tiny edge list (O(cross-tile region contacts), not
+   O(pixels) or O(components)) reaches the driver's union-find,
+   exactly the reference's final equivalence-class resolution
+   (alg/polygonize_polygonizer.cpp);
+4. the comp→region map (only bordered comps, small) is broadcast via
+   ``ray.put`` and applied per batch; per-region stats aggregate in a
+   bucketed exchange (one vectorized pandas groupby per bucket).
 
 Output: one row per merged region: region_id (stable: the smallest
-global pixel index in the region), n_pixels, n_tiles, bbox in global
-z+8 pixel coordinates.  Ring tracing (exact boundary polygons) is out
-of scope; regions are the polygonize equivalence classes with exact
-pixel geometry stats.
+global pixel index in the region), n_pixels, n_tiles (DISTINCT tiles
+touched — a U-shaped region re-entering a tile counts it once),
+bbox in global z+8 pixel coordinates.  Ring tracing (exact boundary
+polygons) is out of scope; regions are the polygonize equivalence
+classes with exact pixel geometry stats.
 """
 
 from __future__ import annotations
@@ -29,6 +34,9 @@ import numpy as np
 import pyarrow as pa
 
 TILE = 256
+
+_KIND_COMP = 0
+_KIND_BORDER = 1
 
 
 def label_components(mask: np.ndarray, max_iters: int = 1024) -> np.ndarray:
@@ -50,15 +58,24 @@ def label_components(mask: np.ndarray, max_iters: int = 1024) -> np.ndarray:
     return np.where(mask, lbl, -1)
 
 
+def _pack_seam(vertical: np.ndarray, a: np.ndarray, b: np.ndarray):
+    """Seam key: orientation bit + the two global coordinates, one
+    int64 (coords < 2^28 per axis, z ≤ 20)."""
+    return ((vertical.astype(np.int64) << 57)
+            | (a.astype(np.int64) << 28) | b.astype(np.int64))
+
+
 def tile_components_batch(batch: pa.Table) -> pa.Table:
     """Per-tile stage: component summaries + border signatures.
 
     comp ids are GLOBAL-UNIQUE provisional labels: (tile_gx0 + px,
     tile_gy0 + py) of the component's min pixel, packed as
-    gy * 2^40 + gx (grid ≤ 2^24 per axis at z ≤ 16)."""
-    rows = {k: [] for k in ("z", "comp", "n_pixels", "min_gx", "min_gy",
-                            "max_gx", "max_gy")}
-    borders = {k: [] for k in ("z", "comp", "edge_key")}
+    gy * 2^40 + gx (grid ≤ 2^24 per axis at z ≤ 16).  Border rows are
+    fully vectorized: one numpy pass per tile edge, packed int64 seam
+    keys identical on both sides of the seam."""
+    comp_cols = {k: [] for k in ("z", "comp", "tile_key", "n_pixels",
+                                 "min_gx", "min_gy", "max_gx", "max_gy")}
+    bord_cols = {k: [] for k in ("z", "comp", "edge_key")}
     for z, x, y, blob in zip(batch["z"].to_pylist(), batch["x"].to_pylist(),
                              batch["y"].to_pylist(),
                              batch["raster"].to_pylist()):
@@ -69,6 +86,7 @@ def tile_components_batch(batch: pa.Table) -> pa.Table:
             continue
         lbl = label_components(mask)
         gx0, gy0 = int(x) * TILE, int(y) * TILE
+        tile_key = (int(x) << 28) | int(y)
         py, px = np.nonzero(mask)
         labs = lbl[py, px]
         gx, gy = gx0 + px.astype(np.int64), gy0 + py.astype(np.int64)
@@ -79,54 +97,61 @@ def tile_components_batch(batch: pa.Table) -> pa.Table:
         gx_s, gy_s = gx[order], gy[order]
         uniq, starts = np.unique(labs_s, return_index=True)
         ends = np.append(starts[1:], len(labs_s))
-        comp_of_label = {}
+        comp_of = np.empty(len(uniq), dtype=np.int64)
         for i in range(len(uniq)):
             sl = slice(starts[i], ends[i])
             comp = int(gid_s[sl].min())
-            comp_of_label[int(uniq[i])] = comp
-            rows["z"].append(z)
-            rows["comp"].append(comp)
-            rows["n_pixels"].append(int(ends[i] - starts[i]))
-            rows["min_gx"].append(int(gx_s[sl].min()))
-            rows["min_gy"].append(int(gy_s[sl].min()))
-            rows["max_gx"].append(int(gx_s[sl].max()))
-            rows["max_gy"].append(int(gy_s[sl].max()))
-        # border signatures: edge pixels keyed by the SHARED seam so the
-        # two adjacent tiles generate the SAME key for touching pixels:
-        # vertical seam right of column c=gx: key ("v", gx_seam, gy);
-        # horizontal seam below row gy: key ("h", gx, gy_seam)
-        for edge_mask, keyfn in (
-            (px == 0, lambda i: ("v", gx0 - 1, int(gy[i]))),
-            (px == TILE - 1, lambda i: ("v", gx0 + TILE - 1, int(gy[i]))),
-            (py == 0, lambda i: ("h", int(gx[i]), gy0 - 1)),
-            (py == TILE - 1, lambda i: ("h", int(gx[i]), gy0 + TILE - 1)),
+            comp_of[i] = comp
+            comp_cols["z"].append(z)
+            comp_cols["comp"].append(comp)
+            comp_cols["tile_key"].append(tile_key)
+            comp_cols["n_pixels"].append(int(ends[i] - starts[i]))
+            comp_cols["min_gx"].append(int(gx_s[sl].min()))
+            comp_cols["min_gy"].append(int(gy_s[sl].min()))
+            comp_cols["max_gx"].append(int(gx_s[sl].max()))
+            comp_cols["max_gy"].append(int(gy_s[sl].max()))
+        # label → comp vectorized lookup for the border pass
+        comp_of_pix = comp_of[np.searchsorted(uniq, labs)]
+        # border signatures, one vectorized emission per edge: seam
+        # keys match the neighbor's because both sides compute the
+        # seam's own coordinates (seam right of column gx → (gx, gy))
+        for edge_mask, vert, ka, kb in (
+            (px == 0, True, np.full(len(px), gx0 - 1), gy),
+            (px == TILE - 1, True, np.full(len(px), gx0 + TILE - 1), gy),
+            (py == 0, False, gx, np.full(len(py), gy0 - 1)),
+            (py == TILE - 1, False, gx, np.full(len(py), gy0 + TILE - 1)),
         ):
-            for i in np.nonzero(edge_mask)[0]:
-                t, a, b = keyfn(int(i))
-                borders["z"].append(z)
-                borders["comp"].append(comp_of_label[int(labs[i])])
-                borders["edge_key"].append(f"{t}:{a}:{b}")
+            idx = np.flatnonzero(edge_mask)
+            if not len(idx):
+                continue
+            keys = _pack_seam(np.full(len(idx), vert),
+                              np.asarray(ka)[idx], np.asarray(kb)[idx])
+            bord_cols["z"].extend([z] * len(idx))
+            bord_cols["comp"].extend(comp_of_pix[idx].tolist())
+            bord_cols["edge_key"].extend(keys.tolist())
+    n_c, n_b = len(comp_cols["z"]), len(bord_cols["z"])
+    zeros_b = np.zeros(n_b, dtype=np.int64)
     comp_t = pa.table({
-        "z": pa.array(rows["z"], pa.int32()),
-        "comp": pa.array(rows["comp"], pa.int64()),
-        "n_pixels": pa.array(rows["n_pixels"], pa.int64()),
-        "min_gx": pa.array(rows["min_gx"], pa.int64()),
-        "min_gy": pa.array(rows["min_gy"], pa.int64()),
-        "max_gx": pa.array(rows["max_gx"], pa.int64()),
-        "max_gy": pa.array(rows["max_gy"], pa.int64()),
-        "kind": pa.array(["comp"] * len(rows["z"]), pa.string()),
-        "edge_key": pa.array([""] * len(rows["z"]), pa.string()),
+        "z": pa.array(comp_cols["z"], pa.int32()),
+        "comp": pa.array(comp_cols["comp"], pa.int64()),
+        "tile_key": pa.array(comp_cols["tile_key"], pa.int64()),
+        "n_pixels": pa.array(comp_cols["n_pixels"], pa.int64()),
+        "min_gx": pa.array(comp_cols["min_gx"], pa.int64()),
+        "min_gy": pa.array(comp_cols["min_gy"], pa.int64()),
+        "max_gx": pa.array(comp_cols["max_gx"], pa.int64()),
+        "max_gy": pa.array(comp_cols["max_gy"], pa.int64()),
+        "kind": pa.array(np.full(n_c, _KIND_COMP, dtype=np.int8)),
+        "edge_key": pa.array(np.zeros(n_c, dtype=np.int64)),
     })
     bord_t = pa.table({
-        "z": pa.array(borders["z"], pa.int32()),
-        "comp": pa.array(borders["comp"], pa.int64()),
-        "n_pixels": pa.array([0] * len(borders["z"]), pa.int64()),
-        "min_gx": pa.array([0] * len(borders["z"]), pa.int64()),
-        "min_gy": pa.array([0] * len(borders["z"]), pa.int64()),
-        "max_gx": pa.array([0] * len(borders["z"]), pa.int64()),
-        "max_gy": pa.array([0] * len(borders["z"]), pa.int64()),
-        "kind": pa.array(["border"] * len(borders["z"]), pa.string()),
-        "edge_key": pa.array(borders["edge_key"], pa.string()),
+        "z": pa.array(bord_cols["z"], pa.int32()),
+        "comp": pa.array(bord_cols["comp"], pa.int64()),
+        "tile_key": pa.array(zeros_b),
+        "n_pixels": pa.array(zeros_b),
+        "min_gx": pa.array(zeros_b), "min_gy": pa.array(zeros_b),
+        "max_gx": pa.array(zeros_b), "max_gy": pa.array(zeros_b),
+        "kind": pa.array(np.full(n_b, _KIND_BORDER, dtype=np.int8)),
+        "edge_key": pa.array(bord_cols["edge_key"], pa.int64()),
     })
     return pa.concat_tables([comp_t, bord_t])
 
@@ -151,29 +176,85 @@ class _UnionFind:
             self.parent[hi] = lo
 
 
-def polygonize_regions(tiles_ds):
-    """Tile table → merged region table (region_id, n_pixels, n_tiles,
-    min/max global pixel bbox).  Distributed per-tile labeling; the
-    cross-tile merge graph (border records) is O(regions) and resolved
-    driver-side."""
+def _cross_edges(g: pa.Table) -> pa.Table:
+    """One bucket of border rows → cross-tile merge edges: for every
+    seam key, chain its distinct comps (transitively equivalent to
+    all-pairs for union-find).  Vectorized segmentation."""
+    key = g["edge_key"].to_numpy(zero_copy_only=False)
+    z = g["z"].to_numpy(zero_copy_only=False)
+    comp = g["comp"].to_numpy(zero_copy_only=False)
+    # segment by (z, key); dedupe (z, key, comp) first
+    order = np.lexsort((comp, key, z))
+    z_s, k_s, c_s = z[order], key[order], comp[order]
+    first = np.r_[True, (z_s[1:] != z_s[:-1]) | (k_s[1:] != k_s[:-1])
+                  | (c_s[1:] != c_s[:-1])]
+    z_s, k_s, c_s = z_s[first], k_s[first], c_s[first]
+    seg_start = np.r_[True, (z_s[1:] != z_s[:-1]) | (k_s[1:] != k_s[:-1])]
+    # chain edges: consecutive distinct comps within a segment
+    link = ~seg_start[1:] if len(seg_start) > 1 else np.array([], bool)
+    ia = np.flatnonzero(link)
+    return pa.table({
+        "comp_a": pa.array(c_s[ia], pa.int64()),
+        "comp_b": pa.array(c_s[ia + 1], pa.int64()),
+    })
+
+
+def polygonize_regions(tiles_ds, n_buckets: int | None = None):
+    """Tile table → merged region table (z, region_id, n_pixels,
+    n_tiles, min/max global pixel bbox)."""
     import pandas as pd
 
+    import ray
+    from ._pool import cluster_cpus
+
+    B = n_buckets or max(16, cluster_cpus() * 2)
     recs = tiles_ds.map_batches(tile_components_batch,
-                                batch_format="pyarrow").to_pandas()
-    comps = recs[recs["kind"] == "comp"]
-    borders = recs[recs["kind"] == "border"]
+                                batch_format="pyarrow").materialize()
+    borders = recs.filter(expr="kind == 1")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b["edge_key"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array((k % B).astype(np.int32)))
+
+    edges = borders.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(_cross_edges, batch_format="pyarrow")
+    # the cross-edge list is O(cross-tile contacts) — tiny; union-find
+    # on the driver mirrors the reference's equivalence resolution
     uf = _UnionFind()
-    # seam pixels: a border record with seam key K in tile A pairs with
-    # the record with key K from tile B (the seam key is identical on
-    # both sides by construction)
-    for _, grp in borders.groupby(["z", "edge_key"], sort=False):
-        cs = grp["comp"].tolist()
-        for other in cs[1:]:
-            uf.union(int(cs[0]), int(other))
-    out = comps.copy()
-    out["region_id"] = [uf.find(int(c)) for c in out["comp"]]
-    agg = out.groupby(["z", "region_id"], as_index=False).agg(
-        n_pixels=("n_pixels", "sum"), n_tiles=("comp", "count"),
-        min_gx=("min_gx", "min"), min_gy=("min_gy", "min"),
-        max_gx=("max_gx", "max"), max_gy=("max_gy", "max"))
-    return pa.Table.from_pandas(agg, preserve_index=False)
+    for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for a_, b_ in zip(b["comp_a"].to_numpy(zero_copy_only=False),
+                          b["comp_b"].to_numpy(zero_copy_only=False)):
+            uf.union(int(a_), int(b_))
+    region_map = {c: uf.find(c) for c in list(uf.parent)}
+    map_ref = ray.put(region_map)
+
+    class ApplyRegion:
+        def __init__(self, map_ref):
+            self.map = ray.get(map_ref) \
+                if isinstance(map_ref, ray.ObjectRef) else map_ref
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            comp = b["comp"].to_numpy(zero_copy_only=False)
+            reg = np.array([self.map.get(int(c), int(c)) for c in comp],
+                           dtype=np.int64)
+            out = b.append_column("region_id", pa.array(reg))
+            return out.append_column(
+                "rbucket", pa.array((reg % B).astype(np.int32)))
+
+    comps = recs.filter(expr="kind == 0").map_batches(
+        ApplyRegion, fn_constructor_kwargs=dict(map_ref=map_ref),
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = g.select(["z", "region_id", "tile_key", "n_pixels",
+                       "min_gx", "min_gy", "max_gx", "max_gy"]).to_pandas()
+        agg = df.groupby(["z", "region_id"], as_index=False).agg(
+            n_pixels=("n_pixels", "sum"),
+            n_tiles=("tile_key", "nunique"),
+            min_gx=("min_gx", "min"), min_gy=("min_gy", "min"),
+            max_gx=("max_gx", "max"), max_gy=("max_gy", "max"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return comps.groupby("rbucket").map_groups(per_bucket,
+                                               batch_format="pyarrow")

@@ -35,7 +35,13 @@ N_PIX = TILE_SIZE * TILE_SIZE
 
 
 def _decode_grid(blob: bytes) -> np.ndarray:
-    return np.frombuffer(zlib.decompress(blob), dtype=">u2") \
+    raw = zlib.decompress(blob)
+    if len(raw) != N_PIX * 2:
+        raise ValueError(
+            f"raster blob decodes to {len(raw)} bytes, expected "
+            f"{N_PIX * 2} (>u2 256x256) — float rasters live in the "
+            f"'raster_f32' column (raster_calc output), not 'raster'")
+    return np.frombuffer(raw, dtype=">u2") \
         .reshape(TILE_SIZE, TILE_SIZE).astype(np.int64)
 
 
@@ -291,18 +297,32 @@ def value_at_points_bucketed(points_ds, tiles_ds, zoom: int,
 
 def raster_calc(tiles_ds, fn):
     """Per-tile numpy expression (gdal raster calc / VRT pixel function,
-    frmts/vrt/vrtderivedrasterband.cpp): fn(np int64 grid) → float grid;
-    output raster column is zlib float32."""
+    frmts/vrt/vrtderivedrasterband.cpp): fn(np int64 grid) → float grid.
+
+    The float32 output goes to a DISTINCT column ``raster_f32`` and the
+    uint16 ``raster`` column is dropped, so accidentally chaining a
+    calc result into a uint16 consumer (contour, polygonize,
+    band_stats) fails loudly on the missing column instead of silently
+    reinterpreting float bytes as big-endian uint16."""
 
     def kernel(batch: pa.Table) -> pa.Table:
         outs = []
         for blob in batch["raster"].to_pylist():
             res = np.asarray(fn(_decode_grid(blob)), dtype="<f4")
             outs.append(zlib.compress(res.tobytes(), 6))
-        i = batch.column_names.index("raster")
-        return batch.set_column(i, "raster", pa.array(outs, pa.binary()))
+        return batch.drop_columns(["raster"]).append_column(
+            "raster_f32", pa.array(outs, pa.binary()))
 
     return tiles_ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def decode_grid_f32(blob: bytes) -> np.ndarray:
+    """Decode a raster_calc output tile (little-endian float32)."""
+    raw = zlib.decompress(blob)
+    if len(raw) != N_PIX * 4:
+        raise ValueError(f"raster_f32 blob decodes to {len(raw)} bytes, "
+                         f"expected {N_PIX * 4} (<f4 256x256)")
+    return np.frombuffer(raw, dtype="<f4").reshape(TILE_SIZE, TILE_SIZE)
 
 
 # GDALChecksumImage's fixed prime table (alg/gdalchecksum.cpp:55-57):

@@ -54,3 +54,91 @@ def test_contour_dataset_stage(ray_session):
     assert (out["x0"] <= 2 * TILE + 151).all()
     assert (out["y0"] >= 3 * TILE + 99).all()
     assert set(out["level"]) == {5.0}
+
+
+def _tile_row(z, x, y, grid):
+    return {"z": z, "x": x, "y": y, "n_pages": int(grid.sum()),
+            "raster": zlib.compress(grid.astype(">u2").tobytes(), 6)}
+
+
+def _seg_set(x0, y0, x1, y1):
+    """Canonical (order-independent) segment set with quantized coords."""
+    q = lambda v: np.round(np.asarray(v) * 1048576).astype(np.int64)
+    out = set()
+    for a, b, c, d in zip(q(x0), q(y0), q(x1), q(y1)):
+        out.add((min((a, b), (c, d)), max((a, b), (c, d))))
+    return out
+
+
+def test_seam_cells_match_single_array_run(ray_session):
+    """An isoline crossing tile boundaries is gap-free: the distributed
+    tiled run emits EXACTLY the segments of one marching-squares pass
+    over the zero-padded 2x2-tile mosaic."""
+    import ray.data as rd
+
+    rs = np.random.RandomState(7)
+    mosaic = np.zeros((2 * TILE, 2 * TILE), dtype=np.int64)
+    # a blob straddling all four tiles + random speckle at the seams
+    yy, xx = np.mgrid[0:2 * TILE, 0:2 * TILE]
+    mosaic[np.hypot(xx - TILE, yy - TILE) < 60] = 9
+    mosaic[TILE - 2:TILE + 2, :] += rs.randint(0, 5, (4, 2 * TILE))
+    mosaic[:, TILE - 2:TILE + 2] += rs.randint(0, 5, (2 * TILE, 4))
+    rows = [_tile_row(3, 4 + tx, 5 + ty,
+                      mosaic[ty * TILE:(ty + 1) * TILE,
+                             tx * TILE:(tx + 1) * TILE])
+            for tx in range(2) for ty in range(2)]
+    level = 4.0
+    got = contour_segments(rd.from_items(rows), levels=[level]).to_pandas()
+    got_set = _seg_set(got["x0"], got["y0"], got["x1"], got["y1"])
+
+    # golden: single marching-squares pass over the zero-padded mosaic
+    pad = np.zeros((2 * TILE + 2, 2 * TILE + 2), dtype=np.float64)
+    pad[1:-1, 1:-1] = mosaic
+    ref = tile_contour_segments(pad, level,
+                                gx0=4 * TILE - 1, gy0=5 * TILE - 1)
+    ref_set = _seg_set(ref[:, 0], ref[:, 1], ref[:, 2], ref[:, 3])
+    # restrict golden to cells INSIDE the mosaic's seam/interior area:
+    # the pad ring cells (outer boundary) are the zero-padded closure,
+    # which the tiled run also emits only where a tile exists — here
+    # all 4 tiles exist, so the sets must match exactly
+    assert got_set == ref_set
+
+
+def test_seam_against_missing_neighbor_zero_fill(ray_session):
+    """A tile edge with value > level against an ABSENT neighbor tile
+    must emit seam segments (absent tile == zeros)."""
+    import ray.data as rd
+
+    grid = np.full((TILE, TILE), 7, dtype=np.int64)
+    out = contour_segments(rd.from_items([_tile_row(2, 1, 1, grid)]),
+                           levels=[3.0]).to_pandas()
+    # the single-array golden over the zero-padded tile
+    pad = np.zeros((TILE + 2, TILE + 2))
+    pad[1:-1, 1:-1] = grid
+    ref = tile_contour_segments(pad, 3.0, gx0=TILE - 1, gy0=TILE - 1)
+    assert _seg_set(out["x0"], out["y0"], out["x1"], out["y1"]) == \
+        _seg_set(ref[:, 0], ref[:, 1], ref[:, 2], ref[:, 3])
+
+
+def test_assemble_polylines_circle(ray_session):
+    """Segment soup of a closed isoline assembles into ONE closed
+    polyline whose points chain end-to-end."""
+    import ray.data as rd
+
+    from gdal_ray.stages.contour import assemble_polylines
+
+    grid = np.zeros((TILE, TILE), dtype=np.int64)
+    yy, xx = np.mgrid[0:TILE, 0:TILE]
+    grid[np.hypot(xx - 80, yy - 90) < 40] = 8
+    segs = contour_segments(rd.from_items([_tile_row(1, 0, 0, grid)]),
+                            levels=[4.0], seams=False)
+    lines = assemble_polylines(segs).to_pandas()
+    assert len(lines) == 1
+    assert bool(lines["closed"].iloc[0])
+    from gdal_ray.geom import wkb as _wkb
+    g = _wkb.decode(lines["wkb"].iloc[0])
+    pts = np.asarray(g["coordinates"])
+    # consecutive points are adjacent (no jumps): max step ~ 1 cell
+    d = np.hypot(np.diff(pts[:, 0]), np.diff(pts[:, 1]))
+    assert d.max() < 1.5
+    assert lines["n_pts"].iloc[0] >= 50

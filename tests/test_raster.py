@@ -73,8 +73,9 @@ def test_raster_calc_log1p(ray_session):
     ds = _points_ds(ray_session)
     tiles_ds = _tiling.render_tiles(ds, zoom=2)
     calc = _raster.raster_calc(tiles_ds, np.log1p).to_pandas()
+    assert "raster" not in calc.columns  # uint16 consumers fail loudly
     for _, row in calc.head(3).iterrows():
-        g = np.frombuffer(zlib.decompress(row["raster"]), dtype="<f4")
+        g = _raster.decode_grid_f32(row["raster_f32"])
         assert np.isfinite(g).all() and g.max() <= np.log1p(65535)
 
 
