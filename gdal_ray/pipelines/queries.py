@@ -446,6 +446,33 @@ def q_reproject_utm31(sf_dir: str):
     return pts.map_batches(proj, batch_format="pyarrow")
 
 
+def q_reproject_utm31_inzone(sf_dir: str):
+    """EPSG:4326 → EPSG:32631 restricted to |lon - lon0| <= 45° (the
+    well-conditioned domain of the 6th-order Krüger series).  The
+    ORACLE restates the series in SQL — atanh/asinh/sinh spelled out
+    in ln/exp/sqrt, the six alpha coefficients inlined — so the UTM
+    path is value-checked, not just rows-counted.  Centimeter ints:
+    numpy and DuckDB trig agree to ~1e-9 m, far from the quantum."""
+    from ..geom.crs import Transformer
+
+    t = Transformer.from_crs("EPSG:4326", "EPSG:32631")
+    pts = event_points(sf_dir, columns=("event_id",))
+
+    def proj(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        dlon = ((lon - 3.0 + 180.0) % 360.0) - 180.0
+        m = np.abs(dlon) <= 45.0
+        E, N, _ = t.transform_with_errors(lon[m], lat[m])
+        return pa.table({
+            "event_id": b["event_id"].filter(pa.array(m)),
+            "easting_cm": pa.array(np.round(E * 100.0).astype(np.int64)),
+            "northing_cm": pa.array(np.round(N * 100.0).astype(np.int64)),
+        })
+
+    return pts.map_batches(proj, batch_format="pyarrow")
+
+
 # --- kNN -------------------------------------------------------------------
 
 
@@ -479,8 +506,11 @@ def q_knn_radius_nodata(sf_dir: str):
 
 
 def q_knn_idw(sf_dir: str):
-    """IDW over k nearest (GDALGridInverseDistanceToAPowerNearestNeighbor;
-    rows-only: no tractable SQL oracle for the weight algebra)."""
+    """IDW over the k=4 nearest refs
+    (GDALGridInverseDistanceToAPowerNearestNeighbor).  Oracle: the same
+    weight algebra in SQL with ROW_NUMBER top-k (ties resolve in ref
+    scan order on both sides); idw rounded to 3 decimals so the two
+    engines' float sum orders can't straddle a rounding boundary."""
     pts = event_points(sf_dir, columns=("event_id",))
     refs = _nation_refs(sf_dir)
     refs = refs.append_column(
@@ -488,7 +518,12 @@ def q_knn_idw(sf_dir: str):
                            pa.float64()))
     out = _knn.knn_lookup(pts, refs, value_col="refval",
                           max_points=4, min_points=2, power=2.0)
-    return out.select_columns(["event_id", "nearest_idw", "nearest_n"])
+    return out.map_batches(
+        lambda b: pa.table({
+            "event_id": b["event_id"],
+            "idw3": pc.round(b["nearest_idw"], 3),
+            "n_in": b["nearest_n"],
+        }), batch_format="pyarrow")
 
 
 # --- webtext ---------------------------------------------------------------
@@ -1318,6 +1353,7 @@ QUERIES = {
     "tile_pyramid": q_tile_pyramid,
     "reproject_3857": q_reproject_3857,
     "reproject_utm31": q_reproject_utm31,
+    "reproject_utm31_inzone": q_reproject_utm31_inzone,
     "knn_nearest_nation": q_knn_nearest_nation,
     "knn_radius_nodata": q_knn_radius_nodata,
     "knn_idw": q_knn_idw,
@@ -1881,3 +1917,184 @@ ORACLES = {
 ORACLES.update(_ALG_ORACLES)
 ORACLES.update({k: v.replace("{PIX}", _PIXEL11_SQL)
                 for k, v in _RASTER2_ORACLES.items()})
+
+# convex hull of the (convex) zone fixtures == the polygon itself:
+# vertex count = edge count of the closed ring, area = shoelace
+ORACLES["geom_convex_hull"] = f"""
+    WITH {_ZONE_SEGS_SQL}
+    SELECT poly_id, CAST(count(*) AS BIGINT) AS hull_vertices,
+           round(abs(sum(x*y2 - x2*y)) * 0.5, 9) AS hull_area
+    FROM seg WHERE x2 IS NOT NULL GROUP BY poly_id
+"""
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB restatement of lang_id_batch: one RE2 count per language
+    (len(regexp_extract_all) == pyarrow count_substring_regex — both
+    RE2, non-overlapping), argmax with first-in-list tie-break."""
+    from ..functions.text import _STOPWORDS
+    import re as _re
+
+    score_cols, case_arms = [], []
+    langs = list(_STOPWORDS)
+    for lang in langs:
+        words = _STOPWORDS[lang]
+        if lang == "zh":
+            pat = "|".join(_re.escape(w) for w in words)
+        else:
+            pat = r"(?i)\b(?:" + "|".join(_re.escape(w) for w in words) \
+                + r")\b"
+        score_cols.append(
+            f"len(regexp_extract_all(text, '{pat}')) AS s_{lang}")
+    all_s = ", ".join(f"s_{lg}" for lg in langs)
+    for i, lang in enumerate(langs):
+        geq = " AND ".join(f"s_{lang} >= s_{other}"
+                           for other in langs[i + 1:]) or "TRUE"
+        case_arms.append(f"WHEN {geq} THEN '{lang}'")
+    return f"""
+        WITH scores AS (SELECT doc_id, {', '.join(score_cols)}
+                        FROM documents)
+        SELECT doc_id, CASE WHEN greatest({all_s}) = 0 THEN 'und'
+               {' '.join(case_arms[:-1])}
+               ELSE '{langs[-1]}' END AS lang_pred
+        FROM scores
+    """
+
+
+ORACLES["docs_lang_id"] = _lang_id_oracle()
+
+# polygonize: connected components restated as a recursive-CTE label
+# propagation over the z13 pixel graph (min reachable label per pixel).
+# Tractable because the event lattice keeps components tiny; the heavy
+# merge logic is additionally pinned by BFS goldens in
+# tests/test_polygonize.py.
+ORACLES["polygonize_regions"] = f"""
+    WITH RECURSIVE
+    pts AS ({_PTS_SQL}),
+    pix AS (
+      SELECT DISTINCT
+        CAST(least(greatest(floor((lon+180.0)/360.0*8192.0), 0), 8191)
+             AS BIGINT) AS gx,
+        CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+             + 1.0/cos(radians(lat)))/pi())/2.0*8192.0), 0), 8191)
+             AS BIGINT) AS gy
+      FROM pts),
+    cnt AS (
+      SELECT CAST(least(greatest(floor((lon+180.0)/360.0*8192.0), 0),
+                        8191) AS BIGINT) AS gx,
+             CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                  + 1.0/cos(radians(lat)))/pi())/2.0*8192.0), 0), 8191)
+                  AS BIGINT) AS gy,
+             count(*) AS n
+      FROM pts GROUP BY 1, 2),
+    comp(gx, gy, lbl) AS (
+      SELECT gx, gy, gy * 1099511627776 + gx FROM pix
+      UNION
+      SELECT p.gx, p.gy, c.lbl
+      FROM comp c JOIN pix p
+        ON (p.gx = c.gx + 1 AND p.gy = c.gy)
+        OR (p.gx = c.gx - 1 AND p.gy = c.gy)
+        OR (p.gx = c.gx AND p.gy = c.gy + 1)
+        OR (p.gx = c.gx AND p.gy = c.gy - 1)),
+    lab AS (SELECT gx, gy, min(lbl) AS lab FROM comp GROUP BY 1, 2)
+    SELECT CAST(5 AS INTEGER) AS z,
+           min(l.gy * 1099511627776 + l.gx) AS region_id,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(count(DISTINCT [l.gx // 256, l.gy // 256]) AS BIGINT)
+               AS n_tiles,
+           min(l.gx) AS min_gx, min(l.gy) AS min_gy,
+           max(l.gx) AS max_gx, max(l.gy) AS max_gy
+    FROM lab l
+    GROUP BY l.lab
+"""
+
+def _utm31_oracle() -> str:
+    """SQL restatement of tm_forward (geom/crs.py): the Krüger 6th-order
+    series with alpha coefficients inlined as repr'd doubles;
+    atanh(x)=0.5*ln((1+x)/(1-x)), asinh(x)=ln(x+sqrt(x*x+1)),
+    sinh/cosh via exp (DuckDB has no asinh)."""
+    from ..geom.crs import _A_RECT, _ALPHA, WGS84_E
+
+    e = f"{float(WGS84_E)!r}::DOUBLE"
+    arect = f"{float(_A_RECT)!r}::DOUBLE"
+    terms_xi, terms_eta = [], []
+    for j, a in enumerate(_ALPHA, start=1):
+        aj = f"{float(a)!r}::DOUBLE"
+        terms_xi.append(
+            f"{aj} * sin({2 * j}*xi_p) * (exp({2 * j}*eta_p)"
+            f" + exp(-({2 * j})*eta_p)) / 2.0")
+        terms_eta.append(
+            f"{aj} * cos({2 * j}*xi_p) * (exp({2 * j}*eta_p)"
+            f" - exp(-({2 * j})*eta_p)) / 2.0")
+    return f"""
+    WITH pts AS ({{PTS}}),
+    inz AS (SELECT event_id, lon, lat,
+                   radians((((lon - 3.0 + 180.0) % 360.0 + 360.0)
+                            % 360.0) - 180.0) AS dlon
+            FROM pts
+            WHERE abs((((lon - 3.0 + 180.0) % 360.0 + 360.0) % 360.0)
+                      - 180.0) <= 45.0),
+    tp AS (SELECT event_id, dlon, tan(radians(lat)) AS tau FROM inz),
+    s1 AS (SELECT *,
+                  {e} * tau / sqrt(1.0 + tau*tau) AS inner_x
+           FROM tp),
+    s2 AS (SELECT *,
+                  {e} * 0.5 * ln((1.0 + inner_x)/(1.0 - inner_x)) AS sx
+           FROM s1),
+    s3 AS (SELECT *, (exp(sx) - exp(-sx)) / 2.0 AS sigma FROM s2),
+    s4 AS (SELECT *,
+                  tau * sqrt(1.0 + sigma*sigma)
+                  - sigma * sqrt(1.0 + tau*tau) AS taup
+           FROM s3),
+    s5 AS (SELECT *,
+                  atan2(taup, cos(dlon)) AS xi_p,
+                  ln(sin(dlon)/sqrt(taup*taup + cos(dlon)*cos(dlon))
+                     + sqrt(sin(dlon)*sin(dlon)
+                            / (taup*taup + cos(dlon)*cos(dlon)) + 1.0))
+                      AS eta_p
+           FROM s4),
+    s6 AS (SELECT event_id,
+                  xi_p + {' + '.join(terms_xi)} AS xi,
+                  eta_p + {' + '.join(terms_eta)} AS eta
+           FROM s5)
+    SELECT event_id,
+           CAST(round((500000.0 + 0.9996 * {arect} * eta) * 100.0, 0)
+                AS BIGINT) AS easting_cm,
+           CAST(round((0.9996 * {arect} * xi) * 100.0, 0)
+                AS BIGINT) AS northing_cm
+    FROM s6
+    """
+
+
+ORACLES["reproject_utm31_inzone"] = \
+    _utm31_oracle().replace("{PTS}", _PTS_SQL)
+
+ORACLES["knn_idw"] = f"""
+    WITH pts AS ({_PTS_SQL}),
+    refs AS (SELECT n_nationkey AS ref_id,
+                    -50.0 + n_nationkey * 4.0 AS ry,
+                    -150.0 + n_nationkey * 12.0 AS rx,
+                    n_nationkey * 10.0 AS refval
+             FROM nation),
+    d AS (SELECT p.event_id,
+                 (p.lon-r.rx)*(p.lon-r.rx) + (p.lat-r.ry)*(p.lat-r.ry)
+                     AS d2,
+                 r.ref_id, r.refval,
+                 row_number() OVER (PARTITION BY p.event_id
+                                    ORDER BY (p.lon-r.rx)*(p.lon-r.rx)
+                                           + (p.lat-r.ry)*(p.lat-r.ry),
+                                           r.ref_id) AS rk
+          FROM pts p CROSS JOIN refs r),
+    top4 AS (SELECT * FROM d WHERE rk <= 4),
+    agg AS (SELECT event_id,
+                   sum(refval / sqrt(d2) / sqrt(d2)) AS wsum_v,
+                   sum(1.0 / sqrt(d2) / sqrt(d2)) AS wsum,
+                   CAST(count(*) AS BIGINT) AS n_in,
+                   min(CASE WHEN d2 = 0.0 THEN refval END) AS exact_v
+            FROM top4 GROUP BY event_id)
+    SELECT event_id,
+           round(CASE WHEN exact_v IS NOT NULL THEN exact_v
+                      ELSE wsum_v / wsum END, 3) AS idw3,
+           n_in
+    FROM agg
+"""

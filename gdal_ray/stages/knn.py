@@ -81,7 +81,10 @@ class KnnLookup:
         d2 = (qx[:, None] - self.rx[None, :]) ** 2 \
             + (qy[:, None] - self.ry[None, :]) ** 2 + self.smoothing ** 2
         k = min(self.max_points, d2.shape[1])
-        idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
+        # stable sort: equal distances resolve in reference scan order,
+        # a deterministic contract (== SQL ROW_NUMBER ORDER BY d2, idx);
+        # argpartition would pick an arbitrary side of a tie at the cut
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
         dk = np.take_along_axis(d2, idx, axis=1)
         within = np.ones_like(dk, dtype=bool) if self.radius2 is None \
             else dk <= self.radius2
