@@ -262,7 +262,8 @@ def q_orders_lineitem_join(sf_dir: str):
                              columns=["o_orderkey", "o_orderpriority"])
     items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_extendedprice"])
-    joined = items.join(orders, join_type="inner", num_partitions=16,
+    joined = items.join(orders, join_type="inner",
+                        num_partitions=max(16, _pool.cluster_cpus()),
                         on=("l_orderkey",), right_on=("o_orderkey",))
     out = partial_final_agg(joined, "o_orderpriority",
                             [("l_extendedprice", "sum", "revenue"),

@@ -482,8 +482,12 @@ def embedding_near_dup_pairs(ds, key_col: str = "vec_id",
             "seg": pa.array(seg_flat, pa.uint64()),
             _BUCKET_COL: pa.array((seg_flat % np.uint64(B))
                                   .astype(np.int32)),
+            # float32 through the exchange: cosine at threshold
+            # granularity doesn't need f64, and the band replication
+            # makes vector bytes the dominant shuffle traffic
             "vec": pa.FixedSizeListArray.from_arrays(
-                pa.array(np.repeat(unit, n_bands, axis=0).ravel()), dim),
+                pa.array(np.repeat(unit.astype(np.float32), n_bands,
+                                   axis=0).ravel()), dim),
         })
 
     segged = ds.map_batches(band_rows, batch_format="pyarrow")

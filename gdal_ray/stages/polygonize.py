@@ -242,9 +242,10 @@ def polygonize_regions(tiles_ds, n_buckets: int | None = None):
             return out.append_column(
                 "rbucket", pa.array((reg % B).astype(np.int32)))
 
+    from ._pool import autoscale as _autoscale
     comps = recs.filter(expr="kind == 0").map_batches(
         ApplyRegion, fn_constructor_kwargs=dict(map_ref=map_ref),
-        batch_format="pyarrow", concurrency=(1, 4))
+        batch_format="pyarrow", concurrency=_autoscale(None))
 
     def per_bucket(g: pa.Table) -> pa.Table:
         df = g.select(["z", "region_id", "tile_key", "n_pixels",

@@ -145,7 +145,7 @@ class SpatialJoinIndex:
             for c, pid in zip(cell_ids.tolist(), pids):
                 cmap[c].append(pid)
         self.level_maps = {
-            lvl: {k: np.asarray(v, dtype=np.int64) for k, v in cmap.items()}
+            lvl: {k: np.asarray(v, dtype=np.int32) for k, v in cmap.items()}
             for lvl, cmap in per_level.items()}
         self.broad_ids = np.asarray(broad, dtype=np.int64)
         # kept for introspection/tests: the finest level in use
@@ -156,11 +156,14 @@ class SpatialJoinIndex:
         multi-level cell covering maps.  O(n log n) per level in use:
         rows are grouped per cell by one argsort + slice (NOT a per-cell
         `inv == ui` scan, which is O(n · unique_cells) and turns big
-        batches quadratic)."""
+        batches quadratic).  Candidate arrays are int32 — at 32-wide
+        parallelism the candidate gathers are DRAM-bandwidth-bound, and
+        halving the element size measurably lifts the high-CPU scaling
+        pair (BASELINE.md)."""
         rows_out, polys_out = [], []
         for lvl, cmap in self.level_maps.items():
             cell = _cells.lonlat_to_cell(lon, lat, lvl)
-            order = np.argsort(cell, kind="stable")
+            order = np.argsort(cell, kind="stable").astype(np.int32)
             sorted_cells = cell[order]
             uniq, starts = np.unique(sorted_cells, return_index=True)
             ends = np.append(starts[1:], len(sorted_cells))
@@ -174,10 +177,10 @@ class SpatialJoinIndex:
         for pid in self.broad_ids:
             in_bbox = np.nonzero(self.prepared[pid].bbox_mask(lon, lat))[0]
             if len(in_bbox):
-                rows_out.append(in_bbox)
-                polys_out.append(np.full(len(in_bbox), pid, dtype=np.int64))
+                rows_out.append(in_bbox.astype(np.int32))
+                polys_out.append(np.full(len(in_bbox), pid, dtype=np.int32))
         if not rows_out:
-            return (np.empty(0, dtype=np.int64),) * 2
+            return (np.empty(0, dtype=np.int32),) * 2
         return np.concatenate(rows_out), np.concatenate(polys_out)
 
     def match_pairs(self, lon: np.ndarray, lat: np.ndarray,
@@ -188,7 +191,7 @@ class SpatialJoinIndex:
         rows, polys = self.candidate_pairs(lon, lat)
         if not len(rows):
             return rows, polys
-        order = np.argsort(polys, kind="stable")
+        order = np.argsort(polys, kind="stable").astype(np.int32)
         rows_s, polys_s = rows[order], polys[order]
         uniq_p = np.unique(polys_s)
         starts = np.searchsorted(polys_s, uniq_p)
@@ -210,9 +213,9 @@ class SpatialJoinIndex:
             matched = sub[hit]
             if len(matched):
                 out_rows.append(matched)
-                out_polys.append(np.full(len(matched), pid, dtype=np.int64))
+                out_polys.append(np.full(len(matched), pid, dtype=np.int32))
         if not out_rows:
-            return (np.empty(0, dtype=np.int64),) * 2
+            return (np.empty(0, dtype=np.int32),) * 2
         return np.concatenate(out_rows), np.concatenate(out_polys)
 
 
@@ -286,18 +289,19 @@ class SpatialJoiner:
         if op == "identity":
             matched = np.zeros(len(batch), dtype=bool)
             matched[rows] = True
-            un = np.nonzero(~matched)[0]
+            un = np.nonzero(~matched)[0].astype(np.int32)
             rows = np.concatenate([rows, un])
-            polys = np.concatenate([polys, np.full(len(un), -1, dtype=np.int64)])
+            polys = np.concatenate([polys, np.full(len(un), -1,
+                                                   dtype=np.int32)])
         elif op != "intersection":
             raise ValueError(f"unknown operation {op}")
         order = np.argsort(rows, kind="stable")
         rows, polys = rows[order], polys[order]
-        left = batch.take(pa.array(rows, pa.int64()))
+        left = batch.take(pa.array(rows))
         cols = {new: left[old] for old, new in out_in}
-        # method fields gathered by poly id (−1 → null for identity)
-        take_idx = pa.array([int(p) if p >= 0 else None for p in polys],
-                            pa.int64())
+        # method fields gathered by poly id — vectorized masked take
+        # (−1 → null for identity); never a per-row Python list comp
+        take_idx = pa.array(polys.astype(np.int64), mask=polys < 0)
         for old, new in out_m:
             cols[new] = self.method_table[old].take(take_idx)
         return pa.table(cols)
@@ -309,16 +313,19 @@ class SpatialJoiner:
 # as an actor pool, but tasks schedule elastically — no pool sizing, no
 # CPU reservation starving sibling stages on small clusters.
 _JOINER_CACHE: dict = {}
+_JOINER_CACHE_MAX = 3  # small LRU: two alternating join layers must
+# not thrash the per-worker index (VERDICT r1 #10); 3 bounds memory
 
 
 def _cached_joiner(polygons_ref, kwargs_key, **kwargs) -> "SpatialJoiner":
     key = (polygons_ref.hex() if isinstance(polygons_ref, ray.ObjectRef)
            else id(polygons_ref), kwargs_key)
-    j = _JOINER_CACHE.get(key)
+    j = _JOINER_CACHE.pop(key, None)
     if j is None:
         j = SpatialJoiner(polygons_ref, **kwargs)
-        _JOINER_CACHE.clear()  # one live index per worker (bound memory)
-        _JOINER_CACHE[key] = j
+        while len(_JOINER_CACHE) >= _JOINER_CACHE_MAX:
+            _JOINER_CACHE.pop(next(iter(_JOINER_CACHE)))
+    _JOINER_CACHE[key] = j  # (re-)insert at MRU position
     return j
 
 
