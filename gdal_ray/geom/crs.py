@@ -132,12 +132,138 @@ def tm_inverse(E, N, lon0_deg: float, k0: float, fe: float, fn: float):
 
 
 # ---------------------------------------------------------------------------
+# Conic projections — Lambert conformal conic + Albers equal-area
+# (2-standard-parallel ellipsoidal forms, Snyder 1987 "Map Projections —
+# A Working Manual", USGS PP 1395: LCC eq. 15-1..15-11, Albers eq.
+# 14-1..14-21; the same formulas PROJ's lcc/aea use)
+# ---------------------------------------------------------------------------
+
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+
+
+def _snyder_m(phi, e2):
+    return np.cos(phi) / np.sqrt(1.0 - e2 * np.sin(phi) ** 2)
+
+
+def _snyder_t(phi, e):
+    return np.tan(np.pi / 4.0 - phi / 2.0) / (
+        (1.0 - e * np.sin(phi)) / (1.0 + e * np.sin(phi))) ** (e / 2.0)
+
+
+def _snyder_q(phi, e, e2):
+    s = np.sin(phi)
+    return (1.0 - e2) * (s / (1.0 - e2 * s * s)
+                         - (1.0 / (2.0 * e))
+                         * np.log((1.0 - e * s) / (1.0 + e * s)))
+
+
+class _LCC:
+    """Lambert conformal conic 2SP (Snyder 15-1..15-11)."""
+
+    def __init__(self, lat1, lat2, lat0, lon0, x0=0.0, y0=0.0,
+                 a=GRS80_A, f=GRS80_F):
+        e2 = f * (2.0 - f)
+        self.a, self.e, self.e2 = a, np.sqrt(e2), e2
+        p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+        m1, m2 = _snyder_m(p1, e2), _snyder_m(p2, e2)
+        t1, t2 = _snyder_t(p1, self.e), _snyder_t(p2, self.e)
+        self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2)) \
+            if lat1 != lat2 else np.sin(p1)
+        self.F = m1 / (self.n * t1 ** self.n)
+        self.rho0 = a * self.F * _snyder_t(p0, self.e) ** self.n
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+
+    def forward(self, lon, lat):
+        phi = np.radians(lat)
+        t = _snyder_t(phi, self.e)
+        rho = self.a * self.F * t ** self.n
+        th = self.n * np.radians(
+            ((lon - self.lon0 + 180.0) % 360.0) - 180.0)
+        return (self.x0 + rho * np.sin(th),
+                self.y0 + self.rho0 - rho * np.cos(th))
+
+    def inverse(self, x, y):
+        xr = np.asarray(x, dtype=np.float64) - self.x0
+        yr = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
+        rho = np.sign(self.n) * np.hypot(xr, yr)
+        th = np.arctan2(np.sign(self.n) * xr, np.sign(self.n) * yr)
+        t = (rho / (self.a * self.F)) ** (1.0 / self.n)
+        # iterate Snyder 7-9: phi from t
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):
+            s = self.e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - s) / (1.0 + s)) ** (self.e / 2.0))
+        return (self.lon0 + np.degrees(th / self.n), np.degrees(phi))
+
+
+class _Albers:
+    """Albers equal-area conic 2SP (Snyder 14-1..14-21)."""
+
+    def __init__(self, lat1, lat2, lat0, lon0, x0=0.0, y0=0.0,
+                 a=GRS80_A, f=GRS80_F):
+        e2 = f * (2.0 - f)
+        self.a, self.e, self.e2 = a, np.sqrt(e2), e2
+        p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
+        m1, m2 = _snyder_m(p1, e2), _snyder_m(p2, e2)
+        q1 = _snyder_q(p1, self.e, e2)
+        q2 = _snyder_q(p2, self.e, e2)
+        q0 = _snyder_q(p0, self.e, e2)
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1) if lat1 != lat2 \
+            else np.sin(p1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = a * np.sqrt(self.C - self.n * q0) / self.n
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+
+    def forward(self, lon, lat):
+        q = _snyder_q(np.radians(lat), self.e, self.e2)
+        rho = self.a * np.sqrt(self.C - self.n * q) / self.n
+        th = self.n * np.radians(
+            ((lon - self.lon0 + 180.0) % 360.0) - 180.0)
+        return (self.x0 + rho * np.sin(th),
+                self.y0 + self.rho0 - rho * np.cos(th))
+
+    def inverse(self, x, y):
+        xr = np.asarray(x, dtype=np.float64) - self.x0
+        yr = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
+        rho = np.hypot(xr, yr)
+        th = np.arctan2(xr, yr)
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        # iterate Snyder 3-16: phi from q
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(8):
+            s = np.sin(phi)
+            es = self.e * s
+            phi = phi + (1.0 - self.e2 * s * s) ** 2 / (
+                2.0 * np.cos(phi)) * (
+                q / (1.0 - self.e2)
+                - s / (1.0 - self.e2 * s * s)
+                + 1.0 / (2.0 * self.e)
+                * np.log((1.0 - es) / (1.0 + es)))
+        return (self.lon0 + np.degrees(th / self.n), np.degrees(phi))
+
+
+# ---------------------------------------------------------------------------
 # CRS registry + Transformer
 # ---------------------------------------------------------------------------
 
 
 def _parse_crs(crs) -> tuple[str, dict]:
-    """Accept 'EPSG:4326' / 4326 / 'epsg:32631' → kind + params."""
+    """Accept 'EPSG:4326' / 4326 / 'epsg:32631' → kind + params, or a
+    dict spec {'proj': 'lcc'|'aea', 'lat_1':..., 'lat_2':..., 'lat_0':
+    ..., 'lon_0':..., 'x_0':..., 'y_0':...} for arbitrary conic CRS
+    (ellipsoid defaults to GRS80; pass a/f to override)."""
+    if isinstance(crs, dict):
+        proj = crs.get("proj")
+        if proj not in ("lcc", "aea"):
+            raise ValueError(f"unsupported dict CRS proj={proj!r}")
+        cls = _LCC if proj == "lcc" else _Albers
+        conic = cls(crs["lat_1"], crs["lat_2"], crs.get("lat_0", 0.0),
+                    crs.get("lon_0", 0.0), crs.get("x_0", 0.0),
+                    crs.get("y_0", 0.0), crs.get("a", GRS80_A),
+                    crs.get("f", GRS80_F))
+        return "conic", {"conic": conic}
     if isinstance(crs, int):
         code = crs
     else:
@@ -153,6 +279,10 @@ def _parse_crs(crs) -> tuple[str, dict]:
         return "utm", {"lon0": (code - 32600) * 6 - 183, "fn": 0.0}
     if 32701 <= code <= 32760:
         return "utm", {"lon0": (code - 32700) * 6 - 183, "fn": 10000000.0}
+    if code == 5070:  # NAD83 / Conus Albers (GRS80)
+        return "conic", {"conic": _Albers(29.5, 45.5, 23.0, -96.0)}
+    if code == 3978:  # NAD83 / Canada Lambert conformal conic (GRS80)
+        return "conic", {"conic": _LCC(49.0, 77.0, 49.0, -95.0)}
     raise ValueError(f"unsupported CRS EPSG:{code}")
 
 
@@ -174,6 +304,10 @@ def _to_geographic(kind: str, p: dict, x, y):
     if kind == "utm":
         ok = np.isfinite(x) & np.isfinite(y)
         lon, lat = tm_inverse(x, y, p["lon0"], 0.9996, 500000.0, p["fn"])
+        return np.where(ok, lon, np.nan), np.where(ok, lat, np.nan), ok
+    if kind == "conic":
+        ok = np.isfinite(x) & np.isfinite(y)
+        lon, lat = p["conic"].inverse(x, y)
         return np.where(ok, lon, np.nan), np.where(ok, lat, np.nan), ok
     raise AssertionError(kind)
 
@@ -200,6 +334,13 @@ def _from_geographic(kind: str, p: dict, lon, lat):
         lon_c = np.where(ok, lon, p["lon0"])
         E, Nn = tm_forward(lon_c, lat_c, p["lon0"], 0.9996, 500000.0, p["fn"])
         return np.where(ok, E, np.nan), np.where(ok, Nn, np.nan), ok
+    if kind == "conic":
+        # |lat| == 90 is on the cone axis (LCC: t→0 or ∞) — still
+        # finite for the supported parameter ranges; flag only NaNs
+        ok = (np.abs(lat) <= 90.0) & np.isfinite(lon)
+        lat_c = np.where(ok, lat, 0.0)
+        X, Y = p["conic"].forward(np.where(ok, lon, 0.0), lat_c)
+        return np.where(ok, X, np.nan), np.where(ok, Y, np.nan), ok
     raise AssertionError(kind)
 
 

@@ -1087,6 +1087,29 @@ def q_checkpoint_partitioned(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_reproject_albers(sf_dir: str):
+    """EPSG:4326 → EPSG:5070 (CONUS Albers equal-area, GRS80) for the
+    events inside the CONUS window — oracle restates Snyder 14-1..14-4
+    in SQL with the projection constants inlined."""
+    from ..geom.crs import Transformer
+
+    t = Transformer.from_crs("EPSG:4326", "EPSG:5070")
+    pts = event_points(sf_dir, columns=("event_id",))
+
+    def proj(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        m = (lon >= -125.0) & (lon <= -66.0) & (lat >= 24.0) & (lat <= 50.0)
+        E, N, _ = t.transform_with_errors(lon[m], lat[m])
+        return pa.table({
+            "event_id": b["event_id"].filter(pa.array(m)),
+            "x_cm": pa.array(np.round(E * 100.0).astype(np.int64)),
+            "y_cm": pa.array(np.round(N * 100.0).astype(np.int64)),
+        })
+
+    return pts.map_batches(proj, batch_format="pyarrow")
+
+
 def q_grid_metrics(sf_dir: str):
     """gdal_grid moving-average + data-metrics algorithms over the same
     24x8 node grid as grid_idw (alg/gdalgrid.cpp:630,1059-2000):
@@ -1389,6 +1412,7 @@ QUERIES = {
     "contour_polylines": q_contour_polylines,
     "media_frame_sample": q_media_frame_sample,
     "media_decode_embed": q_media_decode_embed,
+    "reproject_albers": q_reproject_albers,
     "grid_metrics": q_grid_metrics,
     "tile_checksum": q_tile_checksum,
     "band_histogram": q_band_histogram,
@@ -2069,6 +2093,43 @@ def _utm31_oracle() -> str:
 
 ORACLES["reproject_utm31_inzone"] = \
     _utm31_oracle().replace("{PTS}", _PTS_SQL)
+
+
+def _albers_oracle() -> str:
+    """Snyder 14-1..14-4 in SQL, EPSG:5070 constants inlined."""
+    from ..geom.crs import _parse_crs
+
+    c = _parse_crs("EPSG:5070")[1]["conic"]
+    e, e2 = f"{float(c.e)!r}::DOUBLE", f"{float(c.e2)!r}::DOUBLE"
+    n = f"{float(c.n)!r}::DOUBLE"
+    C = f"{float(c.C)!r}::DOUBLE"
+    rho0 = f"{float(c.rho0)!r}::DOUBLE"
+    a = f"{float(c.a)!r}::DOUBLE"
+    return f"""
+    WITH pts AS ({{PTS}}),
+    inw AS (SELECT event_id, lon, lat FROM pts
+            WHERE lon BETWEEN -125.0 AND -66.0
+              AND lat BETWEEN 24.0 AND 50.0),
+    s1 AS (SELECT event_id, lon, sin(radians(lat)) AS s FROM inw),
+    s2 AS (SELECT event_id, lon,
+                  (1.0 - {e2}) * (s / (1.0 - {e2}*s*s)
+                    - (1.0/(2.0*{e}))
+                      * ln((1.0 - {e}*s)/(1.0 + {e}*s))) AS q
+           FROM s1),
+    s3 AS (SELECT event_id,
+                  {a} * sqrt({C} - {n}*q) / {n} AS rho,
+                  {n} * radians((((lon + 96.0 + 180.0) % 360.0 + 360.0)
+                                 % 360.0) - 180.0) AS th
+           FROM s2)
+    SELECT event_id,
+           CAST(round(rho * sin(th) * 100.0, 0) AS BIGINT) AS x_cm,
+           CAST(round(({rho0} - rho * cos(th)) * 100.0, 0) AS BIGINT)
+               AS y_cm
+    FROM s3
+    """
+
+
+ORACLES["reproject_albers"] = _albers_oracle().replace("{PTS}", _PTS_SQL)
 
 ORACLES["knn_idw"] = f"""
     WITH pts AS ({_PTS_SQL}),

@@ -285,27 +285,67 @@ def _limit(ds, args):
 @register("spatial_sort")
 def _spatial_sort(ds, args):
     """Spatial sort (gdal vector sort): method 'hilbert' (the
-    reference's default curve, gdalalg_vector_sort.cpp:351-375) or
-    'morton' (the engine's cell id) as the space-filling-curve key
+    reference's default curve, gdalalg_vector_sort.cpp:351-375),
+    'morton' (the engine's cell id), or 'strtree' (the STR leaf-packing
+    order, gdalalg_vector_sort.cpp:393-500) as the sort key
     (SURVEY.md §2.6)."""
+    import numpy as np
+
     from ..geom import cells as _cells
 
     level = int(args.get("level", 12))
     method = args.get("method", "hilbert")
+    xcol, ycol = args.get("x", "lon"), args.get("y", "lat")
+
+    if method == "strtree":
+        return _strtree_sort(ds, xcol, ycol,
+                             int(args.get("node_capacity", 10)))
 
     def add_key(b: pa.Table) -> pa.Table:
-        lon = b[args.get("x", "lon")].to_numpy(zero_copy_only=False)
-        lat = b[args.get("y", "lat")].to_numpy(zero_copy_only=False)
+        lon = b[xcol].to_numpy(zero_copy_only=False)
+        lat = b[ycol].to_numpy(zero_copy_only=False)
         if method == "hilbert":
             key = _cells.lonlat_to_hilbert(lon, lat, level).astype("uint64")
         elif method == "morton":
             key = _cells.lonlat_to_cell(lon, lat, level)
         else:
-            raise ValueError(f"method must be hilbert|morton, got {method}")
+            raise ValueError(
+                f"method must be hilbert|morton|strtree, got {method}")
         return b.append_column("spatial_key", pa.array(key, pa.uint64()))
 
     return ds.map_batches(add_key, batch_format="pyarrow") \
         .sort("spatial_key")
+
+
+def _strtree_sort(ds, xcol: str, ycol: str, node_capacity: int = 10):
+    """STR (sort-tile-recursive) leaf-packing order, distributed: the
+    reference sorts by x, slices into ceil(sqrt(nleaves)) vertical
+    strips, and orders each strip by y (gdalalg_vector_sort.cpp:
+    393-500).  Here the strip boundaries come from x-quantiles of a
+    driver-side sample (exact ranks are a global sort — the quantile
+    strips reproduce them up to sampling error), then ONE distributed
+    sort on the composite (strip, y) key."""
+    import numpy as np
+
+    n = ds.count()
+    nleaf = max(1, int(np.ceil(n / node_capacity)))
+    nstrips = max(1, int(np.ceil(np.sqrt(nleaf))))
+    sample = ds.select_columns([xcol]).limit(65536).to_pandas()[xcol] \
+        .to_numpy()
+    qs = np.quantile(np.sort(sample),
+                     np.arange(1, nstrips) / nstrips) if nstrips > 1 \
+        else np.empty(0)
+
+    def add_key(b: pa.Table) -> pa.Table:
+        x = b[xcol].to_numpy(zero_copy_only=False)
+        y = b[ycol].to_numpy(zero_copy_only=False)
+        strip = np.searchsorted(qs, x, side="right").astype(np.int64)
+        return b.append_column(
+            "strtree_strip", pa.array(strip)).append_column(
+            "strtree_y", pa.array(y.astype(np.float64)))
+
+    return ds.map_batches(add_key, batch_format="pyarrow") \
+        .sort(["strtree_strip", "strtree_y"])
 
 
 @register("contour")

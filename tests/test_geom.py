@@ -350,3 +350,78 @@ def test_transform_with_errors_flags():
         np.array([0.0, 0.0]), np.array([0.0, 95.0]))
     assert ok.tolist() == [True, False]
     assert np.isnan(X[1]) and np.isnan(Y[1])
+
+
+# --- conic projections (LCC / Albers, Snyder 1987 formulas) ---------------
+
+
+def test_conic_roundtrip_machine_precision():
+    from gdal_ray.geom.crs import Transformer
+
+    rs = np.random.RandomState(1)
+    lon = rs.uniform(-125, -66, 500)
+    lat = rs.uniform(24, 50, 500)
+    for code in ("EPSG:5070", "EPSG:3978"):
+        fwd = Transformer.from_crs("EPSG:4326", code)
+        inv = Transformer.from_crs(code, "EPSG:4326")
+        x, y, ok = fwd.transform_with_errors(lon, lat)
+        lo2, la2, ok2 = inv.transform_with_errors(x, y)
+        assert ok.all() and ok2.all()
+        np.testing.assert_allclose(lo2, lon, atol=1e-11)
+        np.testing.assert_allclose(la2, lat, atol=1e-11)
+
+
+def test_albers_preserves_area_scale():
+    """Equal-area property: the numeric Jacobian determinant equals the
+    ellipsoidal area element to ~1e-7 everywhere in the domain."""
+    from gdal_ray.geom.crs import Transformer, GRS80_A, GRS80_F
+
+    t = Transformer.from_crs("EPSG:4326", "EPSG:5070")
+    e2 = GRS80_F * (2 - GRS80_F)
+    h = 1e-5
+    for la in (25.0, 37.0, 49.0):
+        lon = np.array([-96.0]); lat = np.array([la])
+        x0, y0, _ = t.transform_with_errors(lon, lat)
+        x1, y1, _ = t.transform_with_errors(lon + h, lat)
+        x2, y2, _ = t.transform_with_errors(lon, lat + h)
+        det = abs((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)) / h**2
+        phi = np.radians(la)
+        M = GRS80_A * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        N = GRS80_A / (1 - e2 * np.sin(phi) ** 2) ** 0.5
+        true = M * np.cos(phi) * N * (np.pi / 180) ** 2
+        assert abs(det / true - 1.0) < 1e-6
+
+
+def test_lcc_unit_scale_on_standard_parallels():
+    """Conformal scale factor k == 1 on both standard parallels."""
+    import math
+
+    from gdal_ray.geom.crs import Transformer, GRS80_A, GRS80_F
+
+    t = Transformer.from_crs("EPSG:4326", "EPSG:3978")
+    e2 = GRS80_F * (2 - GRS80_F)
+    h = 1e-6
+    for la in (49.0, 77.0):
+        x0, y0, _ = t.transform_with_errors(np.array([-95.0]),
+                                            np.array([la]))
+        x1, y1, _ = t.transform_with_errors(np.array([-95.0 + h]),
+                                            np.array([la]))
+        Nr = GRS80_A / math.sqrt(1 - e2 * math.sin(math.radians(la)) ** 2)
+        true = Nr * math.cos(math.radians(la)) * math.radians(h)
+        k = float(np.hypot(x1 - x0, y1 - y0)) / true
+        assert abs(k - 1.0) < 1e-8
+
+
+def test_conic_dict_spec():
+    """Arbitrary conic CRS via dict spec (custom parallels/ellipsoid)."""
+    from gdal_ray.geom.crs import Transformer
+
+    spec = {"proj": "lcc", "lat_1": 33.0, "lat_2": 45.0, "lat_0": 23.0,
+            "lon_0": -96.0}
+    t = Transformer.from_crs("EPSG:4326", spec)
+    ti = Transformer.from_crs(spec, "EPSG:4326")
+    x, y, ok = t.transform_with_errors(np.array([-75.0]), np.array([35.0]))
+    assert ok.all() and np.isfinite(x).all()
+    lo, la, _ = ti.transform_with_errors(x, y)
+    np.testing.assert_allclose(lo, [-75.0], atol=1e-11)
+    np.testing.assert_allclose(la, [35.0], atol=1e-11)

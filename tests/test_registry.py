@@ -102,3 +102,34 @@ def test_cli_main(ray_session, pages_path, tmp_path, capsys):
     out = capsys.readouterr()
     assert out.out.count("https://") == 2
     assert "# 7 rows" in out.err
+
+
+def test_spatial_sort_strtree_leaf_order(ray_session):
+    """STR packing order: x-strips, y-ordered within each strip —
+    matching the exact-rank STRtree leaf order when the sample covers
+    the whole layer (gdalalg_vector_sort.cpp:393-500 semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.pipelines.registry import REGISTRY as STEPS
+
+    rs = np.random.RandomState(4)
+    n = 400
+    t = pa.table({
+        "pid": pa.array(np.arange(n, dtype=np.int64)),
+        "lon": pa.array(rs.uniform(-170, 170, n)),
+        "lat": pa.array(rs.uniform(-80, 80, n)),
+    })
+    out = STEPS["spatial_sort"](rd.from_arrow(t).repartition(4),
+                                {"method": "strtree"}).to_pandas()
+    # within each strip, y is nondecreasing
+    for _, grp in out.groupby("strtree_strip"):
+        assert (np.diff(grp["lat"].to_numpy()) >= 0).all()
+    # strips partition x: every strip's min x >= previous strip's max
+    # modulo quantile-boundary ties
+    stats = out.groupby("strtree_strip")["lon"].agg(["min", "max"])
+    prev_max = -np.inf
+    for _, row in stats.iterrows():
+        assert row["min"] >= prev_max - 1e-9
+        prev_max = row["max"]
