@@ -1144,6 +1144,70 @@ def q_grid_metrics(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_raster_proximity(sf_dir: str):
+    """GDALComputeProximity over the z3 count raster (maxdist 16 px):
+    per-tile distance-grid summaries (rows-only; exact brute-force
+    goldens incl. cross-seam distances in tests/test_focal.py)."""
+    from ..stages.focal import proximity
+
+    out = proximity(_rendered_tiles(sf_dir, 3), maxdist=16)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        sums = []
+        for blob in b["raster_f32"].to_pylist():
+            g = np.frombuffer(_z.decompress(blob), dtype="<f4")
+            sums.append(int(np.round(g.sum())))
+        return pa.table({"z": b["z"], "x": b["x"], "y": b["y"],
+                         "dist_sum": pa.array(sums, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_raster_fillnodata(sf_dir: str):
+    """GDALFillNodata (directional IDW, maxdist 8) over the z3 count
+    raster: per-tile filled-value summaries (rows-only; directional
+    goldens in tests/test_focal.py)."""
+    from ..stages.focal import fillnodata
+
+    out = fillnodata(_rendered_tiles(sf_dir, 3), maxdist=8)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        sums, nz = [], []
+        for blob in b["raster_f32"].to_pylist():
+            g = np.frombuffer(_z.decompress(blob), dtype="<f4")
+            sums.append(round(float(g.sum()), 3))
+            nz.append(int((g > 0).sum()))
+        return pa.table({"z": b["z"], "x": b["x"], "y": b["y"],
+                         "filled_sum": pa.array(sums, pa.float64()),
+                         "nonzero": pa.array(nz, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_raster_sieve(sf_dir: str):
+    """GDALSieveFilter over the z0 count raster (threshold 3): per-tile
+    nonzero/footprint summary after sieving (rows-only; merge-rule and
+    cross-tile goldens in tests/test_sieve.py)."""
+    from ..stages.sieve import sieve
+
+    out = sieve(_rendered_tiles(sf_dir, 0), threshold=3)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        nz, tot = [], []
+        for blob in b["raster"].to_pylist():
+            g = np.frombuffer(_z.decompress(blob), dtype=">u2")
+            nz.append(int((g > 0).sum()))
+            tot.append(int(g.sum()))
+        return pa.table({"z": b["z"], "x": b["x"], "y": b["y"],
+                         "nonzero": pa.array(nz, pa.int64()),
+                         "total": pa.array(tot, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_tile_checksum(sf_dir: str):
     """GDALChecksumImage per z3 tile (alg/gdalchecksum.cpp:48) — the
     reference's golden-test oracle for every tile test."""
@@ -1414,6 +1478,9 @@ QUERIES = {
     "media_decode_embed": q_media_decode_embed,
     "reproject_albers": q_reproject_albers,
     "grid_metrics": q_grid_metrics,
+    "raster_proximity": q_raster_proximity,
+    "raster_fillnodata": q_raster_fillnodata,
+    "raster_sieve": q_raster_sieve,
     "tile_checksum": q_tile_checksum,
     "band_histogram": q_band_histogram,
     "poly_intersection": q_poly_intersection,

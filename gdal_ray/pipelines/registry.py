@@ -356,6 +356,34 @@ def _contour(ds, args):
     return contour_segments(ds, args["levels"])
 
 
+@register("proximity")
+def _proximity(ds, args):
+    """Tile table → per-pixel distance-to-nearest-target raster
+    (GDALComputeProximity, halo-exchange focal stage)."""
+    from ..stages.focal import proximity
+
+    return proximity(ds, maxdist=int(args.get("maxdist", 32)))
+
+
+@register("fillnodata")
+def _fillnodata(ds, args):
+    """Tile table → nodata (zero) pixels filled by directional IDW
+    (GDALFillNodata, halo-exchange focal stage)."""
+    from ..stages.focal import fillnodata
+
+    return fillnodata(ds, maxdist=int(args.get("maxdist", 32)))
+
+
+@register("sieve")
+def _sieve(ds, args):
+    """Tile table → sieved tile table (GDALSieveFilter: same-value
+    regions under threshold merge into their largest neighbor)."""
+    from ..stages.sieve import sieve
+
+    return sieve(ds, threshold=int(args["threshold"]),
+                 protect_zero=bool(args.get("protect_zero", False)))
+
+
 @register("polygonize")
 def _polygonize(ds, args):
     """Tile table → merged connected regions (raster→vector)."""

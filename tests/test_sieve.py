@@ -1,0 +1,85 @@
+"""Sieve filter goldens — GDALSieveFilter semantics (small same-value
+regions merge into their largest neighbor, smallest first), including
+cross-tile region size accounting."""
+
+import zlib
+
+import numpy as np
+
+from gdal_ray.stages.sieve import TILE, sieve
+
+
+def _tile_row(z, x, y, grid):
+    return {"z": z, "x": x, "y": y, "n_pages": int(grid.sum()),
+            "raster": zlib.compress(grid.astype(">u2").tobytes(), 6)}
+
+
+def _decode(blob):
+    return np.frombuffer(zlib.decompress(blob), dtype=">u2") \
+        .reshape(TILE, TILE)
+
+
+def test_sieve_small_island_into_largest_neighbor(ray_session):
+    import ray.data as rd
+
+    g = np.full((TILE, TILE), 3, dtype=np.int64)
+    g[10:12, 10:12] = 7       # 4 px island → sieved into the 3-field
+    g[100:150, 100:150] = 9   # 2500 px → survives
+    out = sieve(rd.from_items([_tile_row(2, 1, 1, g)]),
+                threshold=10).to_pandas()
+    ng = _decode(out["raster"].iloc[0])
+    assert (ng[10:12, 10:12] == 3).all()
+    assert (ng[100:150, 100:150] == 9).all()
+    assert (ng[g == 3] == 3).all()
+
+
+def test_sieve_cross_tile_region_size(ray_session):
+    """A region split 3+3 px across two tiles counts as 6: survives
+    threshold 5, sieved at threshold 7."""
+    import ray.data as rd
+
+    ga = np.zeros((TILE, TILE), np.int64)
+    gb = np.zeros((TILE, TILE), np.int64)
+    ga[50, TILE - 3:] = 5
+    gb[50, :3] = 5
+    rows = [_tile_row(2, 1, 1, ga), _tile_row(2, 2, 1, gb)]
+    keep = sieve(rd.from_items(rows), threshold=5).to_pandas() \
+        .sort_values("x")
+    assert (_decode(keep["raster"].iloc[0])[50, TILE - 3:] == 5).all()
+    gone = sieve(rd.from_items(rows), threshold=7).to_pandas() \
+        .sort_values("x")
+    assert (_decode(gone["raster"].iloc[0])[50, TILE - 3:] == 0).all()
+    assert (_decode(gone["raster"].iloc[1])[50, :3] == 0).all()
+
+
+def test_sieve_small_regions_absorbed_by_largest_neighbor(ray_session):
+    """Largest-NEIGHBOR rule: two small adjacent regions both border
+    the giant background, so both merge into value 0 — not into each
+    other (the reference's merge target is the biggest neighbor, not
+    the nearest small one)."""
+    import ray.data as rd
+
+    g = np.zeros((TILE, TILE), np.int64)
+    g[0:2, 0:4] = 2    # 8 px of value 2
+    g[2:4, 0:4] = 6    # 8 px of value 6, adjacent below
+    out = sieve(rd.from_items([_tile_row(2, 1, 1, g)]),
+                threshold=10).to_pandas()
+    ng = _decode(out["raster"].iloc[0])
+    assert (ng == 0).all()
+
+
+def test_sieve_enclosed_cascade(ray_session):
+    """An island enclosed INSIDE another region merges into its only
+    neighbor (the ring), growing it past the threshold."""
+    import ray.data as rd
+
+    g = np.zeros((TILE, TILE), np.int64)
+    g[10:16, 10:16] = 4          # 36 px ring region of value 4
+    g[12:14, 12:14] = 8          # 4 px island of 8 enclosed in the 4s
+    out = sieve(rd.from_items([_tile_row(2, 1, 1, g)]),
+                threshold=6).to_pandas()
+    ng = _decode(out["raster"].iloc[0])
+    # island (4 px < 6) merges into the enclosing 4-region (its only
+    # neighbor is larger); the 4-region (32 px) stays
+    assert (ng[12:14, 12:14] == 4).all()
+    assert (ng[10:16, 10:16] == 4).all()
