@@ -1144,6 +1144,29 @@ def q_grid_metrics(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_raster_warp(sf_dir: str):
+    """gdalwarp: reproject the z3 mercator count raster to the
+    plate-carrée tile grid (ChunkAndWarpImage dataflow: source tiles
+    shuffle to the output tiles they feed, nearest-neighbor resample).
+    Rows-only; per-pixel equality goldens in tests/test_warp.py."""
+    from ..stages.warp import warp_to_platecarree
+
+    out = warp_to_platecarree(_rendered_tiles(sf_dir, 3))
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        nz, tot = [], []
+        for blob in b["raster"].to_pylist():
+            g = np.frombuffer(_z.decompress(blob), dtype=">u2")
+            nz.append(int((g > 0).sum()))
+            tot.append(int(g.sum()))
+        return pa.table({"z": b["z"], "x": b["x"], "y": b["y"],
+                         "nonzero": pa.array(nz, pa.int64()),
+                         "total": pa.array(tot, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_raster_proximity(sf_dir: str):
     """GDALComputeProximity over the z3 count raster (maxdist 16 px):
     per-tile distance-grid summaries (rows-only; exact brute-force
@@ -1478,6 +1501,7 @@ QUERIES = {
     "media_decode_embed": q_media_decode_embed,
     "reproject_albers": q_reproject_albers,
     "grid_metrics": q_grid_metrics,
+    "raster_warp": q_raster_warp,
     "raster_proximity": q_raster_proximity,
     "raster_fillnodata": q_raster_fillnodata,
     "raster_sieve": q_raster_sieve,

@@ -374,6 +374,15 @@ def _fillnodata(ds, args):
     return fillnodata(ds, maxdist=int(args.get("maxdist", 32)))
 
 
+@register("warp")
+def _warp(ds, args):
+    """Mercator tile table → plate-carrée tile table
+    (ChunkAndWarpImage dataflow, nearest-neighbor)."""
+    from ..stages.warp import warp_to_platecarree
+
+    return warp_to_platecarree(ds)
+
+
 @register("sieve")
 def _sieve(ds, args):
     """Tile table → sieved tile table (GDALSieveFilter: same-value

@@ -1,0 +1,162 @@
+"""Raster warp — reproject the web-mercator tile mosaic to a
+plate-carrée (EPSG:4326 equirectangular) tile grid.
+
+The reference's warp (alg/gdalwarpoperation.cpp:1043
+ChunkAndWarpImage) processes the OUTPUT in chunks, computing for each
+chunk the source window it needs and resampling.  Re-expressed on the
+tile table:
+
+1. each SOURCE mercator tile computes which output (plate-carrée)
+   tiles its lat/lon footprint overlaps and emits itself to those keys
+   — the inverse of the reference's per-chunk source-window
+   computation, same dataflow as one hash-bucketed exchange;
+2. per OUTPUT tile: assemble the received source grids and resample
+   every output pixel by nearest neighbor (GRA_NearestNeighbour, the
+   reference default): output pixel center (lon, lat) → global
+   mercator pixel via the SAME direct slippy formula as the rest of
+   the engine (geom.tiles.global_pixel) → source tile + offset, one
+   vectorized gather per source tile.
+
+Output grid: at source zoom z the destination is a 2^z × 2^z tile grid
+over lon ∈ [-180, 180], lat ∈ [90, -90] (rows north→south), each tile
+256×256 px — i.e. square degrees-per-pixel in lon, half resolution in
+lat (plate carrée).  Pixels whose mercator source pixel is outside any
+source tile are 0 (the mosaic's implicit zero padding); |lat| beyond
+the web-mercator square is 0 too.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import tiles as _tiles
+
+TILE = 256
+
+
+def _dest_key(xo, yo):
+    return (np.int64(xo) << 28) | np.int64(yo)
+
+
+def _merc_lat_range(y: int, z: int) -> tuple[float, float]:
+    """Latitude span (south, north) of XYZ mercator tile row y."""
+    n = 1 << z
+
+    def lat_of(yy):
+        t = np.pi * (1.0 - 2.0 * yy / n)
+        return float(np.degrees(np.arctan(np.sinh(t))))
+
+    return lat_of(y + 1), lat_of(y)
+
+
+def emit_to_dest(batch: pa.Table) -> pa.Table:
+    """Source mercator tile → one row per overlapped output tile."""
+    keys, zs, xs, ys, blobs = [], [], [], [], []
+    for z, x, y, blob in zip(batch["z"].to_pylist(), batch["x"].to_pylist(),
+                             batch["y"].to_pylist(),
+                             batch["raster"].to_pylist()):
+        z, x, y = int(z), int(x), int(y)
+        n = 1 << z
+        lon0 = -180.0 + x * 360.0 / n
+        lon1 = lon0 + 360.0 / n
+        lat_s, lat_n = _merc_lat_range(y, z)
+        # overlapped output tiles: lon cols are 360/2^z wide (== same
+        # x range); lat rows are 180/2^z tall, row 0 at +90
+        xo = x  # same lon split
+        row_h = 180.0 / n
+        yo0 = int(np.floor((90.0 - lat_n) / row_h))
+        yo1 = int(np.floor((90.0 - lat_s) / row_h - 1e-12))
+        for yo in range(max(0, yo0), min(n - 1, yo1) + 1):
+            keys.append(int(_dest_key(xo, yo)))
+            zs.append(z)
+            xs.append(x)
+            ys.append(y)
+            blobs.append(blob)
+    return pa.table({
+        "dest": pa.array(keys, pa.int64()),
+        "z": pa.array(zs, pa.int32()),
+        "sx": pa.array(xs, pa.int64()),
+        "sy": pa.array(ys, pa.int64()),
+        "raster": pa.array(blobs, pa.binary()),
+    })
+
+
+def _warp_one(z: int, xo: int, yo: int, grids: dict) -> np.ndarray:
+    """Resample one output tile by nearest neighbor."""
+    n = 1 << z
+    lon = -180.0 + (xo + (np.arange(TILE) + 0.5) / TILE) * 360.0 / n
+    lat = 90.0 - (yo + (np.arange(TILE) + 0.5) / TILE) * 180.0 / n
+    lon2 = np.repeat(lon[None, :], TILE, axis=0).ravel()
+    lat2 = np.repeat(lat[:, None], TILE, axis=1).ravel()
+    inside = np.abs(lat2) <= _tiles.MAX_LATITUDE
+    out = np.zeros(TILE * TILE, dtype=np.int64)
+    if inside.any():
+        gx, gy = _tiles.global_pixel(lon2[inside], lat2[inside], z)
+        key = (gx >> 8 << 32) | (gy >> 8)
+        col = gx & 255
+        row = gy & 255
+        vals = np.zeros(len(gx), dtype=np.int64)
+        order = np.argsort(key, kind="stable")
+        uniq, starts = np.unique(key[order], return_index=True)
+        bounds = np.append(starts, len(key))
+        for j in range(len(uniq)):
+            g = grids.get((int(uniq[j] >> 32), int(uniq[j] & 0xFFFFFFFF)))
+            if g is not None:
+                idx = order[bounds[j]:bounds[j + 1]]
+                vals[idx] = g[row[idx], col[idx]]
+        out[inside] = vals
+    return out.reshape(TILE, TILE)
+
+
+def warp_to_platecarree(tiles_ds, n_buckets: int | None = None):
+    """Mercator tile table → plate-carrée tile table (z, x, y, raster);
+    output y rows run north→south from lat +90."""
+    from ._pool import cluster_cpus
+    B = n_buckets or max(16, cluster_cpus() * 2)
+
+    emit = tiles_ds.map_batches(emit_to_dest, batch_format="pyarrow")
+    emit = emit.map_batches(
+        lambda b: b.append_column(
+            "bucket", pa.array((b["dest"].to_numpy(zero_copy_only=False)
+                                % B).astype(np.int32))),
+        batch_format="pyarrow")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        dest = g["dest"].to_numpy(zero_copy_only=False)
+        order = np.argsort(dest, kind="stable")
+        zz = g["z"].to_numpy(zero_copy_only=False)
+        sx = g["sx"].to_numpy(zero_copy_only=False)
+        sy = g["sy"].to_numpy(zero_copy_only=False)
+        blobs = g["raster"].to_pylist()
+        ds_ = dest[order]
+        starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+        ends = np.r_[starts[1:], len(ds_)]
+        out = {"z": [], "x": [], "y": [], "raster": []}
+        for s, e in zip(starts, ends):
+            rows = order[s:e]
+            key = int(ds_[s])
+            xo, yo = key >> 28, key & ((1 << 28) - 1)
+            z = int(zz[rows[0]])
+            grids = {}
+            for r in rows:
+                grids[(int(sx[r]), int(sy[r]))] = np.frombuffer(
+                    zlib.decompress(blobs[r]), dtype=">u2") \
+                    .reshape(TILE, TILE).astype(np.int64)
+            res = _warp_one(z, xo, yo, grids)
+            out["z"].append(z)
+            out["x"].append(xo)
+            out["y"].append(yo)
+            out["raster"].append(zlib.compress(
+                np.clip(res, 0, 65535).astype(">u2").tobytes(), 6))
+        return pa.table({
+            "z": pa.array(out["z"], pa.int32()),
+            "x": pa.array(out["x"], pa.int64()),
+            "y": pa.array(out["y"], pa.int64()),
+            "raster": pa.array(out["raster"], pa.binary()),
+        })
+
+    return emit.groupby("bucket").map_groups(per_bucket,
+                                             batch_format="pyarrow")

@@ -1,0 +1,70 @@
+"""Warp (mercator → plate carrée) goldens: per-pixel nearest-neighbor
+equality with a direct single-process recomputation."""
+
+import zlib
+
+import numpy as np
+
+from gdal_ray.geom import tiles as _tiles
+from gdal_ray.stages.warp import TILE, warp_to_platecarree
+
+
+def _tile_row(z, x, y, grid):
+    return {"z": z, "x": x, "y": y, "n_pages": int(grid.sum()),
+            "raster": zlib.compress(grid.astype(">u2").tobytes(), 6)}
+
+
+def _decode(blob):
+    return np.frombuffer(zlib.decompress(blob), dtype=">u2") \
+        .reshape(TILE, TILE).astype(np.int64)
+
+
+def test_warp_matches_direct_resample(ray_session):
+    import ray.data as rd
+
+    z = 2
+    rs = np.random.RandomState(6)
+    src = {}
+    rows = []
+    for x, y in [(1, 1), (2, 1), (1, 2), (2, 2)]:
+        g = rs.randint(0, 100, (TILE, TILE))
+        src[(x, y)] = g
+        rows.append(_tile_row(z, x, y, g))
+    out = warp_to_platecarree(rd.from_items(rows)).to_pandas()
+    assert len(out) > 0
+    n = 1 << z
+    for _, r in out.iterrows():
+        xo, yo = int(r["x"]), int(r["y"])
+        got = _decode(r["raster"])
+        lon = -180.0 + (xo + (np.arange(TILE) + 0.5) / TILE) * 360.0 / n
+        lat = 90.0 - (yo + (np.arange(TILE) + 0.5) / TILE) * 180.0 / n
+        lon2 = np.repeat(lon[None, :], TILE, axis=0)
+        lat2 = np.repeat(lat[:, None], TILE, axis=1)
+        expect = np.zeros((TILE, TILE), dtype=np.int64)
+        inside = np.abs(lat2) <= _tiles.MAX_LATITUDE
+        gx, gy = _tiles.global_pixel(lon2[inside], lat2[inside], z)
+        vals = np.zeros(len(gx), dtype=np.int64)
+        for i in range(len(gx)):
+            g = src.get((int(gx[i] >> 8), int(gy[i] >> 8)))
+            if g is not None:
+                vals[i] = g[int(gy[i] & 255), int(gx[i] & 255)]
+        expect[inside] = vals
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_warp_value_presence(ray_session):
+    """A marked source pixel appears in the output at its lat/lon."""
+    import ray.data as rd
+
+    z = 1
+    g = np.zeros((TILE, TILE), np.int64)
+    # near-equator pixel: plate-carrée output (0.35°/px) is FINER than
+    # the source there (0.7°/px), so nearest-neighbor must hit it —
+    # high-latitude isolated pixels can legitimately vanish under NN
+    # downsampling (mercator pixels span ever fewer degrees poleward)
+    g[255, 50] = 777  # mercator tile (0,0) at z1, bottom row ≈ lat 0+
+    out = warp_to_platecarree(
+        rd.from_items([_tile_row(z, 0, 0, g)])).to_pandas()
+    found = any((_decode(r["raster"]) == 777).any()
+                for _, r in out.iterrows())
+    assert found
