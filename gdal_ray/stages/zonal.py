@@ -37,21 +37,35 @@ def zonal_extended(ds, zone_col: str, value_col: str, buckets: int = 64):
     narrow = ds.map_batches(add_bucket, batch_format="pyarrow")
 
     def finish(g: pa.Table) -> pa.Table:
-        out = []
-        for zone, sub in g.to_pandas().groupby(zone_col, sort=False):
-            v = sub[value_col].values
-            counts = pd.Series(v).value_counts()
-            # ties toward smallest value: sort by (count, value)
-            cdf = counts.reset_index()
-            cdf.columns = ["value", "c"]
-            maj = cdf.sort_values(["c", "value"],
-                                  ascending=[False, True]).iloc[0]["value"]
-            mino = cdf.sort_values(["c", "value"],
-                                   ascending=[True, True]).iloc[0]["value"]
-            out.append((zone, float(np.median(v)), float(mino), float(maj),
-                        int(len(counts)), int(len(v))))
-        df = pd.DataFrame(out, columns=[zone_col, "median", "minority",
-                                        "majority", "variety", "n"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        """ONE vectorized pass for the whole bucket (no per-zone Python
+        loop — the bucket may hold 10^4+ zones at scale): median via
+        groupby.median; minority/majority/variety from a (zone, value)
+        count frame sorted so the winner is each zone's first row."""
+        df = g.to_pandas()
+        med = df.groupby(zone_col, sort=False)[value_col] \
+            .agg(median="median", n="size").reset_index()
+        cnt = df.groupby([zone_col, value_col], sort=False) \
+            .size().reset_index(name="c")
+        # majority: count desc, value asc → first row per zone
+        maj = cnt.sort_values([zone_col, "c", value_col],
+                              ascending=[True, False, True]) \
+            .drop_duplicates(zone_col)[[zone_col, value_col]] \
+            .rename(columns={value_col: "majority"})
+        mino = cnt.sort_values([zone_col, "c", value_col],
+                               ascending=[True, True, True]) \
+            .drop_duplicates(zone_col)[[zone_col, value_col]] \
+            .rename(columns={value_col: "minority"})
+        var = cnt.groupby(zone_col, sort=False) \
+            .size().reset_index(name="variety")
+        out = med.merge(mino, on=zone_col).merge(maj, on=zone_col) \
+            .merge(var, on=zone_col)
+        out = out[[zone_col, "median", "minority", "majority",
+                   "variety", "n"]]
+        out["median"] = out["median"].astype(np.float64)
+        out["minority"] = out["minority"].astype(np.float64)
+        out["majority"] = out["majority"].astype(np.float64)
+        out["variety"] = out["variety"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return narrow.groupby(_BUCKET).map_groups(finish, batch_format="pyarrow")
