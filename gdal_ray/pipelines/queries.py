@@ -844,7 +844,7 @@ def q_raster_value_at_point(sf_dir: str):
     from ..stages import raster as _raster
 
     pts = event_points(sf_dir, columns=("event_id",))
-    out = _raster.value_at_points_bucketed(
+    out = _raster.value_at_points_auto(
         pts, _rendered_tiles(sf_dir, 3), zoom=3, id_col="event_id",
         method="nearest")
     return out.map_batches(

@@ -234,6 +234,11 @@ def contour_segments(tiles_ds, levels, seams: bool = True,
     ``seams=True`` adds the cross-tile seam cells via one bucketed
     exchange of edge strips (gap-free isolines at tile boundaries)."""
     levels = [float(v) for v in levels]
+    if seams:
+        # both branches consume the tile table; materialize ONCE (it is
+        # the small aggregated table) so the upstream render pipeline
+        # doesn't re-execute per branch
+        tiles_ds = tiles_ds.materialize()
     interior = _contour_interior(tiles_ds, levels)
     if not seams:
         return interior

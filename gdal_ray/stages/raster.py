@@ -169,6 +169,37 @@ def _pack_xy(x, y):
     return (np.asarray(x, np.int64) << 32) | np.asarray(y, np.int64)
 
 
+MAX_BROADCAST_TILES = 4096  # ≈0.5 GB decoded — fits every worker heap
+
+
+def value_at_points_auto(points_ds, tiles_ds, zoom: int,
+                         id_col: str = "event_id",
+                         lon_col: str = "lon", lat_col: str = "lat",
+                         out: str = "raster_value",
+                         method: str = "nearest",
+                         max_broadcast_tiles: int = MAX_BROADCAST_TILES):
+    """Size-dispatched sampler: a small tile table is the classic
+    broadcast side (`ray.put` once, vectorized per-tile gather per
+    batch — no shuffle at all); beyond ``max_broadcast_tiles`` the
+    bucketed shuffle join takes over (no driver materialization, no
+    broadcast memory cliff).  Both paths share the same pixel math."""
+    tiles_mat = tiles_ds.materialize()
+    if tiles_mat.count() <= max_broadcast_tiles:
+        t = pa.concat_tables([b for b in tiles_mat.iter_batches(
+            batch_size=65536, batch_format="pyarrow")],
+            promote_options="permissive")
+        sampled = value_at_points(points_ds, t, zoom, method=method,
+                                  lon_col=lon_col, lat_col=lat_col,
+                                  out=out)
+        return sampled.map_batches(
+            lambda b: pa.table({id_col: b[id_col], out: b[out]}),
+            batch_format="pyarrow")
+    return value_at_points_bucketed(points_ds, tiles_mat, zoom,
+                                    id_col=id_col, lon_col=lon_col,
+                                    lat_col=lat_col, out=out,
+                                    method=method)
+
+
 def value_at_points_bucketed(points_ds, tiles_ds, zoom: int,
                              id_col: str = "event_id",
                              lon_col: str = "lon", lat_col: str = "lat",

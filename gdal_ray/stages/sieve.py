@@ -202,6 +202,9 @@ def sieve(tiles_ds, threshold: int, protect_zero: bool = False,
     from ._pool import cluster_cpus
 
     B = n_buckets or max(16, cluster_cpus() * 2)
+    # the rewrite pass consumes tiles_ds AGAIN after the graph is
+    # resolved — materialize the (small) tile table once
+    tiles_ds = tiles_ds.materialize()
     recs = tiles_ds.map_batches(tile_records_batch,
                                 batch_format="pyarrow").materialize()
 

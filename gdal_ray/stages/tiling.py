@@ -247,13 +247,77 @@ def write_tile_directory(tiles_ds, out_dir: str, resume: bool = False):
 
 
 def render_tiles(ds, zoom: int, convention: str = "xyz",
-                 lon_col: str = "lon", lat_col: str = "lat"):
-    """Full tile-build pipeline at one zoom: assign with pixels →
-    groupby(z,x,y).map_groups(render) → Dataset of tile rows."""
-    assigned = ds.map_batches(
-        lambda b: assign_tiles_batch(b, [zoom], convention, lon_col, lat_col,
-                                     keep_cols=[], with_pixel=True),
-        batch_format="pyarrow",
-    )
-    return assigned.groupby(["z", "x", "y"]).map_groups(
-        render_tile_group, batch_format="pyarrow")
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 n_buckets: int | None = None):
+    """Full tile-build pipeline at one zoom, partial-then-final: each
+    batch pre-aggregates its points into SPARSE per-tile partials
+    (nonzero ravel indices + counts), so the exchange moves one small
+    row per (batch, tile) instead of one row per point; one bucketed
+    groupby then sums partials per tile.  (The previous per-point
+    3-column groupby shuffle cost ~6 s at sf0.1 — 20× the actual
+    compute.)"""
+    from ._pool import cluster_cpus
+
+    B = n_buckets or max(16, cluster_cpus() * 2)
+
+    def partial(b: pa.Table) -> pa.Table:
+        lon = b[lon_col].to_numpy(zero_copy_only=False)
+        lat = b[lat_col].to_numpy(zero_copy_only=False)
+        tx, ty, col, row = _tiles.tile_pixel(lon, lat, zoom, convention)
+        key = (tx.astype(np.int64) << 32) | ty.astype(np.int64)
+        pix = (row.astype(np.int64) * TILE_SIZE + col).astype(np.int64)
+        order = np.argsort(key, kind="stable")
+        k_s, p_s = key[order], pix[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        ends = np.r_[starts[1:], len(k_s)]
+        keys, blobs, npages = [], [], []
+        for s, e in zip(starts, ends):
+            idx, cnt = np.unique(p_s[s:e], return_counts=True)
+            keys.append(int(k_s[s]))
+            blobs.append(idx.astype(np.int32).tobytes()
+                         + cnt.astype(np.int32).tobytes())
+            npages.append(int(e - s))
+        keys_a = np.asarray(keys, dtype=np.int64)
+        return pa.table({
+            "key": pa.array(keys_a),
+            "bucket": pa.array((keys_a % B).astype(np.int32)),
+            "n_pages": pa.array(npages, pa.int64()),
+            "partial": pa.array(blobs, pa.binary()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finish(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False)
+        npages = g["n_pages"].to_numpy(zero_copy_only=False)
+        blobs = g["partial"].to_pylist()
+        order = np.argsort(key, kind="stable")
+        k_s = key[order]
+        starts = np.flatnonzero(np.r_[True, k_s[1:] != k_s[:-1]])
+        ends = np.r_[starts[1:], len(k_s)]
+        out = {"z": [], "x": [], "y": [], "n_pages": [], "raster": []}
+        for s, e in zip(starts, ends):
+            grid = np.zeros(TILE_SIZE * TILE_SIZE, dtype=np.int64)
+            total = 0
+            for r in order[s:e]:
+                raw = np.frombuffer(blobs[r], dtype=np.int32)
+                h = len(raw) // 2
+                np.add.at(grid, raw[:h].astype(np.int64), raw[h:])
+                total += int(npages[r])
+            k = int(k_s[s])
+            out["z"].append(zoom)
+            out["x"].append(k >> 32)
+            out["y"].append(k & 0xFFFFFFFF)
+            out["n_pages"].append(total)
+            out["raster"].append(zlib.compress(
+                np.clip(grid, 0, 65535).astype(">u2").tobytes(), 6))
+        return pa.table({
+            "z": pa.array(out["z"], pa.int32()),
+            "x": pa.array(out["x"], pa.int64()),
+            "y": pa.array(out["y"], pa.int64()),
+            "n_pages": pa.array(out["n_pages"], pa.int64()),
+            "raster": pa.array(out["raster"], pa.binary()),
+        })
+
+    return parts.groupby("bucket").map_groups(finish,
+                                              batch_format="pyarrow")

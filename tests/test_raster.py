@@ -46,7 +46,8 @@ def test_value_at_points_nearest_self_count(ray_session):
 
     ds = _points_ds(ray_session)
     tiles_t = pa.concat_tables(
-        ray.get(_tiling.render_tiles(ds, zoom=2).to_arrow_refs()))
+        [b for b in _tiling.render_tiles(ds, zoom=2).iter_batches(
+            batch_size=65536, batch_format="pyarrow") if len(b)])
     out = _raster.value_at_points(ds, tiles_t, zoom=2,
                                   method="nearest").to_pandas()
     # every point samples its own pixel → value >= 1
@@ -58,7 +59,8 @@ def test_value_at_points_bilinear_smooths(ray_session):
 
     ds = _points_ds(ray_session, n=100)
     tiles_t = pa.concat_tables(
-        ray.get(_tiling.render_tiles(ds, zoom=2).to_arrow_refs()))
+        [b for b in _tiling.render_tiles(ds, zoom=2).iter_batches(
+            batch_size=65536, batch_format="pyarrow") if len(b)])
     out = _raster.value_at_points(ds, tiles_t, zoom=2,
                                   method="bilinear").to_pandas()
     assert (out["raster_value"] > 0).all()
