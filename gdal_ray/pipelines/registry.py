@@ -374,6 +374,71 @@ def _fillnodata(ds, args):
     return fillnodata(ds, maxdist=int(args.get("maxdist", 32)))
 
 
+@register("read_csv")
+def _read_csv(ds, args):
+    """CSV source (reference CSV driver ogr/ogrsf_frmts/csv) — Ray's
+    native distributed reader."""
+    import ray.data as rd
+
+    return rd.read_csv(args["paths"])
+
+
+@register("write_csv")
+def _write_csv(ds, args):
+    ds.write_csv(args["path"])
+    return ds
+
+
+@register("read_geojson")
+def _read_geojson(ds, args):
+    """GeoJSON FeatureCollection (small-layer) or GeoJSONSeq (scale
+    path, newline-delimited) → Dataset with WKB geometry."""
+    import ray.data as rd
+
+    from ..sources.geojson import read_geojson, read_geojson_seq
+
+    if args.get("seq"):
+        return read_geojson_seq(args["paths"])
+    return rd.from_arrow(read_geojson(args["path"]))
+
+
+@register("write_geojson")
+def _write_geojson(ds, args):
+    """Dataset → newline-delimited GeoJSON part files."""
+    from ..sources.geojson import write_geojson_seq
+
+    return write_geojson_seq(ds, args["path"],
+                             geometry_col=args.get("geometry", "geometry"))
+
+
+@register("external")
+def _external(ds, args):
+    """External-command step (apps/gdalalg_external.cpp:57): spill the
+    input Dataset to parquet, run the user command with {input}/{output}
+    substituted, read the produced parquet back.  The exchange format
+    is parquet (the reference uses GDAL-readable temporaries)."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    import ray.data as rd
+
+    workdir = tempfile.mkdtemp(prefix="gdal_ray_external_")
+    in_dir = os.path.join(workdir, "input")
+    out_dir = os.path.join(workdir, "output")
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        ds.write_parquet(in_dir)
+        cmd = args["command"].format(input=in_dir, output=out_dir)
+        subprocess.run(cmd, shell=True, check=True)
+        out = rd.read_parquet(out_dir).materialize()
+    finally:
+        if not args.get("keep_workdir"):
+            shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
 @register("warp")
 def _warp(ds, args):
     """Mercator tile table → plate-carrée tile table
