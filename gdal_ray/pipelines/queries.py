@@ -1087,6 +1087,44 @@ def q_checkpoint_partitioned(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _scatter_refs(sf_dir: str) -> pa.Table:
+    """2D (non-collinear) scatter from the nation table with an AFFINE
+    value field — linear interpolation of an affine function is exact
+    and triangulation-independent, so the oracle needs no Delaunay."""
+    refs = _nation_refs(sf_dir)
+    k = refs["ref_id"].to_numpy().astype(np.float64)
+    rx = refs["x"].to_numpy(zero_copy_only=False)
+    ry = -50.0 + ((k.astype(np.int64) * 7) % 25) * 4.0
+    val = 2.0 + 0.5 * rx - 0.25 * ry
+    return pa.table({
+        "ref_id": refs["ref_id"],
+        "x": pa.array(rx), "y": pa.array(ry.astype(np.float64)),
+        "val": pa.array(val, pa.float64()),
+    })
+
+
+def q_grid_linear(sf_dir: str):
+    """gdal_grid 'linear' algorithm (Delaunay + barycentric,
+    alg/gdalgrid.cpp via alg/delaunay.c): interpolate the 24x8 node
+    grid inside the triangulation of a 2D reference scatter; NODATA
+    outside the convex hull.  Oracle: the value field is affine, so
+    inside-hull values equal the affine form exactly; hull membership
+    is the inlined half-plane test of the scatter's convex hull."""
+    refs = _scatter_refs(sf_dir)
+    gx, gy = np.meshgrid(np.arange(-172.5, 180.0, 15.0),
+                         np.arange(-57.5, 60.0, 15.0))
+    nodes = pa.table({
+        "node_id": pa.array(np.arange(gx.size, dtype=np.int64)),
+        "lon": pa.array(gx.ravel()), "lat": pa.array(gy.ravel()),
+    })
+    out = _knn.grid_linear(rd.from_arrow(nodes), refs, value_col="val")
+    return out.map_batches(
+        lambda b: pa.table({
+            "node_id": b["node_id"],
+            "linear": pc.round(b["linear"], 6),
+        }), batch_format="pyarrow")
+
+
 def q_reproject_albers(sf_dir: str):
     """EPSG:4326 → EPSG:5070 (CONUS Albers equal-area, GRS80) for the
     events inside the CONUS window — oracle restates Snyder 14-1..14-4
@@ -1229,6 +1267,31 @@ def q_raster_sieve(sf_dir: str):
                          "total": pa.array(tot, pa.int64())})
 
     return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_poly_dissolve(sf_dir: str):
+    """Dissolve (per-key geometric union): the 4 box zones dissolve
+    under one key, the diamond under another — union areas are exact
+    because overlaps are decomposed into disjoint pieces.  The boxes
+    are pairwise disjoint and the diamond is alone in its group, so
+    the oracle is plain per-group area sums; overlap-counting is
+    golden-tested in tests/test_layer_algebra.py."""
+    from ..geom.ops import wkb_area
+    from ..stages.layer_algebra import dissolve
+
+    t = zone_table()
+    gkey = pa.array(["diamond" if n == "diamond" else "boxes"
+                     for n in t["name"].to_pylist()], pa.string())
+    ds = rd.from_arrow(t.append_column("gkey", gkey))
+    out = dissolve(ds, "gkey")
+    return out.map_batches(
+        lambda b: pa.table({
+            "gkey": b["gkey"],
+            "n_features": b["n_features"],
+            "union_area_q8": pa.array(
+                [_q8(wkb_area(g)) for g in b["geometry"].to_pylist()],
+                pa.int64()),
+        }), batch_format="pyarrow")
 
 
 def q_tile_checksum(sf_dir: str):
@@ -1501,6 +1564,8 @@ QUERIES = {
     "media_decode_embed": q_media_decode_embed,
     "reproject_albers": q_reproject_albers,
     "grid_metrics": q_grid_metrics,
+    "grid_linear": q_grid_linear,
+    "poly_dissolve": q_poly_dissolve,
     "raster_warp": q_raster_warp,
     "raster_proximity": q_raster_proximity,
     "raster_fillnodata": q_raster_fillnodata,
@@ -2221,6 +2286,56 @@ def _albers_oracle() -> str:
 
 
 ORACLES["reproject_albers"] = _albers_oracle().replace("{PTS}", _PTS_SQL)
+
+
+def _grid_linear_oracle() -> str:
+    """Inside the scatter's convex hull the affine value field is
+    reproduced exactly by ANY triangulation; hull membership is the
+    AND of the hull's CCW half-plane tests (hull inlined from the
+    fixture-deterministic 25-point scatter)."""
+    from ..geom.ops import convex_hull_points
+
+    k = np.arange(25, dtype=np.float64)
+    rx = -150.0 + k * 12.0
+    ry = -50.0 + ((k.astype(np.int64) * 7) % 25) * 4.0
+    hull = convex_hull_points(np.column_stack([rx, ry]))
+    conds = []
+    m = len(hull)
+    for i in range(m):
+        x1, y1 = hull[i]
+        x2, y2 = hull[(i + 1) % m]
+        conds.append(
+            f"(({x2!r} - {x1!r})*(lat - {y1!r})"
+            f" - ({y2!r} - {y1!r})*(lon - {x1!r})) >= -1e-9")
+    inside = " AND ".join(conds)
+    return f"""
+        WITH nodes AS (
+          SELECT (gy.i * 24 + gx.i) AS node_id,
+                 -172.5 + gx.i * 15.0 AS lon, -57.5 + gy.i * 15.0 AS lat
+          FROM (SELECT unnest(generate_series(0, 23)) AS i) gx
+          CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) gy)
+        SELECT node_id,
+               CASE WHEN {inside}
+                    THEN round(2.0 + 0.5*lon - 0.25*lat, 6) END AS linear
+        FROM nodes
+    """
+
+
+ORACLES["grid_linear"] = _grid_linear_oracle()
+
+# dissolve: boxes are pairwise disjoint → union area = sum of shoelace
+# areas; diamond group = its own area (both from the ring VALUES CTE)
+ORACLES["poly_dissolve"] = f"""
+    WITH {_ZONE_SEGS_SQL},
+    areas AS (SELECT poly_id, abs(sum(x*y2 - x2*y)) * 0.5 AS area
+              FROM seg WHERE x2 IS NOT NULL GROUP BY poly_id)
+    SELECT CASE WHEN poly_id = 4 THEN 'diamond' ELSE 'boxes' END AS gkey,
+           CAST(count(*) AS BIGINT) AS n_features,
+           CAST(round(sum(area) * 100000000, 0) AS BIGINT)
+               AS union_area_q8
+    FROM areas
+    GROUP BY 1
+"""
 
 ORACLES["knn_idw"] = f"""
     WITH pts AS ({_PTS_SQL}),

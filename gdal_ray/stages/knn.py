@@ -232,3 +232,41 @@ def grid_metrics(ds, ref_table: pa.Table, concurrency=None, **kwargs):
         GridMetrics,
         fn_constructor_kwargs=dict(ref_table_ref=ref, **kwargs),
         batch_format="pyarrow", concurrency=_autoscale(concurrency))
+
+
+class GridLinear:
+    """GDALGridLinear semantics (alg/gdalgrid.cpp linear algorithm, the
+    reference's Delaunay path via alg/delaunay.c): barycentric
+    interpolation inside the Delaunay triangulation of the broadcast
+    reference points, NODATA (null) outside the convex hull.  The
+    triangulation (geom.delaunay, Bowyer–Watson) is built ONCE per
+    actor in __init__."""
+
+    def __init__(self, ref_table_ref, ref_x_col: str = "x",
+                 ref_y_col: str = "y", value_col: str = "val",
+                 query_x_col: str = "lon", query_y_col: str = "lat",
+                 out: str = "linear"):
+        from ..geom.delaunay import LinearInterpolator
+
+        table = ray.get(ref_table_ref) \
+            if isinstance(ref_table_ref, ray.ObjectRef) else ref_table_ref
+        self.interp = LinearInterpolator(
+            table[ref_x_col].to_numpy(zero_copy_only=False),
+            table[ref_y_col].to_numpy(zero_copy_only=False),
+            table[value_col].to_numpy(zero_copy_only=False))
+        self.qx, self.qy, self.out = query_x_col, query_y_col, out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = self.interp(
+            batch[self.qx].to_numpy(zero_copy_only=False),
+            batch[self.qy].to_numpy(zero_copy_only=False))
+        return batch.append_column(
+            self.out, pa.array(v, pa.float64(), mask=np.isnan(v)))
+
+
+def grid_linear(ds, ref_table: pa.Table, concurrency=None, **kwargs):
+    ref = ray.put(ref_table)
+    return ds.map_batches(
+        GridLinear,
+        fn_constructor_kwargs=dict(ref_table_ref=ref, **kwargs),
+        batch_format="pyarrow", concurrency=_autoscale(concurrency))

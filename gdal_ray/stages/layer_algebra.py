@@ -399,3 +399,35 @@ def layer_algebra(input_ds, method_table: pa.Table, operation: str,
                 cols.append(pa.nulls(len(method_table), f.type))
         base = base.union(rd.from_arrow(pa.table(dict(zip(names, cols)))))
     return base
+
+
+def dissolve(input_ds, key_col: str, geometry_col: str = "geometry"):
+    """Dissolve ≡ per-key geometric union (the reference's
+    ogr2ogr/SQL ``ST_Union ... GROUP BY`` pattern; round 1 declared it
+    out of scope for polygon payloads).
+
+    The union is emitted as a DISJOINT piece decomposition: each
+    polygon contributes (itself minus the polygons before it), so the
+    multipolygon's area equals the true union area with overlaps
+    counted once.  Earlier polygons act as convex clips
+    (`geom.clip.difference_many`) — decompose concave features
+    upstream.  One groupby exchange on the dissolve key."""
+
+    def per_key(g: pa.Table) -> pa.Table:
+        rings = [_outer_ring(b) for b in g[geometry_col].to_pylist()]
+        pieces: list = []
+        done: list = []
+        for r in rings:
+            pieces.extend(_clip.difference_many(r, done))
+            done.append(r)
+        return pa.table({
+            key_col: g[key_col].slice(0, 1),
+            "n_features": pa.array([len(rings)], pa.int64()),
+            "n_parts": pa.array([len(pieces)], pa.int64()),
+            geometry_col: pa.array(
+                [_pieces_wkb(pieces, True)] if pieces else [None],
+                pa.binary()),
+        })
+
+    return input_ds.groupby(key_col).map_groups(per_key,
+                                                batch_format="pyarrow")

@@ -197,3 +197,24 @@ def test_symdifference_areas(ray_session, _layers):
     out = layer_algebra(rd.from_arrow(inp), meth,
                         "symdifference").to_pandas()
     assert _areas(out) == [45.0, 71.0, 75.0, 150.0]
+
+
+def test_dissolve_overlap_counted_once(ray_session):
+    """Union area of overlapping polygons == inclusion-exclusion."""
+    import ray.data as rd
+
+    from gdal_ray.stages.layer_algebra import dissolve
+
+    inp = pa.table({
+        "k": pa.array(["g", "g", "g"], pa.string()),
+        "geometry": pa.array([
+            _box_wkb(0, 0, 10, 10),      # 100
+            _box_wkb(5, 5, 15, 15),      # 100, overlap 25 with first
+            _box_wkb(40, 40, 42, 42),    # 4, disjoint
+        ], pa.binary()),
+    })
+    out = dissolve(rd.from_arrow(inp), "k").to_pandas()
+    assert len(out) == 1
+    assert out["n_features"].iloc[0] == 3
+    area = wkb_area(out["geometry"].iloc[0])
+    assert area == pytest.approx(100 + 100 - 25 + 4, abs=1e-9)
