@@ -620,8 +620,7 @@ def q_docs_near_dup_verified(sf_dir: str):
 def q_docs_simhash(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    out = ds.map_batches(_dedup.SimHasher, batch_format="pyarrow",
-                         concurrency=_pool.autoscale(None))
+    out = ds.map_batches(_dedup.SimHasher(), batch_format="pyarrow")
     return out.map_batches(
         lambda b: pa.table({"doc_id": b["doc_id"],
                             "simhash": pc.cast(b["simhash"], pa.string())}),

@@ -52,6 +52,11 @@ def _first_per_key_batch(batch: pa.Table, keys: list[str],
 
 _BUCKET_COL = "__dedup_bucket"
 
+# per-worker-process cache for task-pool stages (workers are reused
+# across tasks, so "build once per process" ≡ actor-pool economics
+# without pool sizing or actor spin-up)
+_WORKER_CACHE: dict = {}
+
 
 def _hash_bucket(batch: pa.Table, keys: list[str], buckets: int) -> np.ndarray:
     """Deterministic vectorized key(s) → bucket (pandas cython siphash
@@ -233,12 +238,21 @@ def minhash_candidate_pairs(ds, key_col: str = "doc_id",
     from ._pool import cluster_cpus
     B = n_buckets or max(16, cluster_cpus() * 4)
 
-    band_rows = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(key_col=key_col, text_col=text_col,
-                                   num_perm=num_perm, bands=bands,
-                                   shingle_k=shingle_k),
-        batch_format="pyarrow", concurrency=_autoscale(concurrency))
+    # TASK pool with a per-worker-process MinHasher cache: the state is
+    # just the permutation params — an actor pool's spin-up (~1.5 s)
+    # would dominate at bench scale and buys nothing at any scale
+    mh_key = (key_col, text_col, num_perm, bands, shingle_k)
+
+    def minhash_batch(b: pa.Table) -> pa.Table:
+        mh = _WORKER_CACHE.get(("minhash", mh_key))
+        if mh is None:
+            mh = MinHasher(key_col=key_col, text_col=text_col,
+                           num_perm=num_perm, bands=bands,
+                           shingle_k=shingle_k)
+            _WORKER_CACHE[("minhash", mh_key)] = mh
+        return mh(b)
+
+    band_rows = ds.map_batches(minhash_batch, batch_format="pyarrow")
 
     def add_seg(b: pa.Table) -> pa.Table:
         with np.errstate(over="ignore"):
@@ -335,30 +349,27 @@ def jaccard_verify_pairs(ds, pairs_ds, key_col: str = "doc_id",
             "shingles": pa.array([None] * len(key), pa.list_(pa.uint64())),
         })
 
-    class DocSide:
-        def __init__(self, wanted_ref):
-            self.wanted = _ray.get(wanted_ref) \
-                if isinstance(wanted_ref, _ray.ObjectRef) else wanted_ref
-            self.sh = _ShingleSets(key_col, text_col, shingle_k)
+    sh = _ShingleSets(key_col, text_col, shingle_k)
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            b = b.filter(pc.is_in(b[key_col], value_set=self.wanted))
-            t = self.sh(b)
-            key = t[key_col].combine_chunks()
-            kt = pa.table({"key": key})
-            n = len(t)
-            return pa.table({
-                _BUCKET_COL: pa.array(_hash_bucket(kt, ["key"], B)),
-                "key": key, "src": pa.array(np.ones(n, np.int8)),
-                "key_a": pa.nulls(n, key.type),
-                "key_b": pa.nulls(n, key.type),
-                "shingles": t["shingles"],
-            })
+    def doc_side(b: pa.Table) -> pa.Table:
+        # task pool: the wanted-key set is plasma-local after the first
+        # ray.get on each worker — no actor pool spin-up
+        wanted = _ray.get(wanted_ref)
+        b = b.filter(pc.is_in(b[key_col], value_set=wanted))
+        t = sh(b)
+        key = t[key_col].combine_chunks()
+        kt = pa.table({"key": key})
+        n = len(t)
+        return pa.table({
+            _BUCKET_COL: pa.array(_hash_bucket(kt, ["key"], B)),
+            "key": key, "src": pa.array(np.ones(n, np.int8)),
+            "key_a": pa.nulls(n, key.type),
+            "key_b": pa.nulls(n, key.type),
+            "shingles": t["shingles"],
+        })
 
     both = pairs_ds.map_batches(pair_legs, batch_format="pyarrow").union(
-        ds.map_batches(DocSide, fn_constructor_kwargs=dict(
-            wanted_ref=wanted_ref), batch_format="pyarrow",
-            concurrency=_autoscale(concurrency)))
+        ds.map_batches(doc_side, batch_format="pyarrow"))
 
     def attach(g: pa.Table) -> pa.Table:
         src = g["src"].to_numpy(zero_copy_only=False)
