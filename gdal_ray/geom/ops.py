@@ -302,3 +302,126 @@ def wkb_is_valid(blob: bytes) -> bool:
         arr = np.asarray(g["coordinates"])
         return len(arr) >= 2 and bool(np.all(np.isfinite(arr)))
     return True
+
+
+def make_valid_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """Structural validity repair (the STRUCTURE subset of
+    OGRGeometry::MakeValid, ogr/ogrgeometry.cpp:4183): drop repeated
+    consecutive vertices, close rings, drop degenerate (<3 distinct
+    vertex) rings, and orient outer ring CCW / holes CW (OGC winding).
+    Self-intersection repair (the GEOS linework pass) is out of scope —
+    inputs with crossing edges pass through unchanged."""
+    out = []
+    for i, ring in enumerate(rings):
+        r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+        if len(r) >= 2 and np.allclose(r[0], r[-1]):
+            r = r[:-1]
+        keep = np.r_[True, np.any(np.abs(np.diff(r, axis=0)) > 1e-12,
+                                  axis=1)]
+        r = r[keep]
+        if len(r) < 3:
+            continue
+        area = ring_signed_area(np.vstack([r, r[:1]]))
+        want_ccw = i == 0
+        if (area < 0) == want_ccw:
+            r = r[::-1]
+        out.append(np.vstack([r, r[:1]]))
+    return out
+
+
+def wkb_make_valid(blob: bytes) -> bytes | None:
+    """MakeValid (structural subset) over Polygon/MultiPolygon WKB;
+    None when nothing valid remains."""
+    from . import wkb as _wkb
+
+    g = _wkb.decode(blob)
+    if g["type"] == "Polygon":
+        rings = make_valid_rings(g["coordinates"])
+        return _wkb.encode_polygon(rings) if rings else None
+    if g["type"] == "MultiPolygon":
+        polys = [make_valid_rings(p) for p in g["coordinates"]]
+        polys = [p for p in polys if p]
+        return _wkb.encode_multipolygon(polys) if polys else None
+    return blob  # points / lines pass through
+
+
+def concave_hull_points(pts: np.ndarray, alpha: float) -> np.ndarray:
+    """Alpha-shape concave hull (Edelsbrunner): keep Delaunay triangles
+    with circumradius <= alpha, take the boundary edges (those used by
+    exactly one kept triangle) and chain them into a ring.  The
+    reference's ConcaveHull (ogrgeometry.cpp:4569) is GEOS's
+    ratio-parameterized variant — same purpose, different parameter;
+    alpha → ∞ degenerates to the convex hull."""
+    from .delaunay import delaunay
+
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    tris = delaunay(pts)
+    if not len(tris):
+        return convex_hull_points(pts)
+    t = pts[tris]
+    a = np.linalg.norm(t[:, 0] - t[:, 1], axis=1)
+    b = np.linalg.norm(t[:, 1] - t[:, 2], axis=1)
+    c = np.linalg.norm(t[:, 2] - t[:, 0], axis=1)
+    s = (a + b + c) / 2.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        area = np.sqrt(np.maximum(s * (s - a) * (s - b) * (s - c), 0.0))
+        circum_r = np.where(area > 0, a * b * c / (4.0 * area), np.inf)
+    kept = tris[circum_r <= alpha]
+    if not len(kept):
+        return convex_hull_points(pts)
+    edge_count: dict = {}
+    for t3 in kept:
+        for e in ((t3[0], t3[1]), (t3[1], t3[2]), (t3[2], t3[0])):
+            k = (min(e), max(e))
+            edge_count[k] = edge_count.get(k, 0) + 1
+    boundary = [e for e, n in edge_count.items() if n == 1]
+    if not boundary:
+        return convex_hull_points(pts)
+    # chain the boundary edges into a ring (largest loop wins)
+    adj: dict = {}
+    for u, v in boundary:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    best: list[int] = []
+    visited = set()
+    for start in adj:
+        if start in visited:
+            continue
+        loop = [start]
+        visited.add(start)
+        cur, prev = start, -1
+        while True:
+            nxts = [n for n in adj[cur] if n != prev]
+            if not nxts:
+                break
+            prev, cur = cur, nxts[0]
+            if cur == start:
+                break
+            if cur in visited:
+                break
+            visited.add(cur)
+            loop.append(cur)
+        if len(loop) > len(best):
+            best = loop
+    return pts[np.asarray(best, dtype=np.int64)]
+
+
+def wkb_concave_hull(blob: bytes, alpha: float) -> bytes:
+    from . import wkb as _wkb
+
+    g = _wkb.decode(blob)
+    if g["type"] == "Point":
+        pts = np.asarray(g["coordinates"], dtype=np.float64).reshape(1, 2)
+    elif g["type"] == "LineString":
+        pts = np.asarray(g["coordinates"], dtype=np.float64)
+    elif g["type"] == "Polygon":
+        pts = np.vstack([np.asarray(r, dtype=np.float64)
+                         for r in g["coordinates"]])
+    else:
+        pts = np.vstack([np.asarray(r, dtype=np.float64)
+                         for poly in g["coordinates"] for r in poly])
+    hull = concave_hull_points(pts, alpha)
+    if len(hull) < 3:
+        return _wkb.encode_polygon([np.vstack([hull, hull[:1]])]) \
+            if len(hull) else blob
+    return _wkb.encode_polygon([np.vstack([hull, hull[:1]])])

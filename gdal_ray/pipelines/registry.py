@@ -356,6 +356,25 @@ def _contour(ds, args):
     return contour_segments(ds, args["levels"])
 
 
+@register("make_valid")
+def _make_valid(ds, args):
+    from ..stages.geometry import make_valid_batch
+
+    return ds.map_batches(
+        lambda b: make_valid_batch(b, col=args.get("geometry", "geometry")),
+        batch_format="pyarrow")
+
+
+@register("concave_hull")
+def _concave_hull(ds, args):
+    from ..stages.geometry import concave_hull_batch
+
+    return ds.map_batches(
+        lambda b: concave_hull_batch(b, alpha=float(args["alpha"]),
+                                     col=args.get("geometry", "geometry")),
+        batch_format="pyarrow")
+
+
 @register("proximity")
 def _proximity(ds, args):
     """Tile table → per-pixel distance-to-nearest-target raster
@@ -372,6 +391,45 @@ def _fillnodata(ds, args):
     from ..stages.focal import fillnodata
 
     return fillnodata(ds, maxdist=int(args.get("maxdist", 32)))
+
+
+@register("read_ipc")
+def _read_ipc(ds, args):
+    """Arrow IPC/Feather source (reference ogr/ogrsf_frmts/arrow)."""
+    import glob as _glob
+
+    import pyarrow.feather as _feather
+    import ray.data as rd
+
+    paths = args["paths"]
+    files = sorted(_glob.glob(f"{paths}/*.arrow")) \
+        if not isinstance(paths, list) else paths
+    tables = [_feather.read_table(f) for f in (files or [paths])]
+    return rd.from_arrow(tables)
+
+
+@register("write_ipc")
+def _write_ipc(ds, args):
+    """Arrow IPC/Feather sink: one .arrow file per block (parallel,
+    resumable layout like every engine sink)."""
+    import os
+    import uuid
+
+    import pyarrow as _pa
+    import pyarrow.feather as _feather
+
+    path = args["path"]
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(b: _pa.Table) -> _pa.Table:
+        fn = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+        tmp = fn + ".tmp"
+        _feather.write_feather(b, tmp)
+        os.replace(tmp, fn)
+        return _pa.table({"path": _pa.array([fn]),
+                          "rows": _pa.array([len(b)], _pa.int64())})
+
+    return ds.map_batches(write_block, batch_format="pyarrow")
 
 
 @register("read_csv")

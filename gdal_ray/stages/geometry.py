@@ -94,3 +94,17 @@ def explode_collections(ds, col: str = "geometry"):
         return out.set_column(i, col, pa.array(flat, pa.binary()))
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def make_valid_batch(batch: pa.Table, col: str = "geometry") -> pa.Table:
+    """gdal vector make-valid (STRUCTURE subset: ring closure, dup
+    vertices, winding; see geom.ops.wkb_make_valid)."""
+    return _map_geom_col(batch, col, _ops.wkb_make_valid)
+
+
+def concave_hull_batch(batch: pa.Table, alpha: float,
+                       col: str = "geometry") -> pa.Table:
+    """gdal vector concave-hull — alpha-shape variant over the
+    feature's vertices (geom.ops.wkb_concave_hull)."""
+    return _map_geom_col(batch, col,
+                         lambda b: _ops.wkb_concave_hull(b, alpha))

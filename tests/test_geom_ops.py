@@ -130,3 +130,49 @@ def test_is_valid():
     assert not ops.wkb_is_valid(degenerate)
     assert not ops.wkb_is_valid(b"\x01\x99\x00\x00\x00")
     assert ops.wkb_is_valid(wkb.encode_point(np.inf, 0)) is False
+
+
+def test_make_valid_structural():
+    import numpy as np
+
+    from gdal_ray.geom import wkb as _wkb
+    from gdal_ray.geom.ops import (ring_signed_area, wkb_area,
+                                   wkb_make_valid)
+
+    # CW outer ring with a duplicated vertex → CCW, dedup'd, closed
+    bad = _wkb.encode_polygon([[(0, 0), (0, 4), (0, 4), (4, 4), (4, 0),
+                                (0, 0)]])
+    fixed = wkb_make_valid(bad)
+    g = _wkb.decode(fixed)
+    ring = np.asarray(g["coordinates"][0])
+    assert wkb_area(fixed) == 16.0
+    assert ring_signed_area(ring) > 0           # outer CCW
+    assert len(ring) == 5                        # dedup'd + closed
+    # degenerate ring collapses to None
+    assert wkb_make_valid(
+        _wkb.encode_polygon([[(0, 0), (1, 1), (0, 0)]])) is None
+
+
+def test_concave_hull_alpha_shape():
+    import numpy as np
+
+    from gdal_ray.geom.ops import concave_hull_points, convex_hull_points
+
+    rs = np.random.RandomState(5)
+    th = rs.uniform(0.5, 2 * np.pi - 0.5, 500)
+    r = rs.uniform(8, 10, 500)
+    pts = np.column_stack([r * np.cos(th), r * np.sin(th)])
+
+    def area(p):
+        x, y = p[:, 0], p[:, 1]
+        return 0.5 * abs(np.dot(x, np.roll(y, -1))
+                         - np.dot(y, np.roll(x, -1)))
+
+    concave = concave_hull_points(pts, alpha=3.0)
+    convex = convex_hull_points(pts)
+    # the alpha shape follows the C-shaped annulus; the convex hull
+    # bridges the opening and the hole
+    assert area(concave) < 0.5 * area(convex)
+    # alpha → ∞ degenerates to the convex hull
+    big = concave_hull_points(pts, alpha=1e9)
+    assert abs(area(big) - area(convex)) < 1e-6

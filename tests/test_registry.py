@@ -133,3 +133,17 @@ def test_spatial_sort_strtree_leaf_order(ray_session):
     for _, row in stats.iterrows():
         assert row["min"] >= prev_max - 1e-9
         prev_max = row["max"]
+
+
+def test_ipc_steps_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.pipelines.registry import REGISTRY
+
+    ds = rd.from_arrow(pa.table({"a": pa.array([7, 8, 9], pa.int64())}))
+    out_dir = str(tmp_path / "ipc")
+    res = REGISTRY["write_ipc"](ds, {"path": out_dir}).to_pandas()
+    assert res["rows"].sum() == 3
+    back = REGISTRY["read_ipc"](None, {"paths": out_dir}).to_pandas()
+    assert sorted(back["a"]) == [7, 8, 9]
