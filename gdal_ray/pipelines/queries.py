@@ -617,6 +617,22 @@ def q_docs_near_dup_verified(sf_dir: str):
     return _dedup.jaccard_verify_pairs(ds, cands, threshold=0.5)
 
 
+def q_docs_near_dedup(sf_dir: str):
+    """END-TO-END near-dedup: LSH candidates → exact Jaccard verify →
+    connected-component cluster collapse (keep smallest doc_id) → the
+    deduplicated corpus (rows-only; exact-dup corpora reduce to exact
+    dedup — pinned in tests/test_stages.py)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    cands = _dedup.minhash_candidate_pairs(ds, "doc_id", "text",
+                                           num_perm=64, bands=16)
+    verified = _dedup.jaccard_verify_pairs(ds, cands, threshold=0.5)
+    kept = _dedup.near_dup_dedup(ds, verified)
+    return kept.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"]}),
+        batch_format="pyarrow")
+
+
 def q_docs_simhash(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
@@ -1537,6 +1553,7 @@ QUERIES = {
     "docs_lang_id": q_docs_lang_id,
     "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_near_dup_verified": q_docs_near_dup_verified,
+    "docs_near_dedup": q_docs_near_dedup,
     "docs_simhash": q_docs_simhash,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_ivf_topk": q_emb_ivf_topk,

@@ -526,3 +526,54 @@ def embedding_near_dup_pairs(ds, key_col: str = "vec_id",
     pairs = segged.groupby(_BUCKET_COL).map_groups(bucket_dups,
                                                    batch_format="pyarrow")
     return dedup_pairs(pairs)
+
+
+def near_dup_dedup(ds, pairs_ds, key_col: str = "doc_id"):
+    """Final stage of near-dedup: drop all but one document from every
+    near-duplicate CLUSTER (connected component of the verified pair
+    graph); the keeper is the smallest key (deterministic).
+
+    The pair graph is O(duplicates) — tiny next to the corpus — so the
+    union-find runs on the driver (polygonize's equivalence economics)
+    and only the DROP-set is broadcast; the corpus filter is a
+    stateless vectorized anti-semi-join per batch."""
+    import ray as _ray
+
+    comp = _UnionFindLocal()
+    for b in pairs_ds.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+        for a_, b_ in zip(b["key_a"].to_pylist(), b["key_b"].to_pylist()):
+            comp.union(a_, b_)
+    clusters: dict = {}
+    for k in list(comp.parent):
+        clusters.setdefault(comp.find(k), []).append(k)
+    drop = [k for root, members in clusters.items()
+            for k in members if k != min(members)]
+    if not drop:
+        return ds
+    drop_ref = _ray.put(pa.array(drop))
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = _ray.get(drop_ref)
+        return b.filter(pc.invert(pc.is_in(b[key_col], value_set=d)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+class _UnionFindLocal:
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, a):
+        p = self.parent.setdefault(a, a)
+        while p != self.parent[p]:
+            self.parent[p] = self.parent[self.parent[p]]
+            p = self.parent[p]
+        self.parent[a] = p
+        return p
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.parent[hi] = lo

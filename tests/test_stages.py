@@ -452,3 +452,30 @@ def test_tile_directory_sink_layout_and_resume(ray_session, tmp_path):
                                        resume=True).to_pandas()
     assert res2["written"].sum() == 1
     assert os.path.exists(victim)
+
+
+def test_near_dup_dedup_end_to_end(ray_session):
+    """Full near-dedup pipeline on a corpus with exact duplicates:
+    identical docs always collide in every LSH band (recall 1), so the
+    end-to-end result equals exact dedup — one survivor per cluster,
+    smallest key wins."""
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import (jaccard_verify_pairs,
+                                       near_dup_dedup)
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta " * 5,
+        2: "alpha beta gamma delta epsilon zeta " * 5,   # dup of 1
+        3: "one two three four five six seven eight " * 5,
+        4: "one two three four five six seven eight " * 5,  # dup of 3
+        5: "totally different content about ray datasets " * 5,
+    }
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values())),
+    }))
+    cands = minhash_candidate_pairs(docs, concurrency=1)
+    verified = jaccard_verify_pairs(docs, cands, threshold=0.9)
+    kept = near_dup_dedup(docs, verified).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 3, 5]
