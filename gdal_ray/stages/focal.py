@@ -45,34 +45,41 @@ def _pack_xy(x, y):
 
 
 def halo_rows(batch: pa.Table, halo: int) -> pa.Table:
-    """Per tile: one full-grid row to itself + up to 8 halo-band rows
-    to neighbors.  Each band row carries its top-left position (r0, c0)
-    IN THE DESTINATION'S padded frame, so assembly is a direct paste."""
+    """Per tile: one full-grid row to itself + halo-band rows to every
+    neighbor within ``ceil(halo/TILE)`` rings (multi-ring: a maxdist
+    beyond one tile just widens the ring).  Each band row carries its
+    top-left position (r0, c0) IN THE DESTINATION'S padded frame, so
+    assembly is a direct paste."""
     keys, zs, r0s, c0s, payloads, h0s, w0s, selfs = \
         [], [], [], [], [], [], [], []
+    rings = int(np.ceil(halo / TILE))
+    frame = TILE + 2 * halo
     for z, x, y, blob in zip(batch["z"].to_pylist(), batch["x"].to_pylist(),
                              batch["y"].to_pylist(),
                              batch["raster"].to_pylist()):
         g = np.frombuffer(zlib.decompress(blob), dtype=">u2") \
             .reshape(TILE, TILE)
         z, x, y = int(z), int(x), int(y)
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
+        for dy in range(-rings, rings + 1):
+            for dx in range(-rings, rings + 1):
                 nx, ny = x + dx, y + dy
                 if nx < 0 or ny < 0:
                     continue
-                # the slice of MY grid visible in the neighbor's frame
-                rs = slice(0, TILE) if dy == 0 else (
-                    slice(TILE - halo, TILE) if dy == 1 else slice(0, halo))
-                cs = slice(0, TILE) if dx == 0 else (
-                    slice(TILE - halo, TILE) if dx == 1 else slice(0, halo))
-                sub = np.ascontiguousarray(g[rs, cs])
-                # my grid origin in N's frame is (halo - dy*TILE,
-                # halo - dx*TILE); the band starts rs/cs into my grid
+                # my grid origin in N's padded frame, then the visible
+                # window = my tile rect ∩ the frame rect
+                r0_full = halo - dy * TILE
+                c0_full = halo - dx * TILE
+                rs0 = max(0, -r0_full)
+                cs0 = max(0, -c0_full)
+                rs1 = min(TILE, frame - r0_full)
+                cs1 = min(TILE, frame - c0_full)
+                if rs1 <= rs0 or cs1 <= cs0:
+                    continue
+                sub = np.ascontiguousarray(g[rs0:rs1, cs0:cs1])
                 keys.append(_pack_xy(nx, ny))
                 zs.append(z)
-                r0s.append(halo - dy * TILE + rs.start)
-                c0s.append(halo - dx * TILE + cs.start)
+                r0s.append(r0_full + rs0)
+                c0s.append(c0_full + cs0)
                 payloads.append(sub.astype(np.uint16).tobytes())
                 h0s.append(sub.shape[0])
                 w0s.append(sub.shape[1])
@@ -106,9 +113,8 @@ def focal_map(tiles_ds, halo: int, kernel, out_col: str = "raster_f32",
               n_buckets: int | None = None):
     """Halo exchange + per-tile kernel.  Output rows: (z, x, y,
     ``out_col``) with the kernel's float32 grid zlib-compressed."""
-    if not (0 < halo <= TILE):
-        raise ValueError(f"halo must be in (0, {TILE}], got {halo} — "
-                         "larger radii need a multi-ring exchange")
+    if halo <= 0:
+        raise ValueError(f"halo must be positive, got {halo}")
     from ._pool import cluster_cpus
     B = n_buckets or max(16, cluster_cpus() * 2)
 

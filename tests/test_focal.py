@@ -73,3 +73,24 @@ def test_fillnodata_directional_idw(ray_session):
                                       abs=1e-5)
     # far away pixels stay 0
     assert f[200, 200] == 0.0
+
+
+def test_proximity_multi_ring_halo(ray_session):
+    """maxdist > TILE: the two-ring halo reaches targets two tiles
+    away — exact match with the single-array brute force."""
+    import ray.data as rd
+
+    mosaic = np.zeros((3 * TILE, 3 * TILE), dtype=np.int64)
+    mosaic[TILE // 2, TILE // 2] = 9  # one target in the NW tile
+    rows = [_tile_row(5, tx, ty,
+                      mosaic[ty * TILE:(ty + 1) * TILE,
+                             tx * TILE:(tx + 1) * TILE])
+            for tx in range(3) for ty in range(3)]
+    maxdist = 300  # > TILE → 2 halo rings
+    got = proximity(rd.from_items(rows), maxdist=maxdist).to_pandas()
+    ref = _brute_proximity(mosaic, maxdist)
+    for _, r in got.iterrows():
+        tx, ty = int(r["x"]), int(r["y"])
+        sub = ref[ty * TILE:(ty + 1) * TILE, tx * TILE:(tx + 1) * TILE]
+        np.testing.assert_allclose(_decode_f32(r["raster_f32"]), sub,
+                                   atol=1e-4)
