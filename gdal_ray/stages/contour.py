@@ -367,14 +367,103 @@ def assemble_group_polylines(g: pa.Table) -> pa.Table:
     })
 
 
-def assemble_polylines(segments_ds):
-    """Segment soup → polylines per (z, level).
+def assemble_polylines(segments_ds, region_px: int | None = 4096):
+    """Segment soup → polylines per (z, level), DISTRIBUTED two-stage:
 
-    PARTITIONING ASSUMPTION: one (z, level) group's segments fit one
-    task — isolines are global objects, so the merge is inherently a
-    per-level gather (the reference does it single-process for the
-    whole raster, alg/contour.cpp).  For rasters whose per-level
-    segment count exceeds a task, assemble per tile-region first and
-    stitch region borders hierarchically."""
-    return segments_ds.groupby(["z", "level"]).map_groups(
+    1. segments are bucketed into square spatial REGIONS of
+       ``region_px`` global pixels and walked per (z, level, region) —
+       the heavy O(segments) endpoint-matching work runs wide;
+    2. only the resulting FRAGMENTS (one row per chain, ~segments ÷
+       chain length, orders of magnitude smaller) gather per
+       (z, level) where a second endpoint-matching walk stitches
+       region-crossing chains end-to-end.
+
+    ``region_px=None`` collapses to the single-gather plan (the
+    reference's shape, alg/contour.cpp — fine for small rasters)."""
+    if region_px is None:
+        return segments_ds.groupby(["z", "level"]).map_groups(
+            assemble_group_polylines, batch_format="pyarrow")
+
+    def add_region(b: pa.Table) -> pa.Table:
+        rx = (b["x0"].to_numpy(zero_copy_only=False)
+              // region_px).astype(np.int64)
+        ry = (b["y0"].to_numpy(zero_copy_only=False)
+              // region_px).astype(np.int64)
+        return b.append_column(
+            "region", pa.array((rx << 24) | ry))
+
+    staged = segments_ds.map_batches(add_region, batch_format="pyarrow")
+    fragments = staged.groupby(["z", "level", "region"]).map_groups(
         assemble_group_polylines, batch_format="pyarrow")
+    return fragments.groupby(["z", "level"]).map_groups(
+        _stitch_fragments, batch_format="pyarrow")
+
+
+def _stitch_fragments(g: pa.Table) -> pa.Table:
+    """Stage 2: chain region fragments by matching endpoints.  Closed
+    fragments pass through; open ones concatenate (reversing as
+    needed) until closed or no continuation exists."""
+    from ..geom import wkb as _wkb
+
+    n = len(g)
+    coords = [np.asarray(_wkb.decode(w)["coordinates"], dtype=np.float64)
+              for w in g["wkb"].to_pylist()]
+    closed_in = g["closed"].to_numpy(zero_copy_only=False)
+    ka = np.array([int(_quant(c[0, 0]) << np.int64(22) ^ _quant(c[0, 1]))
+                   for c in coords], dtype=np.int64)
+    kb = np.array([int(_quant(c[-1, 0]) << np.int64(22) ^ _quant(c[-1, 1]))
+                   for c in coords], dtype=np.int64)
+    adj: dict[int, list[int]] = {}
+    for i in range(n):
+        if not closed_in[i]:
+            adj.setdefault(int(ka[i]), []).append(i)
+            adj.setdefault(int(kb[i]), []).append(i)
+    used = np.zeros(n, dtype=bool)
+    lines: list[np.ndarray] = []
+    for i in range(n):
+        if closed_in[i]:
+            used[i] = True
+            lines.append(coords[i])
+    for i in range(n):
+        if used[i]:
+            continue
+        # walk both directions from fragment i
+        chain = coords[i]
+        used[i] = True
+        for end in (1, 0):  # forward from tail, then backward from head
+            while True:
+                key = int(_quant(chain[-1, 0]) << np.int64(22)
+                          ^ _quant(chain[-1, 1])) if end == 1 else \
+                    int(_quant(chain[0, 0]) << np.int64(22)
+                        ^ _quant(chain[0, 1]))
+                cands = [s for s in adj.get(key, []) if not used[s]]
+                if not cands:
+                    break
+                s = cands[0]
+                used[s] = True
+                piece = coords[s]
+                if end == 1:
+                    if int(ka[s]) != key:
+                        piece = piece[::-1]
+                    chain = np.vstack([chain, piece[1:]])
+                else:
+                    if int(kb[s]) != key:
+                        piece = piece[::-1]
+                    chain = np.vstack([piece[:-1], chain])
+        lines.append(chain)
+    z0 = g["z"][0].as_py() if n else 0
+    lv0 = g["level"][0].as_py() if n else 0.0
+    out_wkb, n_pts, closed = [], [], []
+    for c in lines:
+        out_wkb.append(_wkb.encode_linestring(c))
+        n_pts.append(len(c))
+        closed.append(bool(np.all(np.abs(c[0] - c[-1]) < 1e-9)))
+    k = len(lines)
+    return pa.table({
+        "z": pa.array(np.full(k, z0, dtype=np.int32)),
+        "level": pa.array(np.full(k, lv0), pa.float64()),
+        "line_id": pa.array(np.arange(k, dtype=np.int32)),
+        "n_pts": pa.array(n_pts, pa.int64()),
+        "closed": pa.array(closed, pa.bool_()),
+        "wkb": pa.array(out_wkb, pa.binary()),
+    })

@@ -142,3 +142,30 @@ def test_assemble_polylines_circle(ray_session):
     d = np.hypot(np.diff(pts[:, 0]), np.diff(pts[:, 1]))
     assert d.max() < 1.5
     assert lines["n_pts"].iloc[0] >= 50
+
+
+def test_assemble_polylines_cross_region_stitch(ray_session):
+    """Small regions force the isoline into many per-region fragments;
+    the stage-2 stitch must still deliver ONE closed polyline identical
+    in point-set to the single-gather plan."""
+    import ray.data as rd
+
+    from gdal_ray.stages.contour import assemble_polylines
+
+    grid = np.zeros((TILE, TILE), dtype=np.int64)
+    yy, xx = np.mgrid[0:TILE, 0:TILE]
+    grid[np.hypot(xx - 80, yy - 90) < 40] = 8
+    segs = contour_segments(rd.from_items([_tile_row(1, 0, 0, grid)]),
+                            levels=[4.0], seams=False)
+    one = assemble_polylines(segs, region_px=None).to_pandas()
+    segs2 = contour_segments(rd.from_items([_tile_row(1, 0, 0, grid)]),
+                             levels=[4.0], seams=False)
+    many = assemble_polylines(segs2, region_px=32).to_pandas()
+    assert len(one) == 1 and len(many) == 1
+    assert bool(many["closed"].iloc[0])
+    assert many["n_pts"].iloc[0] == one["n_pts"].iloc[0]
+    from gdal_ray.geom import wkb as _wkb
+    pts1 = np.asarray(_wkb.decode(one["wkb"].iloc[0])["coordinates"])
+    pts2 = np.asarray(_wkb.decode(many["wkb"].iloc[0])["coordinates"])
+    q = lambda p: set(map(tuple, np.round(p * 1048576).astype(np.int64)))
+    assert q(pts1) == q(pts2)
