@@ -633,6 +633,22 @@ def q_docs_near_dedup(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_media_audio_windows(sf_dir: str):
+    """Audio-style sliding-window chunking over the binary media column
+    (window 64 B, hop 32 B): one row per (item, window).  The synthetic
+    blob lengths are deterministic, so window counts and byte counts
+    are fully oracle-checked."""
+    from ..stages.multimodal import audio_window_stage
+
+    out = audio_window_stage(_event_media(sf_dir), window_bytes=64,
+                             hop_bytes=32)
+    return out.map_batches(
+        lambda b: pa.table({"url": b["url"],
+                            "window_idx": b["window_idx"],
+                            "n_bytes": b["n_bytes"]}),
+        batch_format="pyarrow")
+
+
 def q_docs_simhash(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
@@ -1554,6 +1570,7 @@ QUERIES = {
     "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_near_dup_verified": q_docs_near_dup_verified,
     "docs_near_dedup": q_docs_near_dedup,
+    "media_audio_windows": q_media_audio_windows,
     "docs_simhash": q_docs_simhash,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_ivf_topk": q_emb_ivf_topk,
@@ -2338,6 +2355,24 @@ def _grid_linear_oracle() -> str:
 
 
 ORACLES["grid_linear"] = _grid_linear_oracle()
+
+# media blob = 'media-{id}-' + 'y'*(id%257); window 64 hop 32 → count
+# = ceil(L/32), n_bytes = min(64, L - idx*32) — exact in SQL
+ORACLES["media_audio_windows"] = """
+    WITH m AS (
+      SELECT 'https://site' || CAST(event_id % 1000 AS VARCHAR)
+             || '.example/page/' || CAST(event_id AS VARCHAR) AS url,
+             7 + length(CAST(event_id AS VARCHAR)) + (event_id % 257)
+                 AS L
+      FROM events),
+    w AS (SELECT url, L,
+                 unnest(generate_series(
+                     0, CAST(ceil(L / 32.0) AS BIGINT) - 1)) AS i
+          FROM m)
+    SELECT url, CAST(i AS INTEGER) AS window_idx,
+           CAST(least(64, L - i * 32) AS BIGINT) AS n_bytes
+    FROM w
+"""
 
 # dissolve: boxes are pairwise disjoint → union area = sum of shoelace
 # areas; diamond group = its own area (both from the ring VALUES CTE)

@@ -159,3 +159,40 @@ def frame_sample_stage(ds, media_col: str = "media", n_frames: int = 4,
 
     return ds.map_batches(sample, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def audio_window_stage(ds, media_col: str = "media", key_col: str = "url",
+                       window_bytes: int = 4096, hop_bytes: int = 2048,
+                       batch_size: int = 64):
+    """Audio-style sliding-window chunking: one output row per
+    (item, window) with overlapping hops — the layout a Whisper-style
+    batched-inference stage consumes.  The blob is treated as the raw
+    PCM byte stream (a real implementation swaps in soundfile/ffmpeg
+    decoding upstream); windows shorter than ``window_bytes`` at the
+    tail are kept and zero-padded by the consumer."""
+
+    def windows(batch: pa.Table) -> pa.Table:
+        keys, idxs, chunks, lens = [], [], [], []
+        for k, blob in zip(batch[key_col].to_pylist(),
+                           batch[media_col].to_pylist()):
+            blob = blob or b""
+            pos, w = 0, 0
+            while pos < len(blob) or w == 0:
+                chunk = blob[pos:pos + window_bytes]
+                keys.append(k)
+                idxs.append(w)
+                chunks.append(chunk)
+                lens.append(len(chunk))
+                pos += hop_bytes
+                w += 1
+                if not blob:
+                    break
+        return pa.table({
+            key_col: pa.array(keys),
+            "window_idx": pa.array(idxs, pa.int32()),
+            "n_bytes": pa.array(lens, pa.int64()),
+            "window": pa.array(chunks, pa.binary()),
+        })
+
+    return ds.map_batches(windows, batch_format="pyarrow",
+                          batch_size=batch_size)

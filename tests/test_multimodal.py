@@ -73,3 +73,28 @@ def test_frame_sample_flatmap_shape(ray_session):
     joined = b"".join(zlib.decompress(f) for f in sub["frame"])
     assert (b"payload-3" * 4).startswith(joined[:9])
     assert joined  # non-empty
+
+
+def test_audio_window_stage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages.multimodal import audio_window_stage
+
+    blob = bytes(range(256)) * 40  # 10240 bytes
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["u1", "u2"]),
+        "media": pa.array([blob, b""], pa.binary()),
+    }))
+    out = audio_window_stage(ds, window_bytes=4096,
+                             hop_bytes=2048).to_pandas()
+    u1 = out[out["url"] == "u1"].sort_values("window_idx")
+    # hops: 0,2048,4096,6144,8192 → 5 windows; last two truncated
+    assert list(u1["window_idx"]) == [0, 1, 2, 3, 4]
+    assert list(u1["n_bytes"]) == [4096, 4096, 4096, 4096, 2048]
+    # overlap: second half of window 0 == first half of window 1
+    w0 = u1.iloc[0]["window"]; w1 = u1.iloc[1]["window"]
+    assert w0[2048:] == w1[:2048]
+    # empty media yields exactly one empty window
+    u2 = out[out["url"] == "u2"]
+    assert len(u2) == 1 and u2.iloc[0]["n_bytes"] == 0

@@ -479,3 +479,35 @@ def test_near_dup_dedup_end_to_end(ray_session):
     verified = jaccard_verify_pairs(docs, cands, threshold=0.9)
     kept = near_dup_dedup(docs, verified).to_pandas()
     assert sorted(kept["doc_id"]) == [1, 3, 5]
+
+
+def test_ivf_topk_recall_vs_bruteforce(ray_session):
+    """IVF with corpus-trained centroids and nprobe recovers most of
+    the brute-force top-k (ANN recall sanity: >= 80% at nprobe=half
+    the centroids on clustered data)."""
+    import ray.data as rd
+
+    from gdal_ray.stages.similarity import (cosine_topk, ivf_topk,
+                                            train_centroids)
+
+    rs = np.random.RandomState(9)
+    centers = rs.normal(size=(8, 32)) * 4
+    vecs = np.vstack([c + rs.normal(size=(100, 32)) for c in centers])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(vecs.astype(np.float64)),
+                                        pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t).repartition(4)
+    queries = vecs[rs.choice(len(vecs), 5, replace=False)] \
+        + rs.normal(size=(5, 32)) * 0.1
+    cents = train_centroids(vecs[rs.choice(len(vecs), 256,
+                                           replace=False)], 8)
+    exact = cosine_topk(ds, queries, k=10, concurrency=1).to_pandas()
+    approx = ivf_topk(rd.from_arrow(t).repartition(4), queries, cents,
+                      k=10, nprobe=4, concurrency=1).to_pandas()
+    recall = 0.0
+    for qid in range(5):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recall += len(e & a) / len(e)
+    assert recall / 5 >= 0.8
