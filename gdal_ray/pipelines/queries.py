@@ -1214,13 +1214,15 @@ def q_grid_metrics(sf_dir: str):
 
 
 def q_raster_warp(sf_dir: str):
-    """gdalwarp: reproject the z3 mercator count raster to the
+    """gdalwarp: reproject the z2 mercator count raster to the
     plate-carrée tile grid (ChunkAndWarpImage dataflow: source tiles
     shuffle to the output tiles they feed, nearest-neighbor resample).
-    Rows-only; per-pixel equality goldens in tests/test_warp.py."""
+    ORACLE: SQL enumerates every output pixel of every fed output tile,
+    maps its center back through the same slippy formula, and joins the
+    per-mercator-pixel counts; per-pixel goldens in tests/test_warp.py."""
     from ..stages.warp import warp_to_platecarree
 
-    out = warp_to_platecarree(_rendered_tiles(sf_dir, 3))
+    out = warp_to_platecarree(_rendered_tiles(sf_dir, 2))
 
     def summarize(b: pa.Table) -> pa.Table:
         import zlib as _z
@@ -1238,8 +1240,10 @@ def q_raster_warp(sf_dir: str):
 
 def q_raster_proximity(sf_dir: str):
     """GDALComputeProximity over the z3 count raster (maxdist 16 px):
-    per-tile distance-grid summaries (rows-only; exact brute-force
-    goldens incl. cross-seam distances in tests/test_focal.py)."""
+    per-tile distance-grid sums.  ORACLE: enumerate the ≤(2·16+1)²
+    neighborhood of every target pixel in SQL, take the min distance
+    per covered pixel, and account uncovered pixels at maxdist; exact
+    brute-force goldens incl. cross-seam in tests/test_focal.py."""
     from ..stages.focal import proximity
 
     out = proximity(_rendered_tiles(sf_dir, 3), maxdist=16)
@@ -1248,7 +1252,8 @@ def q_raster_proximity(sf_dir: str):
         import zlib as _z
         sums = []
         for blob in b["raster_f32"].to_pylist():
-            g = np.frombuffer(_z.decompress(blob), dtype="<f4")
+            g = np.frombuffer(_z.decompress(blob), dtype="<f4") \
+                .astype(np.float64)
             sums.append(int(np.round(g.sum())))
         return pa.table({"z": b["z"], "x": b["x"], "y": b["y"],
                          "dist_sum": pa.array(sums, pa.int64())})
@@ -1258,8 +1263,10 @@ def q_raster_proximity(sf_dir: str):
 
 def q_raster_fillnodata(sf_dir: str):
     """GDALFillNodata (directional IDW, maxdist 8) over the z3 count
-    raster: per-tile filled-value summaries (rows-only; directional
-    goldens in tests/test_focal.py)."""
+    raster: per-tile filled-value sums.  ORACLE: SQL enumerates every
+    (valid pixel, direction, step) ray within 8 steps, keeps the
+    nearest hit per (pixel, direction), and reproduces the 1/d-weighted
+    fill; directional goldens in tests/test_focal.py."""
     from ..stages.focal import fillnodata
 
     out = fillnodata(_rendered_tiles(sf_dir, 3), maxdist=8)
@@ -1268,8 +1275,9 @@ def q_raster_fillnodata(sf_dir: str):
         import zlib as _z
         sums, nz = [], []
         for blob in b["raster_f32"].to_pylist():
-            g = np.frombuffer(_z.decompress(blob), dtype="<f4")
-            sums.append(round(float(g.sum()), 3))
+            g = np.frombuffer(_z.decompress(blob), dtype="<f4") \
+                .astype(np.float64)
+            sums.append(round(float(g.sum()), 2))
             nz.append(int((g > 0).sum()))
         return pa.table({"z": b["z"], "x": b["x"], "y": b["y"],
                          "filled_sum": pa.array(sums, pa.float64()),
@@ -2355,6 +2363,192 @@ def _grid_linear_oracle() -> str:
 
 
 ORACLES["grid_linear"] = _grid_linear_oracle()
+
+# contour oracle: marching squares restated in SQL.  Candidate cells =
+# the ≤4 cells touching each nonzero z12 pixel (zero-padded global
+# grid ≡ the engine's interior+seam coverage); the case table and the
+# per-edge interpolation formulas mirror stages/contour.py exactly.
+ORACLES["contour_segments"] = """
+    WITH pts AS ({PTS}),
+    cnt AS (SELECT
+              CAST(least(greatest(floor((lon+180.0)/360.0*4096.0), 0),
+                         4095) AS BIGINT) AS gx,
+              CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                   + 1.0/cos(radians(lat)))/pi())/2.0*4096.0), 0), 4095)
+                   AS BIGINT) AS gy,
+              CAST(count(*) AS DOUBLE) AS n
+            FROM pts GROUP BY 1, 2),
+    offs AS (SELECT unnest(generate_series(-1, 0)) AS o),
+    cells AS (SELECT DISTINCT c.gx + ox.o AS cx, c.gy + oy.o AS cy
+              FROM cnt c, offs ox, offs oy
+              WHERE c.gx + ox.o BETWEEN 0 AND 4094
+                AND c.gy + oy.o BETWEEN 0 AND 4094),
+    corner AS (SELECT cells.cx, cells.cy,
+                      COALESCE(tl.n, 0) AS tl, COALESCE(tr.n, 0) AS tr,
+                      COALESCE(bl.n, 0) AS bl, COALESCE(br.n, 0) AS br
+               FROM cells
+               LEFT JOIN cnt tl ON tl.gx = cx AND tl.gy = cy
+               LEFT JOIN cnt tr ON tr.gx = cx + 1 AND tr.gy = cy
+               LEFT JOIN cnt bl ON bl.gx = cx AND bl.gy = cy + 1
+               LEFT JOIN cnt br ON br.gx = cx + 1 AND br.gy = cy + 1),
+    lv(l) AS (VALUES (0.5), (2.5)),
+    cased AS (SELECT corner.*, lv.l,
+                     (CASE WHEN tl > l THEN 1 ELSE 0 END
+                      + CASE WHEN tr > l THEN 2 ELSE 0 END
+                      + CASE WHEN br > l THEN 4 ELSE 0 END
+                      + CASE WHEN bl > l THEN 8 ELSE 0 END) AS cs
+              FROM corner, lv),
+    segmap(cs, ea, eb) AS (VALUES
+        (1,3,0),(14,3,0),(2,0,1),(13,0,1),(4,1,2),(11,1,2),
+        (8,2,3),(7,2,3),(3,3,1),(12,3,1),(6,0,2),(9,0,2),
+        (5,3,0),(5,1,2),(10,0,1),(10,2,3)),
+    segs AS (SELECT c.cx + 0.5 AS x, c.cy + 0.5 AS y,
+                    c.tl, c.tr, c.bl, c.br, c.l, m.ea, m.eb
+             FROM cased c JOIN segmap m ON c.cs = m.cs)
+    SELECT CAST(4 AS INTEGER) AS z, l AS level,
+           round(CASE ea WHEN 0 THEN x + (l-tl)/(tr-tl)
+                         WHEN 1 THEN x + 1.0
+                         WHEN 2 THEN x + (l-bl)/(br-bl)
+                         ELSE x END, 4) AS x0,
+           round(CASE ea WHEN 0 THEN y
+                         WHEN 1 THEN y + (l-tr)/(br-tr)
+                         WHEN 2 THEN y + 1.0
+                         ELSE y + (l-tl)/(bl-tl) END, 4) AS y0,
+           round(CASE eb WHEN 0 THEN x + (l-tl)/(tr-tl)
+                         WHEN 1 THEN x + 1.0
+                         WHEN 2 THEN x + (l-bl)/(br-bl)
+                         ELSE x END, 4) AS x1,
+           round(CASE eb WHEN 0 THEN y
+                         WHEN 1 THEN y + (l-tr)/(br-tr)
+                         WHEN 2 THEN y + 1.0
+                         ELSE y + (l-tl)/(bl-tl) END, 4) AS y1
+    FROM segs
+"""
+ORACLES["contour_segments"] = \
+    ORACLES["contour_segments"].replace("{PTS}", _PTS_SQL)
+
+# fillnodata oracle: rays from every valid pixel along the 8 compass
+# directions (≤8 steps); nearest hit per (pixel, direction); zero
+# pixels take the 1/d-weighted mean, valid pixels keep their count
+ORACLES["raster_fillnodata"] = f"""
+    WITH {_PIXEL11_SQL},
+    vals AS (SELECT gx, gy, count(*) AS n FROM t GROUP BY 1, 2),
+    tiles AS (SELECT DISTINCT gx // 256 AS tx, gy // 256 AS ty FROM t),
+    dirs(dx, dy, step) AS (VALUES
+        (-1, 0, 1.0), (1, 0, 1.0), (0, -1, 1.0), (0, 1, 1.0),
+        (-1, -1, 1.4142135623730951), (-1, 1, 1.4142135623730951),
+        (1, -1, 1.4142135623730951), (1, 1, 1.4142135623730951)),
+    ks AS (SELECT unnest(generate_series(1, 8)) AS k),
+    rays AS (SELECT v.gx - d.dx * k.k AS px, v.gy - d.dy * k.k AS py,
+                    d.dx, d.dy, k.k, d.step, v.n
+             FROM vals v, dirs d, ks k
+             WHERE v.gx - d.dx * k.k BETWEEN 0 AND 2047
+               AND v.gy - d.dy * k.k BETWEEN 0 AND 2047),
+    near AS (SELECT px, py, dx, dy, min(k) AS mk
+             FROM rays GROUP BY 1, 2, 3, 4),
+    hit AS (SELECT r.px, r.py, r.step * r.k AS dist, r.n
+            FROM rays r JOIN near q ON r.px = q.px AND r.py = q.py
+              AND r.dx = q.dx AND r.dy = q.dy AND r.k = q.mk),
+    fills AS (SELECT h.px, h.py,
+                     sum(h.n / h.dist) / sum(1.0 / h.dist) AS fv
+              FROM hit h LEFT JOIN vals v
+                ON h.px = v.gx AND h.py = v.gy
+              WHERE v.gx IS NULL
+              GROUP BY h.px, h.py),
+    pertile AS (
+      SELECT gx // 256 AS tx, gy // 256 AS ty,
+             CAST(n AS DOUBLE) AS v FROM vals
+      UNION ALL
+      SELECT px // 256, py // 256, fv FROM fills)
+    SELECT CAST(3 AS INTEGER) AS z, t2.tx AS x, t2.ty AS y,
+           round(COALESCE(s.sv, 0), 2) AS filled_sum,
+           CAST(COALESCE(s.cnt, 0) AS BIGINT) AS nonzero
+    FROM tiles t2
+    LEFT JOIN (SELECT tx, ty, sum(v) AS sv, count(*) AS cnt
+               FROM pertile GROUP BY 1, 2) s
+      ON t2.tx = s.tx AND t2.ty = s.ty
+"""
+
+# proximity oracle: targets = nonzero z11 pixels; each target covers
+# its (2m+1)² disc; min distance per covered pixel, uncovered pixels
+# count maxdist; engine dist_sum = sum over the tile's 65536 pixels
+ORACLES["raster_proximity"] = f"""
+    WITH {_PIXEL11_SQL},
+    tgt AS (SELECT DISTINCT gx, gy FROM t),
+    tiles AS (SELECT DISTINCT gx // 256 AS tx, gy // 256 AS ty FROM t),
+    d16 AS (SELECT unnest(generate_series(-16, 16)) AS i),
+    cand AS (SELECT tgt.gx + dx.i AS px, tgt.gy + dy.i AS py,
+                    sqrt(CAST(dx.i*dx.i + dy.i*dy.i AS DOUBLE)) AS d
+             FROM tgt, d16 dx, d16 dy
+             WHERE dx.i*dx.i + dy.i*dy.i <= 256
+               AND tgt.gx + dx.i BETWEEN 0 AND 2047
+               AND tgt.gy + dy.i BETWEEN 0 AND 2047),
+    mind AS (SELECT px, py, min(d) AS d FROM cand GROUP BY 1, 2),
+    intile AS (SELECT px // 256 AS tx, py // 256 AS ty, d
+               FROM mind
+               JOIN tiles ON px // 256 = tiles.tx
+                         AND py // 256 = tiles.ty),
+    cov AS (SELECT tx, ty, sum(16.0 - d) AS saved,
+                   count(*) AS n_cov
+            FROM intile GROUP BY tx, ty)
+    SELECT CAST(3 AS INTEGER) AS z, t2.tx AS x, t2.ty AS y,
+           CAST(round(16.0 * 65536 - COALESCE(c.saved, 0), 0) AS BIGINT)
+               AS dist_sum
+    FROM tiles t2 LEFT JOIN cov c ON t2.tx = c.tx AND t2.ty = c.ty
+"""
+
+# warp oracle: z=2, source pixel grid = z10 (1024²), dest = 4×4 tile
+# plate-carrée grid.  Enumerate the output pixels of every dest tile
+# fed by an existing source tile, map centers back through the SAME
+# slippy formula, join per-mercator-pixel counts.
+ORACLES["raster_warp"] = f"""
+    WITH pts AS ({_PTS_SQL}),
+    mp AS (SELECT
+             CAST(least(greatest(floor((lon+180.0)/360.0*1024.0), 0),
+                        1023) AS BIGINT) AS gx,
+             CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                  + 1.0/cos(radians(lat)))/pi())/2.0*1024.0), 0), 1023)
+                  AS BIGINT) AS gy,
+             count(*) AS n
+           FROM pts GROUP BY 1, 2),
+    src AS (SELECT DISTINCT gx // 256 AS sx, gy // 256 AS sy FROM mp),
+    srcb AS (SELECT sx, sy,
+                    degrees(atan((exp(pi()*(1.0-2.0*sy/4.0))
+                           - exp(-pi()*(1.0-2.0*sy/4.0)))/2.0)) AS lat_n,
+                    degrees(atan((exp(pi()*(1.0-2.0*(sy+1)/4.0))
+                           - exp(-pi()*(1.0-2.0*(sy+1)/4.0)))/2.0))
+                        AS lat_s
+             FROM src),
+    dest AS (SELECT DISTINCT sx AS xo,
+                    unnest(generate_series(
+                      CAST(greatest(floor((90.0-lat_n)/45.0), 0)
+                           AS BIGINT),
+                      CAST(least(floor((90.0-lat_s)/45.0 - 1e-12), 3)
+                           AS BIGINT))) AS yo
+             FROM srcb),
+    opix AS (SELECT d.xo, d.yo, px.i AS px, py.i AS py,
+                    -180.0 + (d.xo + (px.i+0.5)/256.0) * 90.0 AS lon,
+                    90.0 - (d.yo + (py.i+0.5)/256.0) * 45.0 AS lat
+             FROM dest d
+             CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) px
+             CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) py),
+    sampled AS (SELECT xo, yo,
+                  CASE WHEN abs(lat) <= 85.05112877980659 THEN
+                    (SELECT n FROM mp WHERE mp.gx =
+                       CAST(least(greatest(floor((opix.lon+180.0)/360.0
+                            *1024.0), 0), 1023) AS BIGINT)
+                     AND mp.gy =
+                       CAST(least(greatest(floor((1.0 -
+                            ln(tan(radians(opix.lat))
+                            + 1.0/cos(radians(opix.lat)))/pi())/2.0
+                            *1024.0), 0), 1023) AS BIGINT))
+                  END AS n
+                FROM opix)
+    SELECT CAST(2 AS INTEGER) AS z, xo AS x, yo AS y,
+           CAST(count(n) AS BIGINT) AS nonzero,
+           CAST(COALESCE(sum(n), 0) AS BIGINT) AS total
+    FROM sampled GROUP BY xo, yo
+"""
 
 # media blob = 'media-{id}-' + 'y'*(id%257); window 64 hop 32 → count
 # = ceil(L/32), n_bytes = min(64, L - idx*32) — exact in SQL

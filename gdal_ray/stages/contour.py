@@ -127,7 +127,16 @@ def seam_strips(batch: pa.Table) -> pa.Table:
     keys, kinds, xs, ys, zs, sides, payloads = [], [], [], [], [], [], []
 
     def emit(z, kind, sx, sy, side, vals):
+        # a seam exists only when BOTH sides are inside the global
+        # 2^z tile grid (no x-wrap; cells beyond the grid edge don't
+        # exist — the zero padding applies to absent tiles, not to
+        # the world boundary)
+        n = 1 << z
         if sx < 0 or sy < 0:
+            return
+        if kind in (_SEAM_V, _SEAM_C) and sx + 1 >= n:
+            return
+        if kind in (_SEAM_H, _SEAM_C) and sy + 1 >= n:
             return
         keys.append(_pack_seam(z, kind, sx, sy))
         kinds.append(kind)
