@@ -149,3 +149,15 @@ def difference_many(subject: np.ndarray,
 
 def pieces_area(pieces: list[np.ndarray]) -> float:
     return float(sum(abs(ring_area(p)) for p in pieces))
+
+
+def is_convex(ring: np.ndarray) -> bool:
+    """All cross products of consecutive edges share a sign (within
+    EPS) — convexity test for an open ring."""
+    r = _open_ring(np.asarray(ring, dtype=np.float64))
+    if len(r) < 4:
+        return True
+    a = np.roll(r, -1, axis=0) - r
+    b = np.roll(a, -1, axis=0)
+    cross = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+    return bool((cross >= -EPS).all() or (cross <= EPS).all())

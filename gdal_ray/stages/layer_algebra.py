@@ -48,19 +48,49 @@ _OPS = ("intersection", "clip", "erase", "identity", "union", "update",
 
 
 def _outer_ring(blob: bytes) -> np.ndarray:
+    """Single-ring decode for the METHOD side (must be one convex
+    ring — decompose concave/holed method features upstream)."""
     g = _wkb.decode(blob)
     if g["type"] == "MultiPolygon":
         if len(g["coordinates"]) != 1:
             raise NotImplementedError(
-                "multi-part layer-algebra inputs: explode first")
+                "multi-part method features: explode first")
         rings = g["coordinates"][0]
     elif g["type"] == "Polygon":
         rings = g["coordinates"]
     else:
         raise ValueError(f"layer algebra needs polygons, got {g['type']}")
     if len(rings) != 1:
-        raise NotImplementedError("polygons with holes not supported")
+        raise NotImplementedError(
+            "method polygons with holes not supported")
     return _clip.ensure_ccw(np.asarray(rings[0], dtype=np.float64))
+
+
+def _input_pieces(blob: bytes) -> list[np.ndarray]:
+    """INPUT-side decode: any Polygon/MultiPolygon, holes allowed when
+    convex — a polygon with holes becomes the disjoint piece
+    decomposition outer \ holes (pieces of a convex outer stay
+    convex, so every downstream op incl. union/symdifference works);
+    multi-part features contribute all their parts' pieces."""
+    g = _wkb.decode(blob)
+    if g["type"] == "Polygon":
+        polys = [g["coordinates"]]
+    elif g["type"] == "MultiPolygon":
+        polys = g["coordinates"]
+    else:
+        raise ValueError(f"layer algebra needs polygons, got {g['type']}")
+    pieces: list[np.ndarray] = []
+    for rings in polys:
+        outer = _clip.ensure_ccw(np.asarray(rings[0], dtype=np.float64))
+        holes = [_clip.ensure_ccw(np.asarray(r, dtype=np.float64))
+                 for r in rings[1:]]
+        for h in holes:
+            if not _clip.is_convex(h):
+                raise NotImplementedError(
+                    "concave holes not supported: decompose upstream")
+        pieces.extend(_clip.difference_many(outer, holes)
+                      if holes else [outer])
+    return pieces
 
 
 def _pieces_wkb(pieces: list[np.ndarray], promote: bool) -> bytes:
@@ -90,9 +120,12 @@ class _MethodLayer:
             [[r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()]
              for r in self.rings]).reshape(-1, 4)
 
-    def candidates(self, ring: np.ndarray) -> np.ndarray:
-        bb = (ring[:, 0].min(), ring[:, 1].min(),
-              ring[:, 0].max(), ring[:, 1].max())
+    def candidates(self, pieces: list[np.ndarray]) -> np.ndarray:
+        allp = np.vstack(pieces) if pieces else np.zeros((0, 2))
+        if not len(allp):
+            return np.empty(0, dtype=np.int64)
+        bb = (allp[:, 0].min(), allp[:, 1].min(),
+              allp[:, 0].max(), allp[:, 1].max())
         b = self.bboxes
         hit = ((b[:, 0] <= bb[2]) & (b[:, 2] >= bb[0])
                & (b[:, 1] <= bb[3]) & (b[:, 3] >= bb[1]))
@@ -162,7 +195,7 @@ class LayerAlgebra:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         op = self.operation
-        rings = [_outer_ring(b)
+        rings = [_input_pieces(b)
                  for b in batch[self.geometry_col].to_pylist()]
         if op in ("intersection", "identity", "union"):
             return self._pairwise(batch, rings,
@@ -179,25 +212,29 @@ class LayerAlgebra:
         in_rows: list[int] = []
         m_rows: list[int | None] = []
         geoms: list[bytes] = []
-        for i, ring in enumerate(rings):
-            cands = self.method.candidates(ring)
-            covered: list[np.ndarray] = []
+        for i, pieces in enumerate(rings):
+            cands = self.method.candidates(pieces)
             for mi in cands:
-                piece = _clip.sh_clip(ring, self.method.rings[mi])
-                if len(piece):
+                mring = self.method.rings[mi]
+                clips = [c for c in
+                         (_clip.sh_clip(p, mring) for p in pieces)
+                         if len(c)]
+                if clips:
                     in_rows.append(i)
                     m_rows.append(int(mi))
-                    geoms.append(_pieces_wkb([piece], self.promote))
-                    covered.append(self.method.rings[mi])
+                    geoms.append(_pieces_wkb(clips, self.promote))
                 elif self.keep_lower:
-                    raw = self._boundary_contact(ring, self.method.rings[mi])
-                    if raw is not None:
-                        in_rows.append(i)
-                        m_rows.append(int(mi))
-                        geoms.append(raw)
+                    for p in pieces:
+                        raw = self._boundary_contact(p, mring)
+                        if raw is not None:
+                            in_rows.append(i)
+                            m_rows.append(int(mi))
+                            geoms.append(raw)
+                            break
             if with_leftover:
-                left = _clip.difference_many(
-                    ring, [self.method.rings[mi] for mi in cands])
+                mrings = [self.method.rings[mi] for mi in cands]
+                left = [q for p in pieces
+                        for q in _clip.difference_many(p, mrings)]
                 if left:
                     in_rows.append(i)
                     m_rows.append(None)
@@ -224,22 +261,24 @@ class LayerAlgebra:
         input \\ union(method) — one output row per surviving input."""
         in_rows: list[int] = []
         geoms: list[bytes] = []
-        for i, ring in enumerate(rings):
-            cands = self.method.candidates(ring)
+        for i, in_pieces in enumerate(rings):
+            cands = self.method.candidates(in_pieces)
             mrings = [self.method.rings[mi] for mi in cands]
             if keep == "inside":
                 pieces = []
-                for j, mr in enumerate(mrings):
-                    piece = _clip.sh_clip(ring, mr)
-                    if len(piece):
-                        # subtract earlier method polys: UnaryUnion
-                        # semantics when method features overlap
-                        pieces.extend(_clip.difference_many(
-                            piece, mrings[:j]))
+                for p in in_pieces:
+                    for j, mr in enumerate(mrings):
+                        piece = _clip.sh_clip(p, mr)
+                        if len(piece):
+                            # subtract earlier method polys: UnaryUnion
+                            # semantics when method features overlap
+                            pieces.extend(_clip.difference_many(
+                                piece, mrings[:j]))
                 if not pieces:
                     continue
             else:
-                pieces = _clip.difference_many(ring, mrings)
+                pieces = [q for p in in_pieces
+                          for q in _clip.difference_many(p, mrings)]
                 if not pieces:
                     continue
             in_rows.append(i)
@@ -252,10 +291,11 @@ class LayerAlgebra:
         `method_leftovers`)."""
         in_rows: list[int | None] = []
         geoms: list[bytes] = []
-        for i, ring in enumerate(rings):
-            cands = self.method.candidates(ring)
-            pieces = _clip.difference_many(
-                ring, [self.method.rings[mi] for mi in cands])
+        for i, in_pieces in enumerate(rings):
+            cands = self.method.candidates(in_pieces)
+            mrings = [self.method.rings[mi] for mi in cands]
+            pieces = [q for p in in_pieces
+                      for q in _clip.difference_many(p, mrings)]
             if pieces:
                 in_rows.append(i)
                 geoms.append(_pieces_wkb(pieces, self.promote))
@@ -277,8 +317,8 @@ class _CandidateEmitter:
         midx: list[int] = []
         rwkb: list[bytes] = []
         for blob in batch[self.geometry_col].to_pylist():
-            ring = _outer_ring(blob)
-            for mi in self.method.candidates(ring):
+            pieces = _input_pieces(blob)
+            for mi in self.method.candidates(pieces):
                 midx.append(int(mi))
                 rwkb.append(blob)
         return pa.table({
@@ -322,8 +362,13 @@ def method_leftovers(input_ds, method_table: pa.Table, method_ref,
         mi = int(g["method_idx"][0].as_py())
         mring = _outer_ring(mt[geometry_col][mi].as_py())
         wkbs = [w for w in g["input_wkb"].to_pylist() if w is not None]
-        in_rings = [_outer_ring(b) for b in dict.fromkeys(wkbs)]
-        # method ring is the subject; the (convex) input rings clip it
+        in_rings = [p for b in dict.fromkeys(wkbs)
+                    for p in _input_pieces(b)]
+        for r in in_rings:
+            if not _clip.is_convex(r):
+                raise NotImplementedError(
+                    "union/symdifference need convex input pieces")
+        # method ring is the subject; the (convex) input pieces clip it
         # (no candidates → passes through whole, difference vs [])
         pieces = _clip.difference_many(mring, in_rings)
         n = 1 if pieces else 0
@@ -414,15 +459,21 @@ def dissolve(input_ds, key_col: str, geometry_col: str = "geometry"):
     upstream.  One groupby exchange on the dissolve key."""
 
     def per_key(g: pa.Table) -> pa.Table:
-        rings = [_outer_ring(b) for b in g[geometry_col].to_pylist()]
+        feats = [_input_pieces(b) for b in g[geometry_col].to_pylist()]
         pieces: list = []
         done: list = []
-        for r in rings:
-            pieces.extend(_clip.difference_many(r, done))
-            done.append(r)
+        for fp in feats:
+            for r in fp:
+                if not _clip.is_convex(r):
+                    raise NotImplementedError(
+                        "dissolve needs convex pieces (they become "
+                        "clips for later features)")
+            pieces.extend(q for r in fp
+                          for q in _clip.difference_many(r, done))
+            done.extend(fp)
         return pa.table({
             key_col: g[key_col].slice(0, 1),
-            "n_features": pa.array([len(rings)], pa.int64()),
+            "n_features": pa.array([len(feats)], pa.int64()),
             "n_parts": pa.array([len(pieces)], pa.int64()),
             geometry_col: pa.array(
                 [_pieces_wkb(pieces, True)] if pieces else [None],

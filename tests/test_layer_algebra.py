@@ -218,3 +218,43 @@ def test_dissolve_overlap_counted_once(ray_session):
     assert out["n_features"].iloc[0] == 3
     area = wkb_area(out["geometry"].iloc[0])
     assert area == pytest.approx(100 + 100 - 25 + 4, abs=1e-9)
+
+
+def test_input_with_hole_and_multipart(ray_session):
+    """Holed and multi-part INPUT features: a donut (10x10 outer with
+    a 2x2 hole) intersected/erased against a method box — areas follow
+    the hole exactly; a 2-part multipolygon works unexploded."""
+    import ray.data as rd
+
+    donut = _wkb.encode_polygon([
+        [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+        [(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)],     # hole, 4 px
+    ])
+    two = _wkb.encode_multipolygon([
+        [[(20, 0), (24, 0), (24, 4), (20, 4), (20, 0)]],
+        [[(30, 0), (32, 0), (32, 2), (30, 2), (30, 0)]],
+    ])
+    inp = pa.table({"poly_id": pa.array([0, 1], pa.int32()),
+                    "geometry": pa.array([donut, two], pa.binary())})
+    meth = pa.table({"grid_id": pa.array([0], pa.int32()),
+                     "geometry": pa.array([_box_wkb(3, 3, 22, 7)],
+                                          pa.binary())})
+    ds = rd.from_arrow(inp)
+    inter = layer_algebra(ds, meth, "intersection").to_pandas()
+    # donut ∩ box = 7x4 window minus the 2x2 hole = 28 - 4 = 24
+    a0 = wkb_area(inter[inter["poly_id"] == 0]["geometry"].iloc[0])
+    assert a0 == pytest.approx(24.0, abs=1e-9)
+    # multipart ∩ box = part1 (20..22 x 3..4) = 2*1 = 2 (part2 disjoint)
+    a1 = wkb_area(inter[inter["poly_id"] == 1]["geometry"].iloc[0])
+    assert a1 == pytest.approx(2.0, abs=1e-9)
+    erase = layer_algebra(ds, meth, "erase").to_pandas()
+    # donut \ box = (100 - 4) - 24 = 72 ; multipart \ box = (16+4) - 2
+    e0 = wkb_area(erase[erase["poly_id"] == 0]["geometry"].iloc[0])
+    e1 = wkb_area(erase[erase["poly_id"] == 1]["geometry"].iloc[0])
+    assert e0 == pytest.approx(72.0, abs=1e-9)
+    assert e1 == pytest.approx(18.0, abs=1e-9)
+    # union still works (pieces of a convex outer are convex)
+    uni = layer_algebra(ds, meth, "union").to_pandas()
+    total = sum(wkb_area(g) for g in uni["geometry"])
+    # area(donut)+area(parts)+area(method) - overlaps = 96+20+76-26
+    assert total == pytest.approx(96 + 20 + 76 - 26, abs=1e-9)
