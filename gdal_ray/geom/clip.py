@@ -161,3 +161,61 @@ def is_convex(ring: np.ndarray) -> bool:
     b = np.roll(a, -1, axis=0)
     cross = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
     return bool((cross >= -EPS).all() or (cross <= EPS).all())
+
+
+def ear_clip_triangulate(ring: np.ndarray) -> list[np.ndarray]:
+    """Simple-polygon triangulation by ear clipping (O(n²), the
+    classic algorithm) — decomposes a CONCAVE polygon into disjoint
+    triangles so it can serve as a clip region for the convex-clip
+    kernels.  Input: simple ring, no holes, any orientation."""
+    r = ensure_ccw(ring)
+    n = len(r)
+    if n < 3:
+        return []
+    if n == 3 or is_convex(r):
+        return [r] if n == 3 else [r]
+    idx = list(range(n))
+
+    def cross(o, a, b):
+        return ((r[a, 0] - r[o, 0]) * (r[b, 1] - r[o, 1])
+                - (r[a, 1] - r[o, 1]) * (r[b, 0] - r[o, 0]))
+
+    def point_in_tri(p, a, b, c):
+        # INCLUSIVE containment: a reflex vertex exactly on the
+        # candidate diagonal must block the ear (a polygon edge can
+        # cross the triangle interior with no vertex strictly inside)
+        d1 = (r[a, 0] - p[0]) * (r[b, 1] - p[1]) \
+            - (r[a, 1] - p[1]) * (r[b, 0] - p[0])
+        d2 = (r[b, 0] - p[0]) * (r[c, 1] - p[1]) \
+            - (r[b, 1] - p[1]) * (r[c, 0] - p[0])
+        d3 = (r[c, 0] - p[0]) * (r[a, 1] - p[1]) \
+            - (r[c, 1] - p[1]) * (r[a, 0] - p[0])
+        return (d1 >= -EPS) and (d2 >= -EPS) and (d3 >= -EPS)
+
+    tris: list[np.ndarray] = []
+    guard = 0
+    while len(idx) > 3 and guard < 10 * n * n:
+        guard += 1
+        m = len(idx)
+        # only REFLEX vertices can block an ear (the standard test —
+        # convex vertices on the boundary are harmless)
+        reflex = {idx[k] for k in range(m)
+                  if cross(idx[(k - 1) % m], idx[k],
+                           idx[(k + 1) % m]) <= EPS}
+        clipped = False
+        for k in range(m):
+            a, b, c = idx[(k - 1) % m], idx[k], idx[(k + 1) % m]
+            if cross(a, b, c) <= EPS:
+                continue  # reflex or degenerate corner
+            if any(point_in_tri(r[j], a, b, c)
+                   for j in reflex if j not in (a, b, c)):
+                continue
+            tris.append(np.array([r[a], r[b], r[c]]))
+            idx.pop(k)
+            clipped = True
+            break
+        if not clipped:
+            break  # numerically stuck: emit remainder as one piece
+    if len(idx) >= 3:
+        tris.append(r[np.asarray(idx, dtype=np.int64)])
+    return tris

@@ -1308,6 +1308,31 @@ def q_raster_sieve(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_poly_concave(sf_dir: str):
+    """Intersection against a CONCAVE (L-shaped) method feature — the
+    engine ear-clips it internally; the oracle decomposes the L into
+    its two disjoint rectangles in SQL."""
+    from ..geom.ops import wkb_area
+    from ..stages.layer_algebra import layer_algebra
+
+    L = _wkb.encode_polygon([[(-100.0, -40.0), (20.0, -40.0),
+                              (20.0, -10.0), (-40.0, -10.0),
+                              (-40.0, 20.0), (-100.0, 20.0),
+                              (-100.0, -40.0)]])
+    meth = pa.table({"grid_id": pa.array([0], pa.int32()),
+                     "geometry": pa.array([L], pa.binary())})
+    out = layer_algebra(_box_zones_ds(), meth, "intersection",
+                        input_schema_table=zone_table().slice(0, 0))
+    return out.map_batches(
+        lambda b: pa.table({
+            "poly_id": pc.cast(b["poly_id"], pa.int32()),
+            "grid_id": pc.cast(b["grid_id"], pa.int32()),
+            "area_q8": pa.array(
+                [_q8(wkb_area(g)) for g in b["geometry"].to_pylist()],
+                pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def q_poly_dissolve(sf_dir: str):
     """Dissolve (per-key geometric union): the 4 box zones dissolve
     under one key, the diamond under another — union areas are exact
@@ -1607,6 +1632,7 @@ QUERIES = {
     "grid_metrics": q_grid_metrics,
     "grid_linear": q_grid_linear,
     "poly_dissolve": q_poly_dissolve,
+    "poly_concave": q_poly_concave,
     "raster_warp": q_raster_warp,
     "raster_proximity": q_raster_proximity,
     "raster_fillnodata": q_raster_fillnodata,
@@ -2566,6 +2592,28 @@ ORACLES["media_audio_windows"] = """
     SELECT url, CAST(i AS INTEGER) AS window_idx,
            CAST(least(64, L - i * 32) AS BIGINT) AS n_bytes
     FROM w
+"""
+
+# concave method: the L decomposes into two disjoint rects in SQL
+ORACLES["poly_concave"] = """
+    WITH boxes(poly_id, minx, miny, maxx, maxy) AS (VALUES
+        (0,-180.0025,-60.0025,-90.0025,0.0025),
+        (1,-90.0025,0.0025,0.0025,60.0025),
+        (2,0.0025,-30.0025,90.0025,30.0025),
+        (3,90.0025,30.0025,180.0025,69.0025)),
+    lrects(rminx, rminy, rmaxx, rmaxy) AS (VALUES
+        (-100.0, -40.0, 20.0, -10.0),
+        (-100.0, -10.0, -40.0, 20.0)),
+    ov AS (SELECT b.poly_id,
+                  greatest(0.0, least(b.maxx, r.rmaxx)
+                           - greatest(b.minx, r.rminx))
+                * greatest(0.0, least(b.maxy, r.rmaxy)
+                           - greatest(b.miny, r.rminy)) AS a
+           FROM boxes b, lrects r)
+    SELECT poly_id, CAST(0 AS INTEGER) AS grid_id,
+           CAST(round(sum(a) * 100000000, 0) AS BIGINT) AS area_q8
+    FROM ov GROUP BY poly_id
+    HAVING sum(a) > 1e-9
 """
 
 # dissolve: boxes are pairwise disjoint → union area = sum of shoelace

@@ -4,8 +4,10 @@ Re-expresses OGR_L_Intersection / Clip / Erase / Identity / Union /
 Update / SymDifference (ogr/ogrsf_frmts/generic/ogrlayer.cpp:5385-7188)
 for POLYGON inputs with REAL clipped geometry (round 1 only handled
 point payloads).  The geometric kernels are `geom.clip` (Sutherland–
-Hodgman + disjoint difference decomposition; method features must be
-convex — decompose concave method polygons upstream).
+Hodgman + disjoint difference decomposition).  Both layers accept any
+simple Polygon/MultiPolygon: concave outers are ear-clipped into
+disjoint convex pieces, convex holes are subtracted piece-wise; only
+CONCAVE holes remain unsupported (decompose upstream).
 
 Distribution model (the same as the point spatial join): the INPUT
 layer is the distributed Dataset; the METHOD layer is the small side,
@@ -47,23 +49,32 @@ _OPS = ("intersection", "clip", "erase", "identity", "union", "update",
         "symdifference")
 
 
-def _outer_ring(blob: bytes) -> np.ndarray:
-    """Single-ring decode for the METHOD side (must be one convex
-    ring — decompose concave/holed method features upstream)."""
+def _method_pieces(blob: bytes) -> list[np.ndarray]:
+    """METHOD-side decode: any simple Polygon/MultiPolygon (concave
+    outers are ear-clipped into disjoint triangles; convex holes are
+    subtracted per triangle — triangle minus convex holes stays a list
+    of convex pieces, so every convex-clip kernel applies)."""
     g = _wkb.decode(blob)
-    if g["type"] == "MultiPolygon":
-        if len(g["coordinates"]) != 1:
-            raise NotImplementedError(
-                "multi-part method features: explode first")
-        rings = g["coordinates"][0]
-    elif g["type"] == "Polygon":
-        rings = g["coordinates"]
+    if g["type"] == "Polygon":
+        polys = [g["coordinates"]]
+    elif g["type"] == "MultiPolygon":
+        polys = g["coordinates"]
     else:
         raise ValueError(f"layer algebra needs polygons, got {g['type']}")
-    if len(rings) != 1:
-        raise NotImplementedError(
-            "method polygons with holes not supported")
-    return _clip.ensure_ccw(np.asarray(rings[0], dtype=np.float64))
+    out: list[np.ndarray] = []
+    for rings in polys:
+        outer = _clip.ensure_ccw(np.asarray(rings[0], dtype=np.float64))
+        holes = [_clip.ensure_ccw(np.asarray(r, dtype=np.float64))
+                 for r in rings[1:]]
+        for h in holes:
+            if not _clip.is_convex(h):
+                raise NotImplementedError(
+                    "concave holes not supported: decompose upstream")
+        base = [outer] if _clip.is_convex(outer)             else _clip.ear_clip_triangulate(outer)
+        for t in base:
+            out.extend(_clip.difference_many(t, holes)
+                       if holes else [t])
+    return out
 
 
 def _input_pieces(blob: bytes) -> list[np.ndarray]:
@@ -110,15 +121,18 @@ def _lower_dim_wkb(ring: np.ndarray) -> bytes | None:
 
 
 class _MethodLayer:
-    """Broadcast-side decode: rings + bboxes, done once per actor."""
+    """Broadcast-side decode: convex piece lists + bboxes, once per
+    actor."""
 
     def __init__(self, table: pa.Table, geometry_col: str):
         self.table = table
-        self.rings = [_outer_ring(b)
-                      for b in table[geometry_col].to_pylist()]
+        self.pieces = [_method_pieces(b)
+                       for b in table[geometry_col].to_pylist()]
         self.bboxes = np.array(
-            [[r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()]
-             for r in self.rings]).reshape(-1, 4)
+            [[np.vstack(ps)[:, 0].min(), np.vstack(ps)[:, 1].min(),
+              np.vstack(ps)[:, 0].max(), np.vstack(ps)[:, 1].max()]
+             if ps else [np.inf, np.inf, -np.inf, -np.inf]
+             for ps in self.pieces]).reshape(-1, 4)
 
     def candidates(self, pieces: list[np.ndarray]) -> np.ndarray:
         allp = np.vstack(pieces) if pieces else np.zeros((0, 2))
@@ -215,24 +229,29 @@ class LayerAlgebra:
         for i, pieces in enumerate(rings):
             cands = self.method.candidates(pieces)
             for mi in cands:
-                mring = self.method.rings[mi]
-                clips = [c for c in
-                         (_clip.sh_clip(p, mring) for p in pieces)
-                         if len(c)]
+                mpieces = self.method.pieces[mi]
+                clips = [c for p in pieces for t in mpieces
+                         for c in (_clip.sh_clip(p, t),) if len(c)]
                 if clips:
                     in_rows.append(i)
                     m_rows.append(int(mi))
                     geoms.append(_pieces_wkb(clips, self.promote))
                 elif self.keep_lower:
+                    raw = None
                     for p in pieces:
-                        raw = self._boundary_contact(p, mring)
+                        for t in mpieces:
+                            raw = self._boundary_contact(p, t)
+                            if raw is not None:
+                                break
                         if raw is not None:
-                            in_rows.append(i)
-                            m_rows.append(int(mi))
-                            geoms.append(raw)
                             break
+                    if raw is not None:
+                        in_rows.append(i)
+                        m_rows.append(int(mi))
+                        geoms.append(raw)
             if with_leftover:
-                mrings = [self.method.rings[mi] for mi in cands]
+                mrings = [t for mi in cands
+                          for t in self.method.pieces[mi]]
                 left = [q for p in pieces
                         for q in _clip.difference_many(p, mrings)]
                 if left:
@@ -263,17 +282,27 @@ class LayerAlgebra:
         geoms: list[bytes] = []
         for i, in_pieces in enumerate(rings):
             cands = self.method.candidates(in_pieces)
-            mrings = [self.method.rings[mi] for mi in cands]
+            # flatten candidate features to their convex pieces; track
+            # where each FEATURE's pieces start for UnaryUnion masking
+            mrings: list[np.ndarray] = []
+            feat_start: list[int] = []
+            for mi in cands:
+                feat_start.append(len(mrings))
+                mrings.extend(self.method.pieces[mi])
             if keep == "inside":
                 pieces = []
                 for p in in_pieces:
-                    for j, mr in enumerate(mrings):
-                        piece = _clip.sh_clip(p, mr)
-                        if len(piece):
-                            # subtract earlier method polys: UnaryUnion
-                            # semantics when method features overlap
-                            pieces.extend(_clip.difference_many(
-                                piece, mrings[:j]))
+                    for fi in range(len(cands)):
+                        lo = feat_start[fi]
+                        hi = feat_start[fi + 1] if fi + 1 < len(cands)                             else len(mrings)
+                        for t in mrings[lo:hi]:
+                            piece = _clip.sh_clip(p, t)
+                            if len(piece):
+                                # subtract earlier FEATURES' pieces:
+                                # UnaryUnion semantics on overlap
+                                # (a feature's own pieces are disjoint)
+                                pieces.extend(_clip.difference_many(
+                                    piece, mrings[:lo]))
                 if not pieces:
                     continue
             else:
@@ -293,7 +322,7 @@ class LayerAlgebra:
         geoms: list[bytes] = []
         for i, in_pieces in enumerate(rings):
             cands = self.method.candidates(in_pieces)
-            mrings = [self.method.rings[mi] for mi in cands]
+            mrings = [t for mi in cands for t in self.method.pieces[mi]]
             pieces = [q for p in in_pieces
                       for q in _clip.difference_many(p, mrings)]
             if pieces:
@@ -360,7 +389,7 @@ def method_leftovers(input_ds, method_table: pa.Table, method_ref,
 
     def per_method(g: pa.Table) -> pa.Table:
         mi = int(g["method_idx"][0].as_py())
-        mring = _outer_ring(mt[geometry_col][mi].as_py())
+        mpieces = _method_pieces(mt[geometry_col][mi].as_py())
         wkbs = [w for w in g["input_wkb"].to_pylist() if w is not None]
         in_rings = [p for b in dict.fromkeys(wkbs)
                     for p in _input_pieces(b)]
@@ -368,9 +397,10 @@ def method_leftovers(input_ds, method_table: pa.Table, method_ref,
             if not _clip.is_convex(r):
                 raise NotImplementedError(
                     "union/symdifference need convex input pieces")
-        # method ring is the subject; the (convex) input pieces clip it
-        # (no candidates → passes through whole, difference vs [])
-        pieces = _clip.difference_many(mring, in_rings)
+        # method pieces are the subjects; the (convex) input pieces
+        # clip them (no candidates → passes through whole)
+        pieces = [q for t in mpieces
+                  for q in _clip.difference_many(t, in_rings)]
         n = 1 if pieces else 0
         cols, names = [], []
         for src, dst in schema_cols:

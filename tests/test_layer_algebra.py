@@ -258,3 +258,52 @@ def test_input_with_hole_and_multipart(ray_session):
     total = sum(wkb_area(g) for g in uni["geometry"])
     # area(donut)+area(parts)+area(method) - overlaps = 96+20+76-26
     assert total == pytest.approx(96 + 20 + 76 - 26, abs=1e-9)
+
+
+def test_concave_method_feature(ray_session):
+    """A concave (L-shaped) METHOD feature is ear-clipped internally:
+    intersection/erase/union areas follow the L exactly."""
+    import ray.data as rd
+
+    L = _wkb.encode_polygon([[(0, 0), (8, 0), (8, 2), (2, 2), (2, 8),
+                              (0, 8), (0, 0)]])  # area 16+12 = 28
+    inp = pa.table({"poly_id": pa.array([0], pa.int32()),
+                    "geometry": pa.array([_box_wkb(1, 1, 9, 9)],
+                                         pa.binary())})
+    meth = pa.table({"grid_id": pa.array([0], pa.int32()),
+                     "geometry": pa.array([L], pa.binary())})
+    ds = rd.from_arrow(inp)
+    inter = layer_algebra(ds, meth, "intersection").to_pandas()
+    # box(1..9)^2 ∩ L: bottom bar (1..8 x 1..2)=7 + left bar
+    # (1..2 x 2..8)=6 → 13
+    assert wkb_area(inter["geometry"].iloc[0]) == pytest.approx(13.0,
+                                                                abs=1e-9)
+    erase = layer_algebra(ds, meth, "erase").to_pandas()
+    assert wkb_area(erase["geometry"].iloc[0]) == pytest.approx(
+        64 - 13, abs=1e-9)
+    uni = layer_algebra(ds, meth, "union").to_pandas()
+    total = sum(wkb_area(g) for g in uni["geometry"])
+    assert total == pytest.approx(64 + 28 - 13, abs=1e-9)
+
+
+def test_ear_clip_exact_partition():
+    """Triangulation partitions hard concave shapes exactly (area sum
+    equal, pairwise disjoint) — incl. the reflex-vertex-on-diagonal
+    case that strict containment tests miss."""
+    from gdal_ray.geom.clip import ear_clip_triangulate
+
+    cases = [
+        np.array([(-100, -40), (20, -40), (20, -10), (-40, -10),
+                  (-40, 20), (-100, 20)], float),
+        np.array([(0, 0), (4, 1), (8, 0), (7, 4), (8, 8), (4, 7),
+                  (0, 8), (1, 4)], float),
+        np.array([(0, 0), (10, 0), (10, 10), (2, 10), (2, 4), (4, 4),
+                  (4, 8), (8, 8), (8, 2), (0, 2)], float),
+    ]
+    for poly in cases:
+        tris = ear_clip_triangulate(poly)
+        assert pieces_area(tris) == pytest.approx(abs(ring_area(poly)),
+                                                  abs=1e-9)
+        for i, a in enumerate(tris):
+            for b in tris[i + 1:]:
+                assert abs(ring_area(sh_clip(a, b))) < 1e-9
