@@ -376,7 +376,7 @@ def assemble_group_polylines(g: pa.Table) -> pa.Table:
     })
 
 
-def assemble_polylines(segments_ds, region_px: int | None = 4096):
+def assemble_polylines(segments_ds, region_px: int | None = 1024):
     """Segment soup → polylines per (z, level), DISTRIBUTED two-stage:
 
     1. segments are bucketed into square spatial REGIONS of
@@ -409,30 +409,33 @@ def assemble_polylines(segments_ds, region_px: int | None = 4096):
 
 
 def _stitch_fragments(g: pa.Table) -> pa.Table:
-    """Stage 2: chain region fragments by matching endpoints.  Closed
-    fragments pass through; open ones concatenate (reversing as
-    needed) until closed or no continuation exists."""
+    """Stage 2: chain region fragments by matching endpoints.  CLOSED
+    fragments pass through with ZERO decode work (they cannot extend —
+    at scale they are ~all of the rows); only open fragments are
+    decoded and concatenated (reversing as needed)."""
     from ..geom import wkb as _wkb
 
-    n = len(g)
+    closed_mask = g["closed"].to_numpy(zero_copy_only=False)
+    passthrough = g.filter(pa.array(closed_mask))
+    open_g = g.filter(pa.array(~closed_mask))
+    n = len(open_g)
+    if n == 0:
+        return passthrough.set_column(
+            passthrough.column_names.index("line_id"), "line_id",
+            pa.array(np.arange(len(passthrough), dtype=np.int32)))
+    g = open_g
     coords = [np.asarray(_wkb.decode(w)["coordinates"], dtype=np.float64)
               for w in g["wkb"].to_pylist()]
-    closed_in = g["closed"].to_numpy(zero_copy_only=False)
     ka = np.array([int(_quant(c[0, 0]) << np.int64(22) ^ _quant(c[0, 1]))
                    for c in coords], dtype=np.int64)
     kb = np.array([int(_quant(c[-1, 0]) << np.int64(22) ^ _quant(c[-1, 1]))
                    for c in coords], dtype=np.int64)
     adj: dict[int, list[int]] = {}
     for i in range(n):
-        if not closed_in[i]:
-            adj.setdefault(int(ka[i]), []).append(i)
-            adj.setdefault(int(kb[i]), []).append(i)
+        adj.setdefault(int(ka[i]), []).append(i)
+        adj.setdefault(int(kb[i]), []).append(i)
     used = np.zeros(n, dtype=bool)
     lines: list[np.ndarray] = []
-    for i in range(n):
-        if closed_in[i]:
-            used[i] = True
-            lines.append(coords[i])
     for i in range(n):
         if used[i]:
             continue
@@ -468,7 +471,7 @@ def _stitch_fragments(g: pa.Table) -> pa.Table:
         n_pts.append(len(c))
         closed.append(bool(np.all(np.abs(c[0] - c[-1]) < 1e-9)))
     k = len(lines)
-    return pa.table({
+    stitched = pa.table({
         "z": pa.array(np.full(k, z0, dtype=np.int32)),
         "level": pa.array(np.full(k, lv0), pa.float64()),
         "line_id": pa.array(np.arange(k, dtype=np.int32)),
@@ -476,3 +479,8 @@ def _stitch_fragments(g: pa.Table) -> pa.Table:
         "closed": pa.array(closed, pa.bool_()),
         "wkb": pa.array(out_wkb, pa.binary()),
     })
+    both = pa.concat_tables([passthrough.select(stitched.column_names),
+                             stitched])
+    return both.set_column(
+        both.column_names.index("line_id"), "line_id",
+        pa.array(np.arange(len(both), dtype=np.int32)))
