@@ -156,10 +156,11 @@ def main_scaling(sf_dir: str, low: int | None = None,
     Override with RAY_GRAFT_SCALING_LOW / _HIGH."""
     low = low or int(os.environ.get("RAY_GRAFT_SCALING_LOW", "2"))
     high = high or int(os.environ.get("RAY_GRAFT_SCALING_HIGH", "8"))
+    reps = int(os.environ.get("RAY_GRAFT_SCALING_REPS", "2"))
     # warm the pages cache once so neither run pays generation cost
     ensure_pages(sf_dir)
-    runs = {}
-    for cpus in (low, high):
+
+    def one_run(cpus: int) -> dict:
         env = dict(os.environ, GRAFT_SF_DIR=sf_dir,
                    RAY_GRAFT_CPUS=str(cpus))
         proc = subprocess.run(
@@ -170,9 +171,21 @@ def main_scaling(sf_dir: str, low: int | None = None,
             raise RuntimeError(
                 f"headline subprocess (cpus={cpus}) failed rc="
                 f"{proc.returncode}: {proc.stderr.strip()[-2000:]}")
-        runs[cpus] = json.loads(out_lines[-1])
-    tp_low = runs[low]["pages_per_sec"]
-    tp_high = runs[high]["pages_per_sec"]
+        return json.loads(out_lines[-1])
+
+    # the single-box low-cpu leg swings ±20% with page-cache/frequency
+    # state (BASELINE.md); interleave reps of both legs under matched
+    # conditions and use the mean throughput of each leg
+    samples: dict[int, list[dict]] = {low: [], high: []}
+    for _ in range(max(1, reps)):
+        for cpus in (low, high):
+            samples[cpus].append(one_run(cpus))
+
+    def mean_tp(cpus):
+        return sum(r["pages_per_sec"] for r in samples[cpus]) \
+            / len(samples[cpus])
+
+    tp_low, tp_high = mean_tp(low), mean_tp(high)
     eff = (tp_high / tp_low) / (high / low)
     return {
         "metric": "scaling efficiency (pages/sec at "
@@ -180,10 +193,15 @@ def main_scaling(sf_dir: str, low: int | None = None,
         "value": round(eff, 3),
         "unit": "efficiency",
         "sf": sf_dir,
-        "throughput": {str(low): tp_low, str(high): tp_high},
-        "wall_sec": {str(low): runs[low]["value"],
-                     str(high): runs[high]["value"]},
-        "pages": runs[high]["pages"],
+        "reps": max(1, reps),
+        "throughput": {str(low): round(tp_low, 1),
+                       str(high): round(tp_high, 1)},
+        "throughput_samples": {
+            str(c): [r["pages_per_sec"] for r in samples[c]]
+            for c in (low, high)},
+        "wall_sec": {str(low): samples[low][-1]["value"],
+                     str(high): samples[high][-1]["value"]},
+        "pages": samples[high][-1]["pages"],
     }
 
 
