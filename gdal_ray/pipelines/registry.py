@@ -497,6 +497,23 @@ def _external(ds, args):
     return out
 
 
+@register("color_map")
+def _color_map(ds, args):
+    """uint16 tile table → RGBA PNG tiles through a color ramp
+    (gdal raster color-map + nodata-to-alpha)."""
+    from ..stages.tiling import colormap_tiles
+
+    stops = [(float(f), tuple(int(v) for v in rgb))
+             for f, rgb in args.get(
+                 "stops", [[0.0, [0, 0, 64]], [0.5, [32, 160, 64]],
+                           [1.0, [255, 255, 192]]])]
+    return colormap_tiles(ds, stops,
+                          nodata_alpha=bool(args.get("nodata_alpha",
+                                                     True)),
+                          vmin=float(args.get("vmin", 0.0)),
+                          vmax=args.get("vmax"))
+
+
 @register("warp")
 def _warp(ds, args):
     """Mercator tile table → plate-carrée tile table

@@ -321,3 +321,60 @@ def render_tiles(ds, zoom: int, convention: str = "xyz",
 
     return parts.groupby("bucket").map_groups(finish,
                                               batch_format="pyarrow")
+
+
+def encode_png_rgba8(rgba: "np.ndarray") -> bytes:
+    """Dependency-free 8-bit RGBA PNG encoder (stdlib zlib only).
+    Input: (256, 256, 4) uint8 array."""
+    h, w = rgba.shape[0], rgba.shape[1]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        c = struct.pack(">I", len(data)) + typ + data
+        return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)  # 8-bit RGBA
+    body = rgba.astype(np.uint8).tobytes()
+    row_len = w * 4
+    raw = b"".join(
+        b"\x00" + body[i * row_len:(i + 1) * row_len] for i in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def colormap_tiles(tiles_ds, stops, nodata_alpha: bool = True,
+                   vmin: float = 0.0, vmax: float | None = None):
+    """`gdal raster color-map` + `nodata-to-alpha`
+    (apps/gdalalg_raster_color_map.cpp semantics): map the uint16 count
+    grid through a linear color ramp into RGBA tiles.
+
+    ``stops``: list of (value_fraction 0..1, (r, g, b)) gradient stops;
+    values are normalized by (vmin, vmax) (vmax default = per-tile max,
+    pass an absolute max for a globally consistent ramp).  Zero pixels
+    get alpha 0 when ``nodata_alpha`` (the nodata-to-alpha step).
+    Output rows: (z, x, y, png) ready for `write_tile_directory`-style
+    sinks."""
+    stops = sorted(stops)
+    fr = np.array([s[0] for s in stops], dtype=np.float64)
+    cols = np.array([s[1] for s in stops], dtype=np.float64)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        pngs = []
+        for blob in batch["raster"].to_pylist():
+            g = np.frombuffer(zlib.decompress(blob), dtype=">u2") \
+                .reshape(TILE_SIZE, TILE_SIZE).astype(np.float64)
+            top = vmax if vmax is not None else max(float(g.max()), 1.0)
+            t = np.clip((g - vmin) / max(top - vmin, 1e-9), 0.0, 1.0)
+            rgba = np.empty((TILE_SIZE, TILE_SIZE, 4), dtype=np.uint8)
+            for c in range(3):
+                rgba[:, :, c] = np.interp(t, fr, cols[:, c]) \
+                    .round().astype(np.uint8)
+            rgba[:, :, 3] = 255
+            if nodata_alpha:
+                rgba[:, :, 3] = np.where(g > 0, 255, 0)
+            pngs.append(encode_png_rgba8(rgba))
+        return pa.table({
+            "z": batch["z"], "x": batch["x"], "y": batch["y"],
+            "png": pa.array(pngs, pa.binary()),
+        })
+
+    return tiles_ds.map_batches(kernel, batch_format="pyarrow")

@@ -511,3 +511,29 @@ def test_ivf_topk_recall_vs_bruteforce(ray_session):
         a = set(approx[approx["query_id"] == qid]["vec_id"])
         recall += len(e & a) / len(e)
     assert recall / 5 >= 0.8
+
+
+def test_colormap_rgba_tiles(ray_session):
+    import struct
+    import zlib as _z
+
+    ds, _ = _points_ds(ray_session, n=300)
+    tiles = tiling.render_tiles(ds, zoom=2)
+    out = tiling.colormap_tiles(
+        tiles, stops=[(0.0, (0, 0, 255)), (1.0, (255, 0, 0))]).to_pandas()
+    png = out["png"].iloc[0]
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # IHDR: 256x256, bit depth 8, color type 6 (RGBA)
+    w, h, depth, ctype = struct.unpack(">IIBB", png[16:26])
+    assert (w, h, depth, ctype) == (256, 256, 8, 6)
+    # decode the IDAT and check nodata alpha / colored pixels
+    idat_len = struct.unpack(">I", png[33:37])[0]
+    raw = _z.decompress(png[41:41 + idat_len])
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(256, 4 * 256 + 1)
+    rgba = rows[:, 1:].reshape(256, 256, 4)
+    grid = np.frombuffer(_z.decompress(out.merge(
+        tiling.render_tiles(ds, zoom=2).to_pandas(),
+        on=["z", "x", "y"]).iloc[0]["raster"]), dtype=">u2") \
+        .reshape(256, 256)
+    assert (rgba[grid == 0, 3] == 0).all()       # nodata → alpha 0
+    assert (rgba[grid > 0, 3] == 255).all()
