@@ -1,0 +1,103 @@
+"""Property-based kernel tests (hypothesis) — algebraic invariants that
+hold for ALL inputs, complementing the fixed goldens."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gdal_ray.geom import tiles as _tiles
+from gdal_ray.geom.clip import (
+    convex_difference_pieces,
+    ear_clip_triangulate,
+    pieces_area,
+    ring_area,
+    sh_clip,
+)
+
+finite_lon = st.floats(min_value=-179.999, max_value=179.999,
+                       allow_nan=False)
+finite_lat = st.floats(min_value=-84.9, max_value=84.9, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(finite_lon, finite_lat, st.integers(min_value=0, max_value=14))
+def test_tile_pixel_consistent_with_tile(lon, lat, z):
+    """tile_pixel's tile always equals lonlat_to_tile's tile — the
+    invariant whose violation was round 2's HIGH bug."""
+    tx1, ty1 = _tiles.lonlat_to_tile(lon, lat, z)
+    tx2, ty2, col, row = _tiles.tile_pixel(lon, lat, z)
+    assert int(tx1) == int(tx2) and int(ty1) == int(ty2)
+    assert 0 <= int(col) < 256 and 0 <= int(row) < 256
+
+
+@settings(max_examples=200, deadline=None)
+@given(finite_lon, finite_lat, st.integers(min_value=1, max_value=14))
+def test_parent_tile_halves_indices(lon, lat, z):
+    tx, ty = _tiles.lonlat_to_tile(lon, lat, z)
+    px, py = _tiles.parent_tile(tx, ty, z)
+    tx1, ty1 = _tiles.lonlat_to_tile(lon, lat, z - 1)
+    assert int(px) == int(tx1) and int(py) == int(ty1)
+
+
+def _rand_box(draw):
+    x0 = draw(st.floats(min_value=-50, max_value=40, allow_nan=False))
+    y0 = draw(st.floats(min_value=-50, max_value=40, allow_nan=False))
+    w = draw(st.floats(min_value=0.5, max_value=30, allow_nan=False))
+    h = draw(st.floats(min_value=0.5, max_value=30, allow_nan=False))
+    return np.array([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                     (x0, y0 + h)], float)
+
+
+@st.composite
+def box_pairs(draw):
+    return _rand_box(draw), _rand_box(draw)
+
+
+@settings(max_examples=200, deadline=None)
+@given(box_pairs())
+def test_clip_partition_conservation(pair):
+    """area(A ∩ B) + area(A \\ B) == area(A) for random rectangles —
+    the partition property the whole layer algebra rests on."""
+    A, B = pair
+    inter = abs(ring_area(sh_clip(A, B)))
+    diff = pieces_area(convex_difference_pieces(A, B))
+    assert abs(inter + diff - abs(ring_area(A))) < 1e-6
+
+
+@st.composite
+def star_polygons(draw):
+    """Random star-shaped (simple, usually concave) polygon around the
+    origin: vertices at increasing angles with random radii."""
+    n = draw(st.integers(min_value=4, max_value=12))
+    radii = [draw(st.floats(min_value=1.0, max_value=10.0,
+                            allow_nan=False)) for _ in range(n)]
+    base = np.sort(np.linspace(0, 2 * np.pi, n, endpoint=False))
+    pts = np.column_stack([radii * np.cos(base), radii * np.sin(base)])
+    return pts
+
+
+@settings(max_examples=100, deadline=None)
+@given(star_polygons())
+def test_ear_clip_partitions_star_polygons(poly):
+    """Triangulation of a random star polygon partitions it: area sum
+    matches and triangles are pairwise disjoint."""
+    tris = ear_clip_triangulate(poly)
+    target = abs(ring_area(poly))
+    assert abs(pieces_area(tris) - target) < 1e-6 * max(target, 1.0)
+    for i, a in enumerate(tris):
+        for b in tris[i + 1:]:
+            assert abs(ring_area(sh_clip(a, b))) < 1e-6
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(finite_lon, finite_lat), min_size=1,
+                max_size=50), st.integers(min_value=2, max_value=10))
+def test_render_pixel_identity(points, z):
+    """Every point's (tile, pixel) at z equals its tile at z+8 — the
+    identity the raster oracles rely on."""
+    lon = np.array([p[0] for p in points])
+    lat = np.array([p[1] for p in points])
+    tx, ty, col, row = _tiles.tile_pixel(lon, lat, z)
+    gx8, gy8 = _tiles.lonlat_to_tile(lon, lat, z + 8)
+    np.testing.assert_array_equal(tx * 256 + col, gx8)
+    np.testing.assert_array_equal(ty * 256 + row, gy8)
