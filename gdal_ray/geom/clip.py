@@ -32,9 +32,14 @@ EPS = 1e-9
 
 
 def _open_ring(ring: np.ndarray) -> np.ndarray:
-    """Drop a repeated closing vertex if present."""
+    """Drop a repeated closing vertex if present.  The comparison must
+    be (near-)exact: np.allclose's default rtol=1e-5 swallowed a REAL
+    vertex of any sliver thinner than ~1e-5·|coord| and halved its
+    area (found by hypothesis); closing vertices are written as exact
+    copies, so a tight absolute tolerance is correct."""
     ring = np.asarray(ring, dtype=np.float64)
-    if len(ring) >= 2 and np.allclose(ring[0], ring[-1]):
+    if len(ring) >= 2 and bool(np.all(np.abs(ring[0] - ring[-1])
+                                      <= 1e-12)):
         ring = ring[:-1]
     return ring
 
