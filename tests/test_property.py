@@ -101,3 +101,71 @@ def test_render_pixel_identity(points, z):
     gx8, gy8 = _tiles.lonlat_to_tile(lon, lat, z + 8)
     np.testing.assert_array_equal(tx * 256 + col, gx8)
     np.testing.assert_array_equal(ty * 256 + row, gy8)
+
+
+# --- WHERE-compiler vs DuckDB on randomized expressions -------------------
+
+
+@st.composite
+def where_clauses(draw):
+    """Random WHERE over columns a (int), b (float), s (string)."""
+    def atom():
+        kind = draw(st.sampled_from(
+            ["cmp_a", "cmp_b", "in_a", "between_a", "like_s", "null_b"]))
+        if kind == "cmp_a":
+            op = draw(st.sampled_from(["=", "<>", "<", ">", "<=", ">="]))
+            return f"a {op} {draw(st.integers(0, 9))}"
+        if kind == "cmp_b":
+            op = draw(st.sampled_from(["<", ">", "<=", ">="]))
+            return f"b {op} {draw(st.integers(0, 9))}.5"
+        if kind == "in_a":
+            vals = draw(st.lists(st.integers(0, 9), min_size=1,
+                                 max_size=4))
+            return f"a IN ({', '.join(map(str, vals))})"
+        if kind == "between_a":
+            lo = draw(st.integers(0, 5))
+            return f"a BETWEEN {lo} AND {lo + draw(st.integers(0, 4))}"
+        if kind == "like_s":
+            pat = draw(st.sampled_from(["x%", "%y", "%z%", "xy_"]))
+            return f"s LIKE '{pat}'"
+        return "b IS NOT NULL"
+
+    expr = atom()
+    for _ in range(draw(st.integers(0, 3))):
+        joiner = draw(st.sampled_from(["AND", "OR"]))
+        rhs = atom()
+        if draw(st.booleans()):
+            rhs = f"NOT ({rhs})"
+        expr = f"({expr}) {joiner} {rhs}"
+    return expr
+
+
+@settings(max_examples=150, deadline=None)
+@given(where_clauses(), st.integers(0, 2**31 - 1))
+def test_where_compiler_matches_duckdb(clause, seed):
+    """functions.expr.compile_where ≡ DuckDB on the same WHERE string
+    over a random table — the OGR-SQL surface's general oracle."""
+    import duckdb
+    import pyarrow.dataset as pads
+
+    from gdal_ray.functions.expr import compile_where
+
+    rs = np.random.RandomState(seed)
+    n = 64
+    import pyarrow as pa
+    # NULLs (not NaN): DuckDB's total order makes NaN > everything
+    # while Arrow follows IEEE — only SQL NULL semantics are shared
+    t = pa.table({
+        "rid": pa.array(np.arange(n, dtype=np.int64)),
+        "a": pa.array(rs.randint(0, 10, n)),
+        "b": pa.array(rs.uniform(0, 10, n),
+                      mask=rs.random_sample(n) < 0.1),
+        "s": pa.array(rs.choice(["xyz", "xya", "zzy", "abc", "xy"], n)),
+    })
+    got = pads.dataset(t).to_table(
+        filter=compile_where(clause)).column("rid").to_pylist()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = [r[0] for r in con.execute(
+        f"SELECT rid FROM t WHERE {clause} ORDER BY rid").fetchall()]
+    assert sorted(got) == want, clause
