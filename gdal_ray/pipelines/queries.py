@@ -981,6 +981,30 @@ def q_geom_buffer_simplify(sf_dir: str):
         .select_columns(["event_id", "area"])
 
 
+def q_geom_buffer_area(sf_dir: str):
+    """Point-buffer area: the buffer is a regular 4·quadsegs-gon, so
+    its area has the closed form (n/2)·r²·sin(2π/n) — the oracle
+    states that form directly (public geometry, independent of the
+    engine's construction)."""
+    from ..functions.geotag import make_point_batch
+    from ..stages import geometry as _geom
+
+    pts = event_points(sf_dir, columns=("event_id",)).limit(100)
+    with_geom = pts.map_batches(
+        lambda b: make_point_batch(b, "lon", "lat"), batch_format="pyarrow")
+    buf = with_geom.map_batches(
+        lambda b: _geom.buffer_batch(b, distance=1.0), batch_format="pyarrow")
+    out = buf.map_batches(
+        lambda b: _geom.area_batch(b, out="area"), batch_format="pyarrow")
+    return out.map_batches(
+        lambda b: pa.table({
+            "event_id": b["event_id"],
+            "area_q8": pa.array(
+                [_q8(v) for v in b["area"].to_numpy(zero_copy_only=False)],
+                pa.int64()),
+        }), batch_format="pyarrow")
+
+
 # --- scalar functions / SQL surface -----------------------------------------
 
 
@@ -1633,6 +1657,7 @@ QUERIES = {
     "grid_linear": q_grid_linear,
     "poly_dissolve": q_poly_dissolve,
     "poly_concave": q_poly_concave,
+    "geom_buffer_area": q_geom_buffer_area,
     "raster_warp": q_raster_warp,
     "raster_proximity": q_raster_proximity,
     "raster_fillnodata": q_raster_fillnodata,
@@ -2592,6 +2617,15 @@ ORACLES["media_audio_windows"] = """
     SELECT url, CAST(i AS INTEGER) AS window_idx,
            CAST(least(64, L - i * 32) AS BIGINT) AS n_bytes
     FROM w
+"""
+
+# buffer area: regular 120-gon closed form (n/2)·r²·sin(2π/n)
+ORACLES["geom_buffer_area"] = f"""
+    WITH pts AS ({_PTS_SQL})
+    SELECT event_id,
+           CAST(round(60.0 * sin(pi() / 60.0) * 100000000, 0) AS BIGINT)
+               AS area_q8
+    FROM pts ORDER BY event_id LIMIT 100
 """
 
 # concave method: the L decomposes into two disjoint rects in SQL
