@@ -361,6 +361,38 @@ def q_zonal_stats(sf_dir: str):
                             "n": b["n"]}), batch_format="pyarrow")
 
 
+def q_zonal_weighted(sf_dir: str):
+    """Weighted zonal statistics (the weighted_* set of
+    alg/zonal.cpp:661-697 / alg/raster_stats.h, there weighted by pixel
+    coverage fraction — here by a deterministic per-feature weight):
+    per zone, weighted sum and weighted mean."""
+    joined = _zone_join(sf_dir, "intersection")
+
+    def add_w(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        w = (eid % 7 + 1).astype(np.float64)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "poly_id": b["poly_id"],
+            "w": pa.array(w), "wv": pa.array(w * v),
+        })
+
+    pre = joined.select_columns(["poly_id", "event_id", "value"]) \
+        .map_batches(add_w, batch_format="pyarrow")
+    out = partial_final_agg(pre, "poly_id",
+                            [("w", "sum", "w_sum"),
+                             ("wv", "sum", "wv_sum")])
+    return out.map_batches(
+        lambda b: pa.table({
+            "poly_id": b["poly_id"],
+            "wsum_c": pc.cast(pc.round(pc.multiply(b["w_sum"], 100.0),
+                                       0), pa.int64()),
+            "wvsum_c": pc.cast(pc.round(pc.multiply(b["wv_sum"], 100.0),
+                                        0), pa.int64()),
+            "wmean": pc.round(pc.divide(b["wv_sum"], b["w_sum"]), 6),
+        }), batch_format="pyarrow")
+
+
 def q_zonal_extended(sf_dir: str):
     """Extended zonal stats: median / minority / majority / variety
     (alg/zonal.cpp:661-697) via the hash-bucket non-decomposable-agg
@@ -1658,6 +1690,7 @@ QUERIES = {
     "poly_dissolve": q_poly_dissolve,
     "poly_concave": q_poly_concave,
     "geom_buffer_area": q_geom_buffer_area,
+    "zonal_weighted": q_zonal_weighted,
     "raster_warp": q_raster_warp,
     "raster_proximity": q_raster_proximity,
     "raster_fillnodata": q_raster_fillnodata,
@@ -2618,6 +2651,18 @@ ORACLES["media_audio_windows"] = """
            CAST(least(64, L - i * 32) AS BIGINT) AS n_bytes
     FROM w
 """
+
+ORACLES["zonal_weighted"] = f"""
+    WITH {{ZONES}}
+    SELECT poly_id,
+           CAST(round(sum(event_id % 7 + 1) * 100, 0) AS BIGINT)
+               AS wsum_c,
+           CAST(round(sum((event_id % 7 + 1) * value) * 100, 0)
+                AS BIGINT) AS wvsum_c,
+           round(sum((event_id % 7 + 1) * value)
+                 / sum(event_id % 7 + 1), 6) AS wmean
+    FROM matches GROUP BY 1
+""".replace("{ZONES}", _ZONES_SQL)
 
 # buffer area: regular 120-gon closed form (n/2)·r²·sin(2π/n)
 ORACLES["geom_buffer_area"] = f"""
