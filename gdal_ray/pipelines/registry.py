@@ -31,6 +31,8 @@ from typing import Any
 
 import pyarrow as pa
 
+from ..stages._pool import autoscale as _autoscale
+
 REGISTRY: dict[str, Callable] = {}
 
 
@@ -138,7 +140,7 @@ def _reproject(ds, args):
             return out.append_column(ox + "_ok", pa.array(ok, pa.bool_()))
 
     return ds.map_batches(Reproject,
-                          concurrency=(1, int(args.get("concurrency", 4))),
+                          concurrency=_autoscale(args.get("concurrency")),
                           batch_format="pyarrow")
 
 
@@ -213,7 +215,7 @@ def _spatial_join(ds, args):
         ds, _load_polygons(args),
         operation=args.get("operation", "intersection"),
         predicate=args.get("predicate", "intersects"),
-        concurrency=int(args.get("concurrency", 4)))
+        concurrency=args.get("concurrency"))
 
 
 @register("dedup")
@@ -234,7 +236,7 @@ def _knn(ds, args):
     refs = pq.read_table(args["refs"])
     kw = {k: args[k] for k in ("radius", "value_col", "max_points",
                                "min_points", "power") if k in args}
-    return knn_lookup(ds, refs, concurrency=int(args.get("concurrency", 4)),
+    return knn_lookup(ds, refs, concurrency=args.get("concurrency"),
                       **kw)
 
 
@@ -556,7 +558,7 @@ def _media_decode(ds, args):
     from ..stages.multimodal import decode_stage
 
     return decode_stage(ds, media_col=args.get("col", "media"),
-                        concurrency=int(args.get("concurrency", 4)),
+                        concurrency=args.get("concurrency"),
                         batch_size=int(args.get("batch_size", 64)))
 
 
@@ -565,7 +567,7 @@ def _media_features(ds, args):
     from ..stages.multimodal import feature_stage
 
     return feature_stage(ds, dim=int(args.get("dim", 64)),
-                         concurrency=int(args.get("concurrency", 4)))
+                         concurrency=args.get("concurrency"))
 
 
 @register("media_frame_sample")
