@@ -1414,6 +1414,23 @@ def q_poly_dissolve(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_band_stats(sf_dir: str):
+    """GDALRasterBand::ComputeStatistics over the z3 count mosaic:
+    per-tile partials combined into one global stats row."""
+    from ..stages import raster as _raster
+
+    st = _raster.band_stats(_rendered_tiles(sf_dir, 3))
+    return pa.table({
+        "sum": pa.array([st["sum"]], pa.int64()),
+        "min": pa.array([st["min"]], pa.int64()),
+        "max": pa.array([st["max"]], pa.int64()),
+        "n_pixels": pa.array([st["n_pixels"]], pa.int64()),
+        "n_tiles": pa.array([st["n_tiles"]], pa.int64()),
+        "nonzero": pa.array([st["nonzero"]], pa.int64()),
+        "mean": pa.array([round(st["mean"], 9)], pa.float64()),
+    })
+
+
 def q_tile_checksum(sf_dir: str):
     """GDALChecksumImage per z3 tile (alg/gdalchecksum.cpp:48) — the
     reference's golden-test oracle for every tile test."""
@@ -1695,6 +1712,7 @@ QUERIES = {
     "raster_proximity": q_raster_proximity,
     "raster_fillnodata": q_raster_fillnodata,
     "raster_sieve": q_raster_sieve,
+    "band_stats": q_band_stats,
     "tile_checksum": q_tile_checksum,
     "band_histogram": q_band_histogram,
     "poly_intersection": q_poly_intersection,
@@ -1733,6 +1751,21 @@ _ALG_M_LEFT_SQL = """
 """
 
 _RASTER2_ORACLES = {
+    "band_stats": """
+        WITH {PIX},
+        pix AS (SELECT gx, gy, count(*) AS n FROM t GROUP BY 1, 2),
+        tiles AS (SELECT count(DISTINCT [gx // 256, gy // 256]) AS nt
+                  FROM t)
+        SELECT CAST((SELECT count(*) FROM t) AS BIGINT) AS sum,
+               CAST(0 AS BIGINT) AS min,
+               CAST((SELECT max(n) FROM pix) AS BIGINT) AS max,
+               CAST(tiles.nt * 65536 AS BIGINT) AS n_pixels,
+               CAST(tiles.nt AS BIGINT) AS n_tiles,
+               CAST((SELECT count(*) FROM pix) AS BIGINT) AS nonzero,
+               round(CAST((SELECT count(*) FROM t) AS DOUBLE)
+                     / (tiles.nt * 65536), 9) AS mean
+        FROM tiles
+    """,
     "grid_metrics": """
         WITH nodes AS (
           SELECT (gy.i * 24 + gx.i) AS node_id,
