@@ -78,9 +78,38 @@ def flagship(paths, poly_table: pa.Table | None = None,
     if dedup:
         joined_out = dedup_exact(joined, key=["url", "poly_id"],
                                  order_col="warc_ts")
-        narrow = dedup_exact(narrow, key=["url", "poly_id"],
-                             order_col="warc_ts")
+        # tile branch: duplicates carry byte-identical text → identical
+        # geotag → identical (lat, lon, poly), so ANY representative
+        # yields the same tile counts — dedup on a 128-bit url hash
+        # (16 B) instead of shuffling the url string (~40 B) and skip
+        # the order column entirely.  Collision odds at 10^12 urls are
+        # ~(10^12)²/2^129 ≈ 1e-15 — far below the job's own
+        # hardware-error floor.  The joined branch keeps exact strings.
+        narrow = dedup_exact(_hash_url_narrow(narrow),
+                             key=["u_h", "u_l", "poly_id"],
+                             order_col=None)
     else:
         joined_out = joined
     tile_ds = _tiling.tile_counts(narrow, zooms)
     return joined_out, tile_ds
+
+
+def _hash_url_narrow(ds):
+    """(url, warc_ts, lat, lon, poly_id…) → (u_h, u_l, lat, lon,
+    poly_id): two independent 64-bit siphashes of url replace the
+    string before the dedup exchange."""
+    import pandas as pd
+    import pyarrow as _pa
+
+    def kernel(b: _pa.Table) -> _pa.Table:
+        s = b["url"].to_pandas()
+        h1 = pd.util.hash_pandas_object(s, index=False,
+                                        hash_key="gdal_ray_url_a_0")
+        h2 = pd.util.hash_pandas_object(s, index=False,
+                                        hash_key="gdal_ray_url_b_0")
+        return _pa.table({
+            "u_h": _pa.array(h1.values), "u_l": _pa.array(h2.values),
+            "lat": b["lat"], "lon": b["lon"], "poly_id": b["poly_id"],
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
