@@ -156,7 +156,7 @@ def main_scaling(sf_dir: str, low: int | None = None,
     Override with RAY_GRAFT_SCALING_LOW / _HIGH."""
     low = low or int(os.environ.get("RAY_GRAFT_SCALING_LOW", "2"))
     high = high or int(os.environ.get("RAY_GRAFT_SCALING_HIGH", "8"))
-    reps = int(os.environ.get("RAY_GRAFT_SCALING_REPS", "2"))
+    reps = int(os.environ.get("RAY_GRAFT_SCALING_REPS", "3"))
     # warm the pages cache once so neither run pays generation cost
     ensure_pages(sf_dir)
 
@@ -173,24 +173,31 @@ def main_scaling(sf_dir: str, low: int | None = None,
                 f"{proc.returncode}: {proc.stderr.strip()[-2000:]}")
         return json.loads(out_lines[-1])
 
-    # the single-box low-cpu leg swings ±20% with page-cache/frequency
-    # state (BASELINE.md); interleave reps of both legs under matched
-    # conditions and use the mean throughput of each leg
+    # host-level noise swings per-leg throughput ±20-35% between
+    # identical runs (BASELINE.md records the evidence); interleave
+    # reps of both legs under matched conditions and use the MEDIAN
+    # throughput per leg — robust to a single degraded-host sample
     samples: dict[int, list[dict]] = {low: [], high: []}
     for _ in range(max(1, reps)):
         for cpus in (low, high):
             samples[cpus].append(one_run(cpus))
 
-    def mean_tp(cpus):
-        return sum(r["pages_per_sec"] for r in samples[cpus]) \
-            / len(samples[cpus])
+    def median_tp(cpus):
+        v = sorted(r["pages_per_sec"] for r in samples[cpus])
+        m = len(v) // 2
+        return v[m] if len(v) % 2 else (v[m - 1] + v[m]) / 2
 
-    tp_low, tp_high = mean_tp(low), mean_tp(high)
+    tp_low, tp_high = median_tp(low), median_tp(high)
     eff = (tp_high / tp_low) / (high / low)
+    # best-sample pair: pairs the least-host-contended run of each leg
+    # — the peak-capability reference when the VM is being stolen from
+    best_low = max(r["pages_per_sec"] for r in samples[low])
+    best_high = max(r["pages_per_sec"] for r in samples[high])
     return {
         "metric": "scaling efficiency (pages/sec at "
                   f"{low} vs {high} cpus)",
         "value": round(eff, 3),
+        "value_best": round((best_high / best_low) / (high / low), 3),
         "unit": "efficiency",
         "sf": sf_dir,
         "reps": max(1, reps),
