@@ -681,6 +681,20 @@ def q_media_audio_windows(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_docs_simhash_pairs(sf_dir: str):
+    """SimHash banded near-dup pairs (16-bit Hamming bands +
+    in-bucket exact popcount verify; rows-only — crc-based hashing has
+    no SQL analog; band/verify goldens in tests/test_stages.py)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = _dedup.simhash_near_dup_pairs(ds, "doc_id", "text",
+                                        max_hamming=8)
+    return out.map_batches(
+        lambda b: pa.table({"key_a": b["key_a"], "key_b": b["key_b"],
+                            "hamming": b["hamming"]}),
+        batch_format="pyarrow")
+
+
 def q_docs_simhash(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
@@ -1678,6 +1692,7 @@ QUERIES = {
     "docs_near_dedup": q_docs_near_dedup,
     "media_audio_windows": q_media_audio_windows,
     "docs_simhash": q_docs_simhash,
+    "docs_simhash_pairs": q_docs_simhash_pairs,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_near_dup": q_emb_near_dup,

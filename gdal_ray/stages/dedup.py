@@ -577,3 +577,70 @@ class _UnionFindLocal:
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             self.parent[hi] = lo
+
+
+def simhash_near_dup_pairs(ds, key_col: str = "doc_id",
+                           text_col: str = "text", shingle_k: int = 2,
+                           max_hamming: int = 3,
+                           n_bands: int = 4, max_bucket: int = 64,
+                           n_buckets: int | None = None):
+    """SimHash near-dup: 64-bit fingerprints, banded into ``n_bands``
+    16-bit segments (two fingerprints within Hamming distance
+    n_bands-1 share at least one band — the pigeonhole guarantee), one
+    bucket exchange per the MinHash plan, exact Hamming verify
+    in-bucket, `dedup_pairs` for multi-band repeats."""
+    from ._pool import cluster_cpus
+    B = n_buckets or max(16, cluster_cpus() * 4)
+    assert 64 % n_bands == 0
+    bits = 64 // n_bands
+
+    hasher = SimHasher(text_col=text_col, shingle_k=shingle_k)
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        t = hasher(b)
+        h = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        segs, ks, hs = [], [], []
+        mask = np.uint64((1 << bits) - 1)
+        for bi in range(n_bands):
+            code = (h >> np.uint64(bi * bits)) & mask
+            with np.errstate(over="ignore"):
+                segs.append(code * _GOLDEN + np.uint64(bi))
+            ks.append(keys)
+            hs.append(h)
+        seg = np.concatenate(segs)
+        return pa.table({
+            key_col: pa.array(np.concatenate(ks)),
+            "seg": pa.array(seg, pa.uint64()),
+            "h": pa.array(np.concatenate(hs), pa.uint64()),
+            _BUCKET_COL: pa.array((seg % np.uint64(B)).astype(np.int32)),
+        })
+
+    segged = ds.map_batches(band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        seg = g["seg"].to_numpy(zero_copy_only=False)
+        key = g[key_col].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((key, seg))
+        seg, key, h = seg[order], key[order], h[order]
+        ia, ib = _emit_segment_pairs(seg, [key], max_bucket)
+        kt = g[key_col].type
+        if len(ia) == 0:
+            return pa.table({"key_a": pa.array([], kt),
+                             "key_b": pa.array([], kt),
+                             "hamming": pa.array([], pa.int32())})
+        x = h[ia] ^ h[ib]
+        # vectorized popcount via the uint8 view
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                            axis=1).sum(axis=1).astype(np.int32)
+        m = ham <= max_hamming
+        return pa.table({
+            "key_a": pa.array(key[ia[m]], type=kt),
+            "key_b": pa.array(key[ib[m]], type=kt),
+            "hamming": pa.array(ham[m], pa.int32()),
+        })
+
+    pairs = segged.groupby(_BUCKET_COL).map_groups(bucket_pairs,
+                                                   batch_format="pyarrow")
+    return dedup_pairs(pairs)

@@ -537,3 +537,25 @@ def test_colormap_rgba_tiles(ray_session):
         .reshape(256, 256)
     assert (rgba[grid == 0, 3] == 0).all()       # nodata → alpha 0
     assert (rgba[grid > 0, 3] == 255).all()
+
+
+def test_simhash_near_dup_pairs(ray_session):
+    """Identical docs pair at Hamming 0; near docs (one token swap)
+    pair within the threshold; unrelated docs don't pair."""
+    import ray.data as rd
+
+    from gdal_ray.stages.dedup import simhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    near = base.replace("lazy", "sleepy")
+    far = "completely different material on distributed arrow engines " * 6
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array([base, base, near, far])})
+    out = simhash_near_dup_pairs(rd.from_arrow(t).repartition(2),
+                                 max_hamming=12).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(out["key_a"], out["key_b"])}
+    assert (1, 2) in pairs
+    ham12 = int(out[(out["key_a"] == 1) & (out["key_b"] == 2)]
+                ["hamming"].iloc[0])
+    assert ham12 == 0
+    assert not any(4 in p for p in pairs)
