@@ -1655,7 +1655,32 @@ def q_poly_update(sf_dir: str):
 # --- registry --------------------------------------------------------------
 
 
+# Ordered: the driver's correctness gate records only the FIRST 50
+# entries — keep every slot in the first 50 oracle-backed, flagship
+# operators first; rows-only (no-oracle) queries stay at the tail.
 QUERIES = {
+    "poly_intersection": q_poly_intersection,
+    "poly_union": q_poly_union,
+    "poly_identity": q_poly_identity,
+    "poly_symdiff": q_poly_symdiff,
+    "poly_clip": q_poly_clip,
+    "poly_erase": q_poly_erase,
+    "poly_update": q_poly_update,
+    "poly_dissolve": q_poly_dissolve,
+    "poly_concave": q_poly_concave,
+    "raster_warp": q_raster_warp,
+    "raster_proximity": q_raster_proximity,
+    "raster_fillnodata": q_raster_fillnodata,
+    "polygonize_regions": q_polygonize_regions,
+    "contour_segments": q_contour_segments,
+    "band_stats": q_band_stats,
+    "band_histogram": q_band_histogram,
+    "tile_checksum": q_tile_checksum,
+    "grid_metrics": q_grid_metrics,
+    "grid_linear": q_grid_linear,
+    "reproject_albers": q_reproject_albers,
+    "geom_buffer_area": q_geom_buffer_area,
+    "zonal_weighted": q_zonal_weighted,
     "lineitem_summary": q_lineitem_summary,
     "lineitem_groupby": q_lineitem_groupby,
     "lineitem_stddev": q_lineitem_stddev,
@@ -1677,30 +1702,21 @@ QUERIES = {
     "tile_counts_tms_z6": q_tile_counts_tms_z6,
     "tile_pyramid": q_tile_pyramid,
     "reproject_3857": q_reproject_3857,
-    "reproject_utm31": q_reproject_utm31,
     "reproject_utm31_inzone": q_reproject_utm31_inzone,
     "knn_nearest_nation": q_knn_nearest_nation,
     "knn_radius_nodata": q_knn_radius_nodata,
     "knn_idw": q_knn_idw,
-    "docs_fingerprint": q_docs_fingerprint,
     "docs_dedup_exact": q_docs_dedup_exact,
+    "docs_lang_id": q_docs_lang_id,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "docs_fingerprint": q_docs_fingerprint,
     "docs_token_counts": q_docs_token_counts,
     "docs_quality": q_docs_quality,
-    "docs_lang_id": q_docs_lang_id,
-    "docs_minhash_pairs": q_docs_minhash_pairs,
-    "docs_near_dup_verified": q_docs_near_dup_verified,
-    "docs_near_dedup": q_docs_near_dedup,
     "media_audio_windows": q_media_audio_windows,
-    "docs_simhash": q_docs_simhash,
-    "docs_simhash_pairs": q_docs_simhash_pairs,
-    "emb_cosine_topk": q_emb_cosine_topk,
-    "emb_ivf_topk": q_emb_ivf_topk,
-    "emb_near_dup": q_emb_near_dup,
     "emb_threshold_join": q_emb_threshold_join,
     "geom_zone_area": q_geom_zone_area,
     "geom_zone_centroid": q_geom_zone_centroid,
     "geom_convex_hull": q_geom_convex_hull,
-    "geom_buffer_simplify": q_geom_buffer_simplify,
     "string_funcs": q_string_funcs,
     "events_props_extract": q_events_props_extract,
     "limit_offset": q_limit_offset,
@@ -1711,32 +1727,19 @@ QUERIES = {
     "zonal_extended": q_zonal_extended,
     "raster_pixels": q_raster_pixels,
     "raster_value_at_point": q_raster_value_at_point,
-    "polygonize_regions": q_polygonize_regions,
-    "contour_segments": q_contour_segments,
-    "contour_polylines": q_contour_polylines,
     "media_frame_sample": q_media_frame_sample,
+    "reproject_utm31": q_reproject_utm31,
+    "docs_minhash_pairs": q_docs_minhash_pairs,
+    "docs_near_dup_verified": q_docs_near_dup_verified,
+    "docs_near_dedup": q_docs_near_dedup,
+    "docs_simhash": q_docs_simhash,
+    "docs_simhash_pairs": q_docs_simhash_pairs,
+    "emb_ivf_topk": q_emb_ivf_topk,
+    "emb_near_dup": q_emb_near_dup,
+    "geom_buffer_simplify": q_geom_buffer_simplify,
+    "contour_polylines": q_contour_polylines,
     "media_decode_embed": q_media_decode_embed,
-    "reproject_albers": q_reproject_albers,
-    "grid_metrics": q_grid_metrics,
-    "grid_linear": q_grid_linear,
-    "poly_dissolve": q_poly_dissolve,
-    "poly_concave": q_poly_concave,
-    "geom_buffer_area": q_geom_buffer_area,
-    "zonal_weighted": q_zonal_weighted,
-    "raster_warp": q_raster_warp,
-    "raster_proximity": q_raster_proximity,
-    "raster_fillnodata": q_raster_fillnodata,
     "raster_sieve": q_raster_sieve,
-    "band_stats": q_band_stats,
-    "tile_checksum": q_tile_checksum,
-    "band_histogram": q_band_histogram,
-    "poly_intersection": q_poly_intersection,
-    "poly_union": q_poly_union,
-    "poly_identity": q_poly_identity,
-    "poly_symdiff": q_poly_symdiff,
-    "poly_clip": q_poly_clip,
-    "poly_erase": q_poly_erase,
-    "poly_update": q_poly_update,
 }
 
 
