@@ -115,12 +115,22 @@ def tile_components_batch(batch: pa.Table) -> pa.Table:
         # border signatures, one vectorized emission per edge: seam
         # keys match the neighbor's because both sides compute the
         # seam's own coordinates (seam right of column gx → (gx, gy))
-        for edge_mask, vert, ka, kb in (
-            (px == 0, True, np.full(len(px), gx0 - 1), gy),
-            (px == TILE - 1, True, np.full(len(px), gx0 + TILE - 1), gy),
-            (py == 0, False, gx, np.full(len(py), gy0 - 1)),
-            (py == TILE - 1, False, gx, np.full(len(py), gy0 + TILE - 1)),
+        # world-boundary seams have no neighbor tile by construction;
+        # emitting them with coordinate -1 would collapse every such
+        # edge onto one key ((a<<28)|-1 == all-ones) and spuriously
+        # chain non-adjacent regions — skip them, like contour's
+        # seam_strips sx<0/sy<0 guard.
+        world = TILE << int(z)
+        for edge_mask, vert, ka, kb, in_world in (
+            (px == 0, True, np.full(len(px), gx0 - 1), gy, gx0 > 0),
+            (px == TILE - 1, True, np.full(len(px), gx0 + TILE - 1), gy,
+             gx0 + TILE < world),
+            (py == 0, False, gx, np.full(len(py), gy0 - 1), gy0 > 0),
+            (py == TILE - 1, False, gx, np.full(len(py), gy0 + TILE - 1),
+             gy0 + TILE < world),
         ):
+            if not in_world:
+                continue
             idx = np.flatnonzero(edge_mask)
             if not len(idx):
                 continue

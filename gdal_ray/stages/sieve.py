@@ -102,19 +102,27 @@ def _tile_pass(batch: pa.Table):
             diff = ca != cb
             adj_rows["a"].extend(ca[diff].tolist())
             adj_rows["b"].extend(cb[diff].tolist())
-        # border records on all 4 edges
+        # border records on all 4 edges; skip world-boundary seams —
+        # they have no neighbor tile, and packing coordinate -1 would
+        # collapse every such edge onto one key ((a<<28)|-1) and emit
+        # spurious cross-comp adjacency (contour's sx<0/sy<0 guard).
+        world = TILE << int(z)
         gx = gx0 + np.arange(TILE, dtype=np.int64)
         gy = gy0 + np.arange(TILE, dtype=np.int64)
-        for comps, vals, keys in (
+        for comps, vals, keys, in_world in (
             (comp_grid[:, 0], grid[:, 0],
-             [_pack_seam(True, gx0 - 1, int(g)) for g in gy]),
+             [_pack_seam(True, gx0 - 1, int(g)) for g in gy], gx0 > 0),
             (comp_grid[:, -1], grid[:, -1],
-             [_pack_seam(True, gx0 + TILE - 1, int(g)) for g in gy]),
+             [_pack_seam(True, gx0 + TILE - 1, int(g)) for g in gy],
+             gx0 + TILE < world),
             (comp_grid[0, :], grid[0, :],
-             [_pack_seam(False, int(g), gy0 - 1) for g in gx]),
+             [_pack_seam(False, int(g), gy0 - 1) for g in gx], gy0 > 0),
             (comp_grid[-1, :], grid[-1, :],
-             [_pack_seam(False, int(g), gy0 + TILE - 1) for g in gx]),
+             [_pack_seam(False, int(g), gy0 + TILE - 1) for g in gx],
+             gy0 + TILE < world),
         ):
+            if not in_world:
+                continue
             border_rows["edge_key"].extend(keys)
             border_rows["comp"].extend(comps.tolist())
             border_rows["value"].extend(vals.tolist())

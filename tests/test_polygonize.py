@@ -84,3 +84,33 @@ def test_vertical_seam_and_region_id_deterministic(ray_session):
     assert r1["region_id"].iloc[0] == r2["region_id"].iloc[0]
     # region id = min global pixel key = gy*2^40+gx of the (0,0) pixel
     assert r1["region_id"].iloc[0] == 255 * (1 << 40) + 7
+
+
+def test_world_top_edge_does_not_merge(ray_session):
+    """Tiles at y=0: the top-edge seam (gy0-1 == -1) lies outside the
+    world grid.  Emitting it would collapse every y=0 top border onto
+    one key and spuriously merge non-adjacent regions that touch
+    global pixel row 0 (ADVICE round 2)."""
+    import ray.data as rd
+
+    g0 = np.zeros((TILE, TILE), dtype=np.int64)
+    g2 = np.zeros((TILE, TILE), dtype=np.int64)
+    g0[0, 10:13] = 1   # touches world row gy=0 in tile (0,0)
+    g2[0, 40:45] = 1   # touches world row gy=0 in tile (2,0) — NOT adjacent
+    ds = rd.from_items([_tile_row(0, 0, g0), _tile_row(2, 0, g2)])
+    regions = polygonize_regions(ds).to_pandas()
+    assert len(regions) == 2
+    assert sorted(regions["n_pixels"].tolist()) == [3, 5]
+
+
+def test_world_left_edge_does_not_merge(ray_session):
+    """Symmetric guard for gx0-1 == -1 at x=0 tiles."""
+    import ray.data as rd
+
+    g0 = np.zeros((TILE, TILE), dtype=np.int64)
+    g1 = np.zeros((TILE, TILE), dtype=np.int64)
+    g0[10:12, 0] = 1   # touches world column gx=0 in tile (0,0)
+    g1[200:204, 0] = 1  # touches world column gx=0 in tile (0,1)
+    ds = rd.from_items([_tile_row(0, 0, g0), _tile_row(0, 1, g1)])
+    regions = polygonize_regions(ds).to_pandas()
+    assert len(regions) == 2

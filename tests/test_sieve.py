@@ -83,3 +83,22 @@ def test_sieve_enclosed_cascade(ray_session):
     # neighbor is larger); the 4-region (32 px) stays
     assert (ng[12:14, 12:14] == 4).all()
     assert (ng[10:16, 10:16] == 4).all()
+
+
+def test_sieve_world_top_edge_regions_stay_separate(ray_session):
+    """Two sub-threshold regions touching global row 0 in NON-adjacent
+    y=0 tiles must not chain through the out-of-world seam key
+    (gy0-1 == -1 collapses to one key without the guard): each is 3 px
+    < threshold 5, so both sieve away; a spurious 6-px merge would
+    survive (ADVICE round 2)."""
+    import ray.data as rd
+
+    ga = np.zeros((TILE, TILE), np.int64)
+    gb = np.zeros((TILE, TILE), np.int64)
+    ga[0, 10:13] = 5
+    gb[0, 40:43] = 5
+    rows = [_tile_row(5, 0, 0, ga), _tile_row(5, 2, 0, gb)]
+    out = sieve(rd.from_items(rows), threshold=5).to_pandas() \
+        .sort_values("x")
+    assert (_decode(out["raster"].iloc[0])[0, 10:13] == 0).all()
+    assert (_decode(out["raster"].iloc[1])[0, 40:43] == 0).all()
