@@ -332,8 +332,14 @@ def _strtree_sort(ds, xcol: str, ycol: str, node_capacity: int = 10):
     n = ds.count()
     nleaf = max(1, int(np.ceil(n / node_capacity)))
     nstrips = max(1, int(np.ceil(np.sqrt(nleaf))))
-    sample = ds.select_columns([xcol]).limit(65536).to_pandas()[xcol] \
-        .to_numpy()
+    # seeded random sample across ALL blocks — a limit() prefix is not
+    # a sample: on spatially-sorted input the strips would collapse
+    frac = min(1.0, 65536 / max(n, 1))
+    sample = ds.select_columns([xcol]).random_sample(frac, seed=7) \
+        .limit(131072).to_pandas()[xcol].to_numpy()
+    if len(sample) == 0:  # degenerate tiny-fraction draw
+        sample = ds.select_columns([xcol]).limit(1024) \
+            .to_pandas()[xcol].to_numpy()
     qs = np.quantile(np.sort(sample),
                      np.arange(1, nstrips) / nstrips) if nstrips > 1 \
         else np.empty(0)

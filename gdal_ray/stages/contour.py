@@ -313,28 +313,31 @@ def assemble_group_polylines(g: pa.Table) -> pa.Table:
     x1 = g["x1"].to_numpy(zero_copy_only=False)
     y1 = g["y1"].to_numpy(zero_copy_only=False)
     n = len(x0)
-    ka = _quant(x0) << np.int64(22) ^ _quant(y0)
-    kb = _quant(x1) << np.int64(22) ^ _quant(y1)
-    adj: dict[int, list[int]] = {}
+    # endpoint key = the (qx, qy) TUPLE — a packed int64 would let y's
+    # high bits alias into the x field for |y| > 4 px (and overflow at
+    # deep zooms); keys never leave this group, so no packing is needed
+    ka = list(zip(_quant(x0).tolist(), _quant(y0).tolist()))
+    kb = list(zip(_quant(x1).tolist(), _quant(y1).tolist()))
+    adj: dict[tuple, list[int]] = {}
     for i in range(n):
-        adj.setdefault(int(ka[i]), []).append(i)
-        adj.setdefault(int(kb[i]), []).append(i)
+        adj.setdefault(ka[i], []).append(i)
+        adj.setdefault(kb[i], []).append(i)
     used = np.zeros(n, dtype=bool)
 
-    def walk(start_seg: int, start_key: int):
+    def walk(start_seg: int, start_key: tuple):
         """Follow segments from start_key; returns point list."""
         pts_x, pts_y = [], []
         key = start_key
         seg = start_seg
         # first point = the endpoint we start from
-        if int(ka[seg]) == key:
+        if ka[seg] == key:
             pts_x.append(x0[seg]); pts_y.append(y0[seg])
         else:
             pts_x.append(x1[seg]); pts_y.append(y1[seg])
         while True:
             used[seg] = True
-            nxt_key = int(kb[seg]) if int(ka[seg]) == key else int(ka[seg])
-            if nxt_key == int(kb[seg]):
+            nxt_key = kb[seg] if ka[seg] == key else ka[seg]
+            if nxt_key == kb[seg]:
                 pts_x.append(x1[seg]); pts_y.append(y1[seg])
             else:
                 pts_x.append(x0[seg]); pts_y.append(y0[seg])
@@ -354,7 +357,7 @@ def assemble_group_polylines(g: pa.Table) -> pa.Table:
     # remaining: closed rings
     for i in range(n):
         if not used[i]:
-            lines.append(walk(i, int(ka[i])))
+            lines.append(walk(i, ka[i]))
     z0 = g["z"][0].as_py() if n else 0
     lv0 = g["level"][0].as_py() if n else 0.0
     from ..geom import wkb as _wkb
@@ -426,14 +429,18 @@ def _stitch_fragments(g: pa.Table) -> pa.Table:
     g = open_g
     coords = [np.asarray(_wkb.decode(w)["coordinates"], dtype=np.float64)
               for w in g["wkb"].to_pylist()]
-    ka = np.array([int(_quant(c[0, 0]) << np.int64(22) ^ _quant(c[0, 1]))
-                   for c in coords], dtype=np.int64)
-    kb = np.array([int(_quant(c[-1, 0]) << np.int64(22) ^ _quant(c[-1, 1]))
-                   for c in coords], dtype=np.int64)
-    adj: dict[int, list[int]] = {}
+
+    def _pt_key(x, y) -> tuple:
+        # (qx, qy) tuple key — see assemble_group_polylines
+        q = _quant(np.array([x, y]))
+        return (int(q[0]), int(q[1]))
+
+    ka = [_pt_key(c[0, 0], c[0, 1]) for c in coords]
+    kb = [_pt_key(c[-1, 0], c[-1, 1]) for c in coords]
+    adj: dict[tuple, list[int]] = {}
     for i in range(n):
-        adj.setdefault(int(ka[i]), []).append(i)
-        adj.setdefault(int(kb[i]), []).append(i)
+        adj.setdefault(ka[i], []).append(i)
+        adj.setdefault(kb[i], []).append(i)
     used = np.zeros(n, dtype=bool)
     lines: list[np.ndarray] = []
     for i in range(n):
@@ -444,10 +451,8 @@ def _stitch_fragments(g: pa.Table) -> pa.Table:
         used[i] = True
         for end in (1, 0):  # forward from tail, then backward from head
             while True:
-                key = int(_quant(chain[-1, 0]) << np.int64(22)
-                          ^ _quant(chain[-1, 1])) if end == 1 else \
-                    int(_quant(chain[0, 0]) << np.int64(22)
-                        ^ _quant(chain[0, 1]))
+                key = _pt_key(chain[-1, 0], chain[-1, 1]) if end == 1 \
+                    else _pt_key(chain[0, 0], chain[0, 1])
                 cands = [s for s in adj.get(key, []) if not used[s]]
                 if not cands:
                     break
@@ -455,11 +460,11 @@ def _stitch_fragments(g: pa.Table) -> pa.Table:
                 used[s] = True
                 piece = coords[s]
                 if end == 1:
-                    if int(ka[s]) != key:
+                    if ka[s] != key:
                         piece = piece[::-1]
                     chain = np.vstack([chain, piece[1:]])
                 else:
-                    if int(kb[s]) != key:
+                    if kb[s] != key:
                         piece = piece[::-1]
                     chain = np.vstack([piece[:-1], chain])
         lines.append(chain)

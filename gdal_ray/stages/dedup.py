@@ -195,9 +195,14 @@ def _emit_segment_pairs(seg: np.ndarray, order_payload: list,
 
     Segments with ≤ max_bucket rows emit all C(n,2) pairs; larger
     (hot LSH buckets — mass-duplicated boilerplate is the common case
-    at scale) emit the sorted-adjacency CHAIN (k[i], k[i+1]) — O(b)
-    edges whose transitive closure spans the same connected component,
-    which is what a dedup grouping consumes."""
+    at scale) emit the STAR around the segment's minimum key —
+    (k[0], k[i]) for i ≥ 1 on sorted rows — O(b) edges whose
+    transitive closure spans the same connected component AND whose
+    every member is directly verified against one representative
+    (a sorted-adjacency chain would let a verify stage drop a middle
+    link and silently lose direct pairs; star keeps one hop max).
+    Pair COMPLETENESS is still capped in hot buckets: consumers of the
+    raw pair list see O(b) of the O(b²) true pairs."""
     starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
     ends = np.r_[starts[1:], len(seg)]
     sizes = ends - starts
@@ -210,7 +215,7 @@ def _emit_segment_pairs(seg: np.ndarray, order_payload: list,
             ib_all.append(s + ib)
         else:
             idx = np.arange(s, s + n)
-            ia_all.append(idx[:-1])
+            ia_all.append(np.full(n - 1, s, dtype=np.int64))
             ib_all.append(idx[1:])
     if not ia_all:
         e = np.array([], dtype=np.int64)
@@ -396,37 +401,53 @@ def jaccard_verify_pairs(ds, pairs_ds, key_col: str = "doc_id",
             "__pb", pa.array(_hash_bucket(t, ["key_a", "key_b"], B)))
 
     def join_legs(g: pa.Table) -> pa.Table:
-        ka = np.asarray(g["key_a"].to_pylist(), dtype=object)
-        kb = np.asarray(g["key_b"].to_pylist(), dtype=object)
-        kk = np.asarray(g["key"].to_pylist(), dtype=object)
-        sh = g["shingles"].to_pylist()
-        out_a, out_b, out_j = [], [], []
-        order = np.lexsort((kb, ka))
-        ka_s, kb_s = ka[order], kb[order]
-        change = (ka_s[1:] != ka_s[:-1]) | (kb_s[1:] != kb_s[:-1])
-        starts = np.flatnonzero(np.r_[True, change])
-        ends = np.r_[starts[1:], len(ka_s)]
-        for s, e in zip(starts, ends):
-            rows = order[s:e]
-            a, b_ = ka[rows[0]], kb[rows[0]]
-            sa = sb = None
-            for r in rows:
-                if kk[r] == a and sh[r] is not None:
-                    sa = np.asarray(sh[r], dtype=np.uint64)
-                if kk[r] == b_ and sh[r] is not None:
-                    sb = np.asarray(sh[r], dtype=np.uint64)
-            if sa is None or sb is None:
-                continue  # a referenced doc is absent from the corpus
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            out_a.append(a)
-            out_b.append(b_)
-            out_j.append(1.0 if union == 0 else inter / union)
+        """Fully vectorized: pair ids via pandas groupby codes; exact
+        Jaccard = duplicate count over the concatenated sorted-unique
+        shingle multiset (each leg's set is unique, so a (pair, value)
+        seen twice IS an intersection hit) — no per-pair Python."""
         kt = g["key_a"].type
+        npairs_df = g.select(["key_a", "key_b"]).to_pandas()
+        pid = npairs_df.groupby(["key_a", "key_b"], sort=False) \
+            .ngroup().values
+        npairs = int(pid.max()) + 1 if len(pid) else 0
+        if not npairs:
+            return pa.table({"key_a": pa.array([], kt),
+                             "key_b": pa.array([], kt),
+                             "jaccard": pa.array([], pa.float64())})
+        is_a = pc.equal(g["key"], g["key_a"]).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        sh = g["shingles"].combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(sh), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        la = np.full(npairs, -1, np.int64)
+        lb = np.full(npairs, -1, np.int64)
+        has = lens >= 0
+        la[pid[is_a & has]] = lens[is_a & has]
+        lb[pid[~is_a & has]] = lens[~is_a & has]
+        valid = (la >= 0) & (lb >= 0)
+        # flatten all shingle values; row → pair id; keep only rows of
+        # valid pairs (both legs present)
+        flat = sh.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False)
+        row_of = np.repeat(np.arange(len(g)), np.maximum(lens, 0))
+        vpid = pid[row_of]
+        m = valid[vpid]
+        vpid, flat = vpid[m], flat[m]
+        order = np.lexsort((flat, vpid))
+        vpid, flat = vpid[order], flat[order]
+        dup = np.r_[False, (vpid[1:] == vpid[:-1]) & (flat[1:] == flat[:-1])]
+        inter = np.bincount(vpid[dup], minlength=npairs)
+        union = la + lb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        first = np.unique(pid, return_index=True)[1]
+        keep = valid[pid[first]]
+        first = first[keep]
+        sel = pa.array(first)
         return pa.table({
-            "key_a": pa.array(out_a, kt),
-            "key_b": pa.array(out_b, kt),
-            "jaccard": pa.array(np.round(out_j, 6), pa.float64()),
+            "key_a": g["key_a"].take(sel).combine_chunks(),
+            "key_b": g["key_b"].take(sel).combine_chunks(),
+            "jaccard": pa.array(np.round(jac[pid[first]], 6),
+                                pa.float64()),
         })
 
     verified = attached.map_batches(pair_bucket, batch_format="pyarrow") \
@@ -528,55 +549,194 @@ def embedding_near_dup_pairs(ds, key_col: str = "vec_id",
     return dedup_pairs(pairs)
 
 
-def near_dup_dedup(ds, pairs_ds, key_col: str = "doc_id"):
+def _cc_round(rows, buckets: int):
+    """One hash-to-min round over the membership Dataset (v, u) ≡
+    "u ∈ C(v)".  Per v: m = min C(v); emit (m, u) for every u (send
+    C(v) to the minimum) and (u, m) for every u (point every member
+    at the minimum) — Rastogi et al. 2013, "Finding Connected
+    Components in Map-Reduce in Logarithmic Rounds" (public
+    algorithm).  Dedup = the `dedup_pairs`-style bucket exchange."""
+
+    def add_bucket_v(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            _BUCKET_COL, pa.array(_hash_bucket(b, ["v"], buckets)))
+
+    def emit(g: pa.Table) -> pa.Table:
+        vdf = g.select(["v", "u"]).to_pandas()
+        order = np.lexsort((vdf["u"].values, vdf["v"].values))
+        v = vdf["v"].values[order]
+        u = vdf["u"].values[order]
+        starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+        sizes = np.diff(np.r_[starts, len(v)])
+        # rows are sorted by (v, u): u[starts] is min C(v) per segment
+        m = np.repeat(u[starts], sizes)
+        ut = g["u"].type
+        return pa.table({
+            "v": pa.array(np.concatenate([m, u]), type=ut),
+            "u": pa.array(np.concatenate([u, m]), type=ut),
+        })
+
+    def add_bucket_vu(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            _BUCKET_COL, pa.array(_hash_bucket(b, ["v", "u"], buckets)))
+
+    def distinct(g: pa.Table) -> pa.Table:
+        kdf = g.select(["v", "u"]).to_pandas()
+        keep = ~kdf.duplicated(keep="first").values
+        return g.filter(pa.array(keep)).drop_columns([_BUCKET_COL])
+
+    emitted = rows.map_batches(add_bucket_v, batch_format="pyarrow") \
+        .groupby(_BUCKET_COL).map_groups(emit, batch_format="pyarrow")
+    return emitted.map_batches(add_bucket_vu, batch_format="pyarrow") \
+        .groupby(_BUCKET_COL).map_groups(distinct, batch_format="pyarrow")
+
+
+def _ds_signature(rows) -> tuple:
+    """(row_count, order-independent checksum) of a (v, u) Dataset —
+    the convergence test for hash-to-min (the membership sets shrink
+    monotonically toward the fixed point, so signature equality over
+    one round means convergence; the 64-bit sum makes a count-equal
+    false positive ~2^-64)."""
+
+    def sig(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            b.select(["v", "u"]).to_pandas(), index=False,
+            hash_key="gdal_ray_ccsig_0").values
+        return pa.table({
+            "n": pa.array([len(b)], pa.int64()),
+            "s": pa.array([int(np.bitwise_xor.reduce(h)) if len(h)
+                           else 0], pa.uint64()),
+        })
+
+    parts = rows.map_batches(sig, batch_format="pyarrow").to_pandas()
+    return (int(parts["n"].sum()),
+            int(np.bitwise_xor.reduce(parts["s"].values.astype(np.uint64)))
+            if len(parts) else 0)
+
+
+def connected_components(pairs_ds, buckets: int | None = None,
+                         max_rounds: int = 40):
+    """Distributed connected components over an edge Dataset
+    (key_a, key_b) → label Dataset (key, label) with label = the
+    component's minimum key.  Hash-to-min label sets: O(log d) rounds,
+    each round two hash-bucket exchanges; no driver-side per-pair
+    Python, no driver dicts — the only driver traffic is one
+    (count, checksum) pair per round."""
+    from ._pool import cluster_cpus
+    B = buckets or max(16, cluster_cpus() * 2)
+
+    def seed(b: pa.Table) -> pa.Table:
+        ka = b["key_a"].combine_chunks()
+        kb = b["key_b"].combine_chunks()
+        ut = ka.type
+        return pa.table({
+            "v": pa.concat_arrays([ka, kb, ka, kb]),
+            "u": pa.array(pa.concat_arrays([kb, ka, ka, kb]), type=ut),
+        })
+
+    rows = pairs_ds.map_batches(seed, batch_format="pyarrow") \
+        .materialize()
+    prev = _ds_signature(rows)
+    for _ in range(max_rounds):
+        rows = _cc_round(rows, B).materialize()
+        cur = _ds_signature(rows)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            f"rounds (hash-to-min covers diameter ~2^{max_rounds})")
+
+    # label(v) = min C(v): one more bucketed min-reduce
+    def add_bucket_v(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            _BUCKET_COL, pa.array(_hash_bucket(b, ["v"], B)))
+
+    def label(g: pa.Table) -> pa.Table:
+        vdf = g.select(["v", "u"]).to_pandas()
+        order = np.lexsort((vdf["u"].values, vdf["v"].values))
+        v = vdf["v"].values[order]
+        u = vdf["u"].values[order]
+        starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+        ut = g["u"].type
+        return pa.table({"key": pa.array(v[starts], type=ut),
+                         "label": pa.array(u[starts], type=ut)})
+
+    return rows.map_batches(add_bucket_v, batch_format="pyarrow") \
+        .groupby(_BUCKET_COL).map_groups(label, batch_format="pyarrow")
+
+
+def near_dup_dedup(ds, pairs_ds, key_col: str = "doc_id",
+                   broadcast_limit: int = 2_000_000):
     """Final stage of near-dedup: drop all but one document from every
     near-duplicate CLUSTER (connected component of the verified pair
     graph); the keeper is the smallest key (deterministic).
 
-    The pair graph is O(duplicates) — tiny next to the corpus — so the
-    union-find runs on the driver (polygonize's equivalence economics)
-    and only the DROP-set is broadcast; the corpus filter is a
-    stateless vectorized anti-semi-join per batch."""
+    The components come from DISTRIBUTED hash-to-min label propagation
+    (`connected_components` — no driver union-find, no per-pair Python).
+    Applying the drop set is size-dispatched, the
+    `value_at_points_auto` pattern: ≤ broadcast_limit dropped keys →
+    one `ray.put` + vectorized `is_in` filter per batch (no corpus
+    shuffle); above it → hash-bucketed anti-join so neither side ever
+    materializes on one node (the 100-TB boilerplate-heavy-crawl
+    case)."""
     import ray as _ray
 
-    comp = _UnionFindLocal()
-    for b in pairs_ds.iter_batches(batch_size=65536,
-                                   batch_format="pyarrow"):
-        for a_, b_ in zip(b["key_a"].to_pylist(), b["key_b"].to_pylist()):
-            comp.union(a_, b_)
-    clusters: dict = {}
-    for k in list(comp.parent):
-        clusters.setdefault(comp.find(k), []).append(k)
-    drop = [k for root, members in clusters.items()
-            for k in members if k != min(members)]
-    if not drop:
+    labels = connected_components(pairs_ds)
+    drops = labels.map_batches(
+        lambda b: b.filter(pc.invert(pc.equal(b["key"], b["label"])))
+        .select(["key"]), batch_format="pyarrow").materialize()
+    n_drop = drops.count()
+    if n_drop == 0:
         return ds
-    drop_ref = _ray.put(pa.array(drop))
+    if n_drop <= broadcast_limit:
+        parts = [t for t in _ray.get(list(drops.to_arrow_refs()))
+                 if t.num_columns]  # groupby emits schema-less empties
+        drop_ref = _ray.put(
+            pa.concat_tables(parts)["key"].combine_chunks())
 
-    def keep(b: pa.Table) -> pa.Table:
-        d = _ray.get(drop_ref)
-        return b.filter(pc.invert(pc.is_in(b[key_col], value_set=d)))
+        def keep(b: pa.Table) -> pa.Table:
+            d = _ray.get(drop_ref)
+            return b.filter(pc.invert(pc.is_in(b[key_col], value_set=d)))
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+        return ds.map_batches(keep, batch_format="pyarrow")
 
+    # large drop set: bucketed anti-join (corpus + drops co-grouped)
+    from ._pool import cluster_cpus
+    B = max(64, cluster_cpus() * 4)
 
-class _UnionFindLocal:
-    def __init__(self):
-        self.parent: dict = {}
+    def corpus_side(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": b[key_col].combine_chunks()})
+        return b.append_column("__src", pa.array(
+            np.zeros(len(b), np.int8))).append_column(
+            _BUCKET_COL, pa.array(_hash_bucket(t, ["k"], B)))
 
-    def find(self, a):
-        p = self.parent.setdefault(a, a)
-        while p != self.parent[p]:
-            self.parent[p] = self.parent[self.parent[p]]
-            p = self.parent[p]
-        self.parent[a] = p
-        return p
+    corpus_schema = ds.schema()
 
-    def union(self, a, b):
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            self.parent[hi] = lo
+    def drop_side(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": b["key"].combine_chunks()})
+        cols = {name: pa.nulls(len(b), typ) for name, typ in
+                zip(corpus_schema.names, corpus_schema.types)}
+        cols[key_col] = b["key"].combine_chunks()
+        out = pa.table(cols)
+        return out.append_column("__src", pa.array(
+            np.ones(len(b), np.int8))).append_column(
+            _BUCKET_COL, pa.array(_hash_bucket(t, ["k"], B)))
+
+    both = ds.map_batches(corpus_side, batch_format="pyarrow").union(
+        drops.map_batches(drop_side, batch_format="pyarrow"))
+
+    def anti(g: pa.Table) -> pa.Table:
+        src = g["__src"].to_numpy(zero_copy_only=False)
+        dropped = pc.unique(g[key_col].filter(pa.array(src == 1)))
+        keep_rows = pa.array(src == 0)
+        g = g.filter(keep_rows)
+        g = g.filter(pc.invert(pc.is_in(g[key_col], value_set=dropped)))
+        return g.drop_columns(["__src", _BUCKET_COL])
+
+    return both.groupby(_BUCKET_COL).map_groups(anti,
+                                                batch_format="pyarrow")
 
 
 def simhash_near_dup_pairs(ds, key_col: str = "doc_id",

@@ -236,18 +236,29 @@ def polygonize_regions(tiles_ds, n_buckets: int | None = None):
         for a_, b_ in zip(b["comp_a"].to_numpy(zero_copy_only=False),
                           b["comp_b"].to_numpy(zero_copy_only=False)):
             uf.union(int(a_), int(b_))
-    region_map = {c: uf.find(c) for c in list(uf.parent)}
-    map_ref = ray.put(region_map)
+    # remap as two sorted int64 arrays — the map stage then runs a
+    # vectorized searchsorted gather, not a per-row dict lookup
+    mk = np.fromiter(uf.parent.keys(), dtype=np.int64,
+                     count=len(uf.parent))
+    mv = np.fromiter((uf.find(int(c)) for c in mk), dtype=np.int64,
+                     count=len(mk))
+    order = np.argsort(mk, kind="stable")
+    map_ref = ray.put((mk[order], mv[order]))
 
     class ApplyRegion:
         def __init__(self, map_ref):
-            self.map = ray.get(map_ref) \
+            self.keys, self.vals = ray.get(map_ref) \
                 if isinstance(map_ref, ray.ObjectRef) else map_ref
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            comp = b["comp"].to_numpy(zero_copy_only=False)
-            reg = np.array([self.map.get(int(c), int(c)) for c in comp],
-                           dtype=np.int64)
+            comp = b["comp"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            reg = comp.copy()
+            if len(self.keys):
+                pos = np.searchsorted(self.keys, comp)
+                pos_c = np.minimum(pos, len(self.keys) - 1)
+                hit = self.keys[pos_c] == comp
+                reg[hit] = self.vals[pos_c[hit]]
             out = b.append_column("region_id", pa.array(reg))
             return out.append_column(
                 "rbucket", pa.array((reg % B).astype(np.int32)))

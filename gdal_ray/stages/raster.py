@@ -419,33 +419,48 @@ def band_histogram(tiles_ds, vmin: float, vmax: float, n_buckets: int,
 
 
 def band_stats(tiles_ds) -> dict:
-    """Global pixel statistics: per-tile partials combined driver-side
-    (the partial rows are one per tile — tiny)."""
+    """Global pixel statistics: ONE partial row per batch (not per
+    tile), combined by Ray's distributed tree-aggregate — the driver
+    only ever sees the final scalar row (band_histogram's shape;
+    replaces the per-tile take_all of an earlier round)."""
+    import ray.data.aggregate as _agg
 
     def partial(batch: pa.Table) -> pa.Table:
-        s = []
+        s = np.int64(0); nz = np.int64(0); nt = 0
+        mn = None; mx = None
         for blob in batch["raster"].to_pylist():
             g = _decode_grid(blob)
-            s.append((g.sum(), int(g.min()), int(g.max()), N_PIX,
-                      int((g > 0).sum())))
-        a = np.asarray(s, dtype=np.int64).reshape(-1, 5)
+            s += g.sum(); nz += (g > 0).sum(); nt += 1
+            gmn, gmx = int(g.min()), int(g.max())
+            mn = gmn if mn is None else min(mn, gmn)
+            mx = gmx if mx is None else max(mx, gmx)
+        if nt == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ("sum", "min", "max", "n_pix", "n_tiles",
+                              "nonzero")})
         return pa.table({
-            "sum": pa.array(a[:, 0]), "min": pa.array(a[:, 1]),
-            "max": pa.array(a[:, 2]), "n_pix": pa.array(a[:, 3]),
-            "nonzero": pa.array(a[:, 4]),
+            "sum": pa.array([int(s)]), "min": pa.array([mn]),
+            "max": pa.array([mx]), "n_pix": pa.array([nt * N_PIX]),
+            "n_tiles": pa.array([nt]), "nonzero": pa.array([int(nz)]),
         })
 
-    parts = tiles_ds.map_batches(partial, batch_format="pyarrow").take_all()
-    if not parts:
+    parts = tiles_ds.map_batches(partial, batch_format="pyarrow")
+    agg = parts.aggregate(
+        _agg.Sum("sum", alias_name="sum"),
+        _agg.Min("min", alias_name="min"),
+        _agg.Max("max", alias_name="max"),
+        _agg.Sum("n_pix", alias_name="n_pix"),
+        _agg.Sum("n_tiles", alias_name="n_tiles"),
+        _agg.Sum("nonzero", alias_name="nonzero"))
+    if not agg or agg.get("n_tiles") in (None, 0):
         return {"sum": 0, "min": 0, "max": 0, "n_pixels": 0,
                 "n_tiles": 0, "nonzero": 0, "mean": 0.0}
-    tot = {k: sum(p[k] for p in parts) for k in ("sum", "n_pix", "nonzero")}
     return {
-        "sum": int(tot["sum"]),
-        "min": int(min(p["min"] for p in parts)),
-        "max": int(max(p["max"] for p in parts)),
-        "n_pixels": int(tot["n_pix"]),
-        "n_tiles": len(parts),
-        "nonzero": int(tot["nonzero"]),
-        "mean": tot["sum"] / tot["n_pix"],
+        "sum": int(agg["sum"]),
+        "min": int(agg["min"]),
+        "max": int(agg["max"]),
+        "n_pixels": int(agg["n_pix"]),
+        "n_tiles": int(agg["n_tiles"]),
+        "nonzero": int(agg["nonzero"]),
+        "mean": agg["sum"] / agg["n_pix"],
     }

@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -75,12 +76,14 @@ def cosine_topk(ds, queries: np.ndarray, k: int = 10,
                                    vec_col=vec_col),
         batch_format="pyarrow", concurrency=_autoscale(concurrency))
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", key_col], ascending=[False, True],
-                          kind="stable").head(k)
-        return g
+    def merge(g: pa.Table) -> pa.Table:
+        # arrow in/out (repo invariant: map_groups results stay arrow)
+        idx = pc.sort_indices(g, sort_keys=[("cosine", "descending"),
+                                            (key_col, "ascending")])
+        return g.take(idx[:k])
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(merge,
+                                                   batch_format="pyarrow")
 
 
 class CosineThresholdJoiner:
