@@ -189,6 +189,13 @@ def ear_clip_triangulate(ring: np.ndarray) -> list[np.ndarray]:
         # INCLUSIVE containment: a reflex vertex exactly on the
         # candidate diagonal must block the ear (a polygon edge can
         # cross the triangle interior with no vertex strictly inside)
+        # — EXCEPT points coinciding with a triangle corner: bridged
+        # hole rings (bridge_holes) duplicate the two bridge vertices,
+        # and the duplicate of a corner must not block its own ear.
+        if (abs(p[0] - r[a, 0]) <= EPS and abs(p[1] - r[a, 1]) <= EPS) \
+           or (abs(p[0] - r[b, 0]) <= EPS and abs(p[1] - r[b, 1]) <= EPS) \
+           or (abs(p[0] - r[c, 0]) <= EPS and abs(p[1] - r[c, 1]) <= EPS):
+            return False
         d1 = (r[a, 0] - p[0]) * (r[b, 1] - p[1]) \
             - (r[a, 1] - p[1]) * (r[b, 0] - p[0])
         d2 = (r[b, 0] - p[0]) * (r[c, 1] - p[1]) \
@@ -220,7 +227,115 @@ def ear_clip_triangulate(ring: np.ndarray) -> list[np.ndarray]:
             clipped = True
             break
         if not clipped:
+            # pop a DEGENERATE corner (zero-area: collinear run or the
+            # residue of a doubled bridge edge) without emitting — the
+            # path a→c is geometrically identical, so area is preserved
+            for k in range(m):
+                a, b, c = idx[(k - 1) % m], idx[k], idx[(k + 1) % m]
+                if abs(cross(a, b, c)) <= EPS:
+                    idx.pop(k)
+                    clipped = True
+                    break
+        if not clipped:
             break  # numerically stuck: emit remainder as one piece
-    if len(idx) >= 3:
+    if len(idx) >= 3 and abs(ring_area(r[np.asarray(idx, np.int64)])) > EPS:
         tris.append(r[np.asarray(idx, dtype=np.int64)])
     return tris
+
+
+def _visible_outer_vertex(out: np.ndarray, M: np.ndarray) -> int:
+    """Index of a vertex of ``out`` (CCW, weakly simple) visible from
+    interior point M, found with the public ray-cast construction
+    (Eberly, "Triangulation by Ear Clipping" §5): shoot +x from M,
+    take the nearest edge crossing, candidate P = that edge's
+    larger-x endpoint, then demote to the angle-minimizing reflex
+    vertex inside triangle (M, I, P) if one exists."""
+    n = len(out)
+    a = out
+    b = np.roll(out, -1, axis=0)
+    dy = b[:, 1] - a[:, 1]
+    # edges properly crossing the horizontal line y = M_y, half-open
+    # ([min,max) on y) so shared vertices count once
+    lo = np.minimum(a[:, 1], b[:, 1])
+    hi = np.maximum(a[:, 1], b[:, 1])
+    crossing = (lo <= M[1]) & (M[1] < hi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = np.where(np.abs(dy) > 1e-300, (M[1] - a[:, 1]) / dy, np.nan)
+    xi = a[:, 0] + s * (b[:, 0] - a[:, 0])
+    valid = crossing & (xi >= M[0] - EPS)
+    if not valid.any():  # fall back: nearest vertex to the right
+        cand = np.flatnonzero(out[:, 0] >= M[0])
+        if not len(cand):
+            cand = np.arange(n)
+        d = np.hypot(out[cand, 0] - M[0], out[cand, 1] - M[1])
+        return int(cand[np.argmin(d)])
+    i = int(np.flatnonzero(valid)[np.argmin(xi[valid])])
+    I = np.array([xi[i], M[1]])
+    j = (i + 1) % n
+    p = i if out[i, 0] > out[j, 0] else j
+    # reflex vertices strictly inside triangle (M, I, P) are closer
+    # obstructions; pick the one minimizing the angle to the +x ray
+    prev = np.roll(out, 1, axis=0)
+    nxt = np.roll(out, -1, axis=0)
+    cr = (out[:, 0] - prev[:, 0]) * (nxt[:, 1] - out[:, 1]) \
+        - (out[:, 1] - prev[:, 1]) * (nxt[:, 0] - out[:, 0])
+    reflex = cr <= EPS
+
+    def in_tri(pt):
+        t1, t2, t3 = M, I, out[p]
+        d1 = (t1[0]-pt[0])*(t2[1]-pt[1]) - (t1[1]-pt[1])*(t2[0]-pt[0])
+        d2 = (t2[0]-pt[0])*(t3[1]-pt[1]) - (t2[1]-pt[1])*(t3[0]-pt[0])
+        d3 = (t3[0]-pt[0])*(t1[1]-pt[1]) - (t3[1]-pt[1])*(t1[0]-pt[0])
+        has_neg = (d1 < -EPS) or (d2 < -EPS) or (d3 < -EPS)
+        has_pos = (d1 > EPS) or (d2 > EPS) or (d3 > EPS)
+        return not (has_neg and has_pos)
+
+    best = p
+    best_key = None
+    for k in range(n):
+        if k == p or not reflex[k]:
+            continue
+        v = out[k]
+        if np.all(np.abs(v - out[p]) <= EPS) or not in_tri(v):
+            continue
+        dx, dyv = v[0] - M[0], v[1] - M[1]
+        dist = float(np.hypot(dx, dyv))
+        if dist <= EPS:
+            continue
+        key = (abs(dyv) / max(dist, 1e-300), dist)  # sin(angle), dist
+        if best_key is None or key < best_key:
+            best, best_key = k, key
+    return int(best)
+
+
+def bridge_holes(outer: np.ndarray,
+                 holes: list[np.ndarray]) -> np.ndarray:
+    """Merge hole rings into the outer ring with doubled bridge edges
+    → ONE weakly simple CCW ring with the same interior, triangulable
+    by `ear_clip_triangulate`.  Public construction (Eberly,
+    "Triangulation by Ear Clipping"; also used by mapbox/earcut):
+    holes processed by decreasing max-x, each spliced at a visible
+    outer vertex; holes traverse CW so winding stays consistent."""
+    out = ensure_ccw(outer)
+    hs = sorted((ensure_ccw(h)[::-1] for h in holes),
+                key=lambda h: -float(h[:, 0].max()))
+    for h in hs:
+        if len(h) < 3:
+            continue
+        m = int(np.argmax(h[:, 0]))
+        M = h[m]
+        p = _visible_outer_vertex(out, M)
+        hrot = np.vstack([h[m:], h[:m]])
+        out = np.vstack([out[:p + 1], hrot, h[m:m + 1],
+                         out[p:p + 1], out[p + 1:]])
+    return out
+
+
+def triangulate_with_holes(outer: np.ndarray,
+                           holes: list[np.ndarray]) -> list[np.ndarray]:
+    """outer minus holes (any shape, incl. CONCAVE holes) as disjoint
+    triangles: bridge the holes into one weakly simple ring, then ear
+    clip."""
+    if not holes:
+        return ear_clip_triangulate(outer)
+    return ear_clip_triangulate(bridge_holes(outer, holes))

@@ -740,10 +740,17 @@ def q_emb_ivf_topk(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     q = _query_vectors(sf_dir)
-    # centroids from a corpus sample (limit = deterministic prefix), not
-    # the query vectors: the index partitioning must reflect the DATA
-    samp_t = pa.concat_tables([b for b in ds.limit(1024).iter_batches(
+    # centroids from a seeded RANDOM corpus sample — a limit() prefix
+    # is not a sample: on a corpus sorted by topic the centroids would
+    # see one cluster and the index partitioning must reflect the DATA
+    n = ds.count()
+    frac = min(1.0, 2048 / max(n, 1))
+    samp_ds = ds.random_sample(frac, seed=7).limit(1024)
+    samp_t = pa.concat_tables([b for b in samp_ds.iter_batches(
         batch_size=1024, batch_format="pyarrow")])
+    if len(samp_t) == 0:  # degenerate tiny-corpus draw
+        samp_t = pa.concat_tables([b for b in ds.limit(1024).iter_batches(
+            batch_size=1024, batch_format="pyarrow")])
     samp = np.stack([np.asarray(v, dtype=np.float64)
                      for v in samp_t["embedding"].to_pylist()])
     cent = _sim.train_centroids(samp, n_centroids=16)
@@ -1357,12 +1364,19 @@ def q_raster_fillnodata(sf_dir: str):
 
 
 def q_raster_sieve(sf_dir: str):
-    """GDALSieveFilter over the z0 count raster (threshold 3): per-tile
-    nonzero/footprint summary after sieving (rows-only; merge-rule and
-    cross-tile goldens in tests/test_sieve.py)."""
+    """GDALSieveFilter over the z2 count raster (threshold 3): per-tile
+    nonzero/footprint summary after sieving.  Oracle: on this fixture
+    every sub-threshold nonzero region 4-touches the single background
+    region (verified for all SFs: no enclosed speckles, no zero pockets
+    < 3 px), so the reference's smallest-first merge loop reduces to
+    "zero every nonzero region below threshold" — the largest neighbor
+    of each is always the megapixel-scale background, ties impossible.
+    The SQL restates that with the recursive-CTE value-equal connected
+    components (the polygonize trick); the general cascading merge path
+    is pinned in tests/test_sieve.py."""
     from ..stages.sieve import sieve
 
-    out = sieve(_rendered_tiles(sf_dir, 0), threshold=3)
+    out = sieve(_rendered_tiles(sf_dir, 2), threshold=3)
 
     def summarize(b: pa.Table) -> pa.Table:
         import zlib as _z
@@ -1401,6 +1415,102 @@ def q_poly_concave(sf_dir: str):
                 [_q8(wkb_area(g)) for g in b["geometry"].to_pylist()],
                 pa.int64()),
         }), batch_format="pyarrow")
+
+
+def _holes_fixture():
+    """Concave-HOLE layer-algebra fixture: input A = rect with an
+    L-shaped hole, input B = plain rect; method = rect with a
+    different L-shaped hole.  Every region is a signed union of
+    axis-aligned rects, so all union/symdiff areas are exact in SQL
+    (see ORACLES['poly_union_holes'])."""
+    A = _wkb.encode_polygon([
+        [(-150.0, -55.0), (-20.0, -55.0), (-20.0, 45.0), (-150.0, 45.0),
+         (-150.0, -55.0)],
+        [(-130.0, -30.0), (-70.0, -30.0), (-70.0, -10.0),
+         (-110.0, -10.0), (-110.0, 20.0), (-130.0, 20.0),
+         (-130.0, -30.0)],
+    ])
+    B = _wkb.encode_polygon([
+        [(0.0, -55.0), (130.0, -55.0), (130.0, 45.0), (0.0, 45.0),
+         (0.0, -55.0)],
+    ])
+    M = _wkb.encode_polygon([
+        [(-100.0, -40.0), (80.0, -40.0), (80.0, 30.0), (-100.0, 30.0),
+         (-100.0, -40.0)],
+        [(-60.0, -20.0), (30.0, -20.0), (30.0, 0.0), (0.0, 0.0),
+         (0.0, 20.0), (-60.0, 20.0), (-60.0, -20.0)],
+    ])
+    inp = pa.table({"poly_id": pa.array([0, 1], pa.int32()),
+                    "geometry": pa.array([A, B], pa.binary())})
+    meth = pa.table({"mkey": pa.array([0], pa.int32()),
+                     "geometry": pa.array([M], pa.binary())})
+    return inp, meth
+
+
+def _holes_rows(operation: str):
+    from ..geom.ops import wkb_area
+    from ..stages.layer_algebra import layer_algebra
+
+    inp, meth = _holes_fixture()
+    out = layer_algebra(rd.from_arrow(inp), meth, operation,
+                        input_schema_table=inp.slice(0, 0))
+    return out.map_batches(
+        lambda b: pa.table({
+            "poly_id": pc.cast(b["poly_id"], pa.int32()),
+            "mkey": pc.cast(b["mkey"], pa.int32()),
+            "area_q8": pa.array(
+                [_q8(wkb_area(g)) for g in b["geometry"].to_pylist()],
+                pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def q_poly_union_holes(sf_dir: str):
+    """Layer Union where BOTH layers carry a concave (L-shaped) hole —
+    the hole-bridged ear-clipping path (geom/clip.bridge_holes);
+    matches ogrlayer.cpp:5803 semantics on arbitrary polygons."""
+    return _holes_rows("union")
+
+
+def q_poly_symdiff_holes(sf_dir: str):
+    """Layer SymDifference over the concave-hole fixture
+    (ogrlayer.cpp:6340)."""
+    return _holes_rows("symdifference")
+
+
+_HOLES_SQL_BASE = """
+    icomp(poly_id, s, x0, y0, x1, y1) AS (VALUES
+        (0,  1, -150.0, -55.0,  -20.0,  45.0),
+        (0, -1, -130.0, -30.0, -110.0,  20.0),
+        (0, -1, -110.0, -30.0,  -70.0, -10.0),
+        (1,  1,    0.0, -55.0,  130.0,  45.0)),
+    mcomp(mkey, s, x0, y0, x1, y1) AS (VALUES
+        (0,  1, -100.0, -40.0,   80.0,  30.0),
+        (0, -1,  -60.0, -20.0,    0.0,  20.0),
+        (0, -1,    0.0, -20.0,   30.0,   0.0)),
+    pair AS (
+        SELECT i.poly_id, m.mkey,
+               sum(i.s * m.s *
+                   greatest(0, least(i.x1, m.x1) - greatest(i.x0, m.x0)) *
+                   greatest(0, least(i.y1, m.y1) - greatest(i.y0, m.y0)))
+                   AS a
+        FROM icomp i, mcomp m GROUP BY 1, 2),
+    iarea AS (SELECT poly_id, sum(s*(x1-x0)*(y1-y0)) AS a
+              FROM icomp GROUP BY 1),
+    marea AS (SELECT mkey, sum(s*(x1-x0)*(y1-y0)) AS a
+              FROM mcomp GROUP BY 1),
+    psum_i AS (SELECT poly_id, sum(a) AS s FROM pair GROUP BY 1),
+    psum_m AS (SELECT mkey, sum(a) AS s FROM pair GROUP BY 1),
+    in_left AS (
+        SELECT i.poly_id, CAST(NULL AS INTEGER) AS mkey,
+               i.a - COALESCE(p.s, 0) AS a
+        FROM iarea i LEFT JOIN psum_i p USING (poly_id)
+        WHERE i.a - COALESCE(p.s, 0) > 1e-9),
+    m_left AS (
+        SELECT CAST(NULL AS INTEGER) AS poly_id, m.mkey,
+               m.a - COALESCE(p.s, 0) AS a
+        FROM marea m LEFT JOIN psum_m p USING (mkey)
+        WHERE m.a - COALESCE(p.s, 0) > 1e-9)
+"""
 
 
 def q_poly_dissolve(sf_dir: str):
@@ -1667,6 +1777,8 @@ QUERIES = {
     "poly_erase": q_poly_erase,
     "poly_update": q_poly_update,
     "poly_dissolve": q_poly_dissolve,
+    "poly_union_holes": q_poly_union_holes,
+    "poly_symdiff_holes": q_poly_symdiff_holes,
     "poly_concave": q_poly_concave,
     "raster_warp": q_raster_warp,
     "raster_proximity": q_raster_proximity,
@@ -2272,6 +2384,28 @@ ORACLES = {
 }
 
 ORACLES.update(_ALG_ORACLES)
+
+ORACLES["poly_union_holes"] = f"""
+    WITH {_HOLES_SQL_BASE}
+    SELECT poly_id, mkey,
+           CAST(round(a*100000000, 0) AS BIGINT) AS area_q8
+    FROM pair WHERE a > 1e-9
+    UNION ALL
+    SELECT poly_id, mkey,
+           CAST(round(a*100000000, 0) AS BIGINT) AS area_q8 FROM in_left
+    UNION ALL
+    SELECT poly_id, mkey,
+           CAST(round(a*100000000, 0) AS BIGINT) AS area_q8 FROM m_left
+"""
+
+ORACLES["poly_symdiff_holes"] = f"""
+    WITH {_HOLES_SQL_BASE}
+    SELECT poly_id, mkey,
+           CAST(round(a*100000000, 0) AS BIGINT) AS area_q8 FROM in_left
+    UNION ALL
+    SELECT poly_id, mkey,
+           CAST(round(a*100000000, 0) AS BIGINT) AS area_q8 FROM m_left
+"""
 ORACLES.update({k: v.replace("{PIX}", _PIXEL11_SQL)
                 for k, v in _RASTER2_ORACLES.items()})
 
@@ -2364,6 +2498,43 @@ ORACLES["polygonize_regions"] = f"""
     FROM lab l
     GROUP BY l.lab
 """
+
+ORACLES["raster_sieve"] = f"""
+    WITH RECURSIVE
+    pts AS ({_PTS_SQL}),
+    cnt AS (
+      SELECT CAST(least(greatest(floor((lon+180.0)/360.0*1024.0), 0), 1023)
+                  AS BIGINT) AS gx,
+             CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                  + 1.0/cos(radians(lat)))/pi())/2.0*1024.0), 0), 1023)
+                  AS BIGINT) AS gy,
+             count(*) AS n
+      FROM pts GROUP BY 1, 2),
+    comp(gx, gy, n, lbl) AS (
+      SELECT gx, gy, n, gy * 1099511627776 + gx FROM cnt
+      UNION
+      SELECT p.gx, p.gy, p.n, c.lbl
+      FROM comp c JOIN cnt p
+        ON p.n = c.n
+       AND ((p.gx = c.gx + 1 AND p.gy = c.gy)
+         OR (p.gx = c.gx - 1 AND p.gy = c.gy)
+         OR (p.gx = c.gx AND p.gy = c.gy + 1)
+         OR (p.gx = c.gx AND p.gy = c.gy - 1))),
+    lab AS (SELECT gx, gy, min(n) AS n, min(lbl) AS lab
+            FROM comp GROUP BY 1, 2),
+    rs AS (SELECT lab, count(*) AS sz FROM lab GROUP BY 1),
+    surv AS (SELECT l.gx, l.gy, l.n
+             FROM lab l JOIN rs ON rs.lab = l.lab WHERE rs.sz >= 3),
+    tiles AS (SELECT DISTINCT gx // 256 AS x, gy // 256 AS y FROM cnt)
+    SELECT CAST(2 AS INTEGER) AS z,
+           t.x, t.y,
+           CAST(coalesce(count(s.gx), 0) AS BIGINT) AS nonzero,
+           CAST(coalesce(sum(s.n), 0) AS BIGINT) AS total
+    FROM tiles t LEFT JOIN surv s
+      ON s.gx // 256 = t.x AND s.gy // 256 = t.y
+    GROUP BY t.x, t.y
+"""
+
 
 def _utm31_oracle() -> str:
     """SQL restatement of tm_forward (geom/crs.py): the Krüger 6th-order

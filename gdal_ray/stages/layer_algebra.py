@@ -5,9 +5,14 @@ Update / SymDifference (ogr/ogrsf_frmts/generic/ogrlayer.cpp:5385-7188)
 for POLYGON inputs with REAL clipped geometry (round 1 only handled
 point payloads).  The geometric kernels are `geom.clip` (Sutherland–
 Hodgman + disjoint difference decomposition).  Both layers accept any
-simple Polygon/MultiPolygon: concave outers are ear-clipped into
-disjoint convex pieces, convex holes are subtracted piece-wise; only
-CONCAVE holes remain unsupported (decompose upstream).
+simple Polygon/MultiPolygon including concave outers and concave
+holes (decomposed to disjoint convex pieces internally).
+
+Arbitrary simple Polygon/MultiPolygon inputs are supported on BOTH
+sides: concave outers ear-clip into disjoint convex pieces; convex
+holes subtract piece-wise; CONCAVE holes are bridged into the outer
+ring (geom/clip.bridge_holes, Eberly's public ear-clipping-with-holes
+construction) and the weakly simple result is triangulated.
 
 Distribution model (the same as the point spatial join): the INPUT
 layer is the distributed Dataset; the METHOD layer is the small side,
@@ -66,10 +71,11 @@ def _method_pieces(blob: bytes) -> list[np.ndarray]:
         outer = _clip.ensure_ccw(np.asarray(rings[0], dtype=np.float64))
         holes = [_clip.ensure_ccw(np.asarray(r, dtype=np.float64))
                  for r in rings[1:]]
-        for h in holes:
-            if not _clip.is_convex(h):
-                raise NotImplementedError(
-                    "concave holes not supported: decompose upstream")
+        if holes and any(not _clip.is_convex(h) for h in holes):
+            # CONCAVE hole(s): bridge holes into the outer ring and
+            # ear-clip the weakly simple result — disjoint triangles
+            out.extend(_clip.triangulate_with_holes(outer, holes))
+            continue
         base = [outer] if _clip.is_convex(outer)             else _clip.ear_clip_triangulate(outer)
         for t in base:
             out.extend(_clip.difference_many(t, holes)
@@ -95,12 +101,11 @@ def _input_pieces(blob: bytes) -> list[np.ndarray]:
         outer = _clip.ensure_ccw(np.asarray(rings[0], dtype=np.float64))
         holes = [_clip.ensure_ccw(np.asarray(r, dtype=np.float64))
                  for r in rings[1:]]
-        for h in holes:
-            if not _clip.is_convex(h):
-                raise NotImplementedError(
-                    "concave holes not supported: decompose upstream")
-        pieces.extend(_clip.difference_many(outer, holes)
-                      if holes else [outer])
+        if holes and any(not _clip.is_convex(h) for h in holes):
+            pieces.extend(_clip.triangulate_with_holes(outer, holes))
+        else:
+            pieces.extend(_clip.difference_many(outer, holes)
+                          if holes else [outer])
     return pieces
 
 
@@ -391,12 +396,13 @@ def method_leftovers(input_ds, method_table: pa.Table, method_ref,
         mi = int(g["method_idx"][0].as_py())
         mpieces = _method_pieces(mt[geometry_col][mi].as_py())
         wkbs = [w for w in g["input_wkb"].to_pylist() if w is not None]
-        in_rings = [p for b in dict.fromkeys(wkbs)
-                    for p in _input_pieces(b)]
-        for r in in_rings:
-            if not _clip.is_convex(r):
-                raise NotImplementedError(
-                    "union/symdifference need convex input pieces")
+        raw_rings = [p for b in dict.fromkeys(wkbs)
+                     for p in _input_pieces(b)]
+        # input pieces serve as CLIPS here — ear-clip any concave
+        # piece (e.g. from a concave outer) into convex triangles
+        in_rings = [t for r in raw_rings
+                    for t in ([r] if _clip.is_convex(r)
+                              else _clip.ear_clip_triangulate(r))]
         # method pieces are the subjects; the (convex) input pieces
         # clip them (no candidates → passes through whole)
         pieces = [q for t in mpieces

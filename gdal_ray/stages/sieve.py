@@ -29,6 +29,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 TILE = 256
 _INF = np.iinfo(np.int64).max
@@ -83,10 +84,8 @@ def _tile_pass(batch: pa.Table):
         ls, gs = flat_lbl[order], flat_gid[order]
         starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
         ends = np.r_[starts[1:], len(ls)]
-        comp_of_label = np.empty(len(starts), dtype=np.int64)
+        comp_of_label = np.minimum.reduceat(gs, starts)
         uniq_labels = ls[starts]
-        for i, (s, e) in enumerate(zip(starts, ends)):
-            comp_of_label[i] = gs[s:e].min()
         lookup = np.searchsorted(uniq_labels, flat_lbl)
         comp_grid = comp_of_label[lookup].reshape(TILE, TILE)
         vals_flat = grid.ravel()[order]
@@ -202,9 +201,30 @@ class _UF:
             self.p[hi] = lo
 
 
+def _remap_sorted(keys: np.ndarray, vals: np.ndarray,
+                  x: np.ndarray) -> np.ndarray:
+    """Vectorized map lookup with identity default: x → vals where x is
+    found in (sorted) keys, else x itself."""
+    out = x.copy()
+    if len(keys):
+        pos = np.searchsorted(keys, x)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = keys[pos_c] == x
+        out[hit] = vals[pos_c[hit]]
+    return out
+
+
 def sieve(tiles_ds, threshold: int, protect_zero: bool = False,
           n_buckets: int | None = None):
-    """Tile table → sieved tile table (same schema)."""
+    """Tile table → sieved tile table (same schema).
+
+    Region ACCOUNTING is distributed: the driver's working set is only
+    the cross-tile union-find (bounded by seam contacts — perimeter,
+    not area) plus the SUB-THRESHOLD region graph (the merge loop's
+    inputs: regions below threshold, their incident edges, and the
+    sizes/values of their neighbors).  Region sizes/values and the
+    adjacency distinct are bucketed exchanges; at salt-and-pepper
+    worst case the driver never sees the supra-threshold majority."""
     import ray
     from ._pool import autoscale as _autoscale
     from ._pool import cluster_cpus
@@ -221,43 +241,141 @@ def sieve(tiles_ds, threshold: int, protect_zero: bool = False,
             "bucket", pa.array((b["edge_key"].to_numpy(zero_copy_only=False)
                                 % B).astype(np.int32))),
         batch_format="pyarrow")
-    seam = borders.groupby("bucket").map_groups(_seam_edges,
-                                                batch_format="pyarrow")
+    seam = borders.groupby("bucket").map_groups(
+        _seam_edges, batch_format="pyarrow").materialize()
 
-    # --- driver-side region graph (O(regions + edges)) ---------------------
+    # --- cross-tile equivalences: union-find over SEAM merge edges only
+    # (O(perimeter) — polygonize's equivalence economics) ------------------
     uf = _UF()
-    cross_adj: list[tuple[int, int]] = []
     for b in seam.iter_batches(batch_size=65536, batch_format="pyarrow"):
         kk = b["kind"].to_numpy(zero_copy_only=False)
-        aa = b["a"].to_numpy(zero_copy_only=False)
-        bb = b["b"].to_numpy(zero_copy_only=False)
-        for i in range(len(kk)):
-            if kk[i] == 0:
-                uf.union(int(aa[i]), int(bb[i]))
-            else:
-                cross_adj.append((int(aa[i]), int(bb[i])))
-    sizes: dict[int, int] = {}
-    value_of: dict[int, int] = {}
-    for b in recs.filter(expr="kind == 0").iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
-        for c, v, n in zip(b["comp"].to_numpy(zero_copy_only=False),
-                           b["value"].to_numpy(zero_copy_only=False),
-                           b["n_pixels"].to_numpy(zero_copy_only=False)):
-            r = uf.find(int(c))
-            sizes[r] = sizes.get(r, 0) + int(n)
-            value_of[r] = int(v)
-    for b in recs.filter(expr="kind == 2").iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
-        for a_, b_ in zip(b["comp"].to_numpy(zero_copy_only=False),
-                          b["other"].to_numpy(zero_copy_only=False)):
-            cross_adj.append((int(a_), int(b_)))
+        aa = b["a"].to_numpy(zero_copy_only=False)[kk == 0]
+        bb = b["b"].to_numpy(zero_copy_only=False)[kk == 0]
+        for a_, b_ in zip(aa.tolist(), bb.tolist()):
+            uf.union(a_, b_)
+    mk = np.fromiter(uf.p.keys(), dtype=np.int64, count=len(uf.p))
+    mv = np.fromiter((uf.find(int(c)) for c in mk), dtype=np.int64,
+                     count=len(mk))
+    order = np.argsort(mk, kind="stable")
+    root_ref = ray.put((mk[order], mv[order]))
+
+    # --- DISTRIBUTED region stats: comp rows → root → bucketed sum -------
+    def to_region_rows(b: pa.Table) -> pa.Table:
+        rk, rv = ray.get(root_ref)
+        comp = b["comp"].to_numpy(zero_copy_only=False)
+        reg = _remap_sorted(rk, rv, comp)
+        return pa.table({
+            "region": pa.array(reg),
+            "value": b["value"],
+            "n_pixels": b["n_pixels"],
+            "bucket": pa.array((reg % B).astype(np.int32)),
+        })
+
+    def region_agg(g: pa.Table) -> pa.Table:
+        reg = g["region"].to_numpy(zero_copy_only=False)
+        npx = g["n_pixels"].to_numpy(zero_copy_only=False)
+        val = g["value"].to_numpy(zero_copy_only=False)
+        order = np.argsort(reg, kind="stable")
+        rs = reg[order]
+        starts = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
+        sizes = np.add.reduceat(npx[order], starts)
+        return pa.table({
+            "region": pa.array(rs[starts]),
+            "size": pa.array(sizes),
+            "value": pa.array(val[order][starts]),
+        })
+
+    region_stats = recs.filter(expr="kind == 0") \
+        .map_batches(to_region_rows, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(region_agg, batch_format="pyarrow") \
+        .materialize()
+
+    # --- DISTRIBUTED adjacency: seam cross-value + in-tile edges → roots →
+    # normalized distinct pairs -------------------------------------------
+    def seam_adj(b: pa.Table) -> pa.Table:
+        kk = b["kind"].to_numpy(zero_copy_only=False)
+        m = kk == 1
+        return pa.table({"a": pc.array_filter(b["a"], pa.array(m)),
+                         "b": pc.array_filter(b["b"], pa.array(m))})
+
+    def intile_adj(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b["comp"], "b": b["other"]})
+
+    def adj_norm(b: pa.Table) -> pa.Table:
+        rk, rv = ray.get(root_ref)
+        a = _remap_sorted(rk, rv, b["a"].to_numpy(zero_copy_only=False))
+        bb = _remap_sorted(rk, rv, b["b"].to_numpy(zero_copy_only=False))
+        lo = np.minimum(a, bb)
+        hi = np.maximum(a, bb)
+        keep = lo != hi
+        lo, hi = lo[keep], hi[keep]
+        return pa.table({
+            "a": pa.array(lo), "b": pa.array(hi),
+            "bucket": pa.array(((lo * 31 + hi) % B).astype(np.int32)),
+        })
+
+    def adj_distinct(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b_ = g["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b_, a))
+        a, b_ = a[order], b_[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b_[1:] != b_[:-1])]
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b_[keep])})
+
+    adj = seam.map_batches(seam_adj, batch_format="pyarrow").union(
+        recs.filter(expr="kind == 2").map_batches(
+            intile_adj, batch_format="pyarrow")) \
+        .map_batches(adj_norm, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(adj_distinct, batch_format="pyarrow")
+
+    # --- collect ONLY the sub-threshold working set -----------------------
+    import pandas as pd
+    sub_t = region_stats.filter(
+        expr=f"size < {int(threshold)}").select_columns(
+        ["region", "size", "value"]).to_pandas()
+    if "region" not in sub_t.columns:  # schema-less empty blocks
+        sub_t = pd.DataFrame({"region": pd.Series([], dtype=np.int64),
+                              "size": pd.Series([], dtype=np.int64),
+                              "value": pd.Series([], dtype=np.int64)})
+    sub_ids = pa.array(sub_t["region"].to_numpy())
+    sub_ref = ray.put(sub_ids)
+
+    def edges_touching_sub(b: pa.Table) -> pa.Table:
+        s = ray.get(sub_ref)
+        m = pc.or_(pc.is_in(b["a"], value_set=s),
+                   pc.is_in(b["b"], value_set=s))
+        return b.filter(m)
+
+    edges_t = adj.map_batches(edges_touching_sub,
+                              batch_format="pyarrow").to_pandas()
+    if "a" not in edges_t.columns:
+        edges_t = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                "b": pd.Series([], dtype=np.int64)})
+    need = np.unique(np.concatenate([
+        edges_t["a"].to_numpy() if len(edges_t) else np.array([], np.int64),
+        edges_t["b"].to_numpy() if len(edges_t) else np.array([], np.int64),
+        sub_t["region"].to_numpy()]))
+    need_ref = ray.put(pa.array(need))
+
+    def stats_needed(b: pa.Table) -> pa.Table:
+        s = ray.get(need_ref)
+        return b.filter(pc.is_in(b["region"], value_set=s)) \
+            .select(["region", "size", "value"])
+
+    stats_t = region_stats.map_batches(
+        stats_needed, batch_format="pyarrow").to_pandas()
+    if "region" not in stats_t.columns:
+        stats_t = pd.DataFrame({"region": pd.Series([], dtype=np.int64),
+                                "size": pd.Series([], dtype=np.int64),
+                                "value": pd.Series([], dtype=np.int64)})
+    sizes: dict[int, int] = dict(zip(stats_t["region"].tolist(),
+                                     stats_t["size"].tolist()))
+    value_of: dict[int, int] = dict(zip(stats_t["region"].tolist(),
+                                        stats_t["value"].tolist()))
     neigh: dict[int, set] = {}
-    for a_, b_ in cross_adj:
-        ra, rb = uf.find(a_), uf.find(b_)
-        if ra == rb:
-            continue
-        neigh.setdefault(ra, set()).add(rb)
-        neigh.setdefault(rb, set()).add(ra)
+    for a_, b_ in zip(edges_t["a"].tolist(), edges_t["b"].tolist()):
+        neigh.setdefault(a_, set()).add(b_)
+        neigh.setdefault(b_, set()).add(a_)
 
     # smallest-first merge loop (gdalsievefilter.cpp main pass)
     import heapq
@@ -295,24 +413,26 @@ def sieve(tiles_ds, threshold: int, protect_zero: bool = False,
         if sizes[tgt] < threshold:
             heapq.heappush(heap, (sizes[tgt], tgt))
 
-    # broadcast the raw graphs; workers resolve comp → union root →
-    # final (post-merge) region → value.  Regions untouched by the
-    # merge loop resolve to themselves and keep their own value.
-    map_ref = ray.put((uf.p, final_region, value_of))
+    # broadcast maps: (a) comp → union root (cross-tile comps only —
+    # perimeter-bounded), (b) region root → NEW value, only for regions
+    # whose value actually changed (merged-chain final target has a
+    # different value).  Everything else keeps its own pixel value, so
+    # the broadcast is O(merged regions), not O(all regions).
+    ch_k, ch_v = [], []
+    for r in list(final_region):
+        v_new = value_of.get(root(r))
+        if v_new is not None and v_new != value_of.get(r):
+            ch_k.append(r)
+            ch_v.append(v_new)
+    cka = np.asarray(ch_k, dtype=np.int64)
+    cva = np.asarray(ch_v, dtype=np.int64)
+    corder = np.argsort(cka, kind="stable")
+    rw_ref = ray.put((ray.get(root_ref), (cka[corder], cva[corder])))
 
     class Rewrite:
-        def __init__(self, map_ref):
-            p, fin, vof = ray.get(map_ref) \
-                if isinstance(map_ref, ray.ObjectRef) else map_ref
-            self.p, self.fin, self.vof = p, fin, vof
-
-        def _root(self, c):
-            p = self.p
-            while c in p and p[c] != c:
-                c = p[c]
-            while c in self.fin:
-                c = self.fin[c]
-            return c
+        def __init__(self, rw_ref):
+            (self.rk, self.rv), (self.ck, self.cv) = ray.get(rw_ref) \
+                if isinstance(rw_ref, ray.ObjectRef) else rw_ref
 
         def __call__(self, b: pa.Table) -> pa.Table:
             outs = []
@@ -330,16 +450,18 @@ def sieve(tiles_ds, threshold: int, protect_zero: bool = False,
                 order = np.argsort(flat_lbl, kind="stable")
                 ls = flat_lbl[order]
                 starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
-                ends = np.r_[starts[1:], len(ls)]
                 gsort = gid.ravel()[order]
                 uniq_labels = ls[starts]
-                # per local comp: final value via the broadcast maps
                 vals = grid.ravel()[order][starts]
-                out_vals = np.empty(len(starts), dtype=np.int64)
-                for i, (s, e) in enumerate(zip(starts, ends)):
-                    comp = int(gsort[s:e].min())
-                    fr = self._root(comp)
-                    out_vals[i] = self.vof.get(fr, int(vals[i]))
+                # comp id per local label → union root → changed value
+                comp = np.minimum.reduceat(gsort, starts)
+                fr = _remap_sorted(self.rk, self.rv, comp)
+                out_vals = vals.copy()
+                if len(self.ck):
+                    pos = np.searchsorted(self.ck, fr)
+                    pos_c = np.minimum(pos, len(self.ck) - 1)
+                    hit = self.ck[pos_c] == fr
+                    out_vals[hit] = self.cv[pos_c[hit]]
                 lookup = np.searchsorted(uniq_labels, flat_lbl)
                 new_grid = out_vals[lookup].reshape(TILE, TILE)
                 outs.append(zlib.compress(
@@ -349,5 +471,5 @@ def sieve(tiles_ds, threshold: int, protect_zero: bool = False,
             return pa.table(t)
 
     return tiles_ds.map_batches(
-        Rewrite, fn_constructor_kwargs=dict(map_ref=map_ref),
+        Rewrite, fn_constructor_kwargs=dict(rw_ref=rw_ref),
         batch_format="pyarrow", concurrency=_autoscale(None))

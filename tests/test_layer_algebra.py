@@ -307,3 +307,83 @@ def test_ear_clip_exact_partition():
         for i, a in enumerate(tris):
             for b in tris[i + 1:]:
                 assert abs(ring_area(sh_clip(a, b))) < 1e-9
+
+
+def test_triangulate_with_holes_exact_partition():
+    """Hole bridging (bridge_holes) + ear clipping partitions
+    outer-minus-holes exactly — concave holes, multiple holes, concave
+    outer with a concave hole."""
+    from gdal_ray.geom.clip import triangulate_with_holes
+
+    sq = np.array([(0, 0), (10, 0), (10, 10), (0, 10)], float)
+    L = np.array([(2, 2), (6, 2), (6, 4), (4, 4), (4, 8), (2, 8)], float)
+    star = np.array([(5, 3), (6, 5), (8, 5), (6.5, 6.5), (7, 8.5),
+                     (5, 7.3), (3, 8.5), (3.5, 6.5), (2, 5), (4, 5)],
+                    float)
+    U = np.array([(0, 0), (12, 0), (12, 10), (8, 10), (8, 4), (4, 4),
+                  (4, 10), (0, 10)], float)
+    step = np.array([(1, 1), (3, 1), (3, 3), (2, 3), (2, 2), (1, 2)],
+                    float)
+    cases = [
+        (sq, [L]),
+        (sq, [star]),
+        (sq, [L, np.array([(7, 6), (9, 6), (9, 9), (7, 9)], float)]),
+        (sq, [L, np.array([(7, 1), (9, 1), (9, 3), (8, 3), (8, 2),
+                           (7, 2)], float)]),
+        (U, [step]),
+    ]
+    for outer, holes in cases:
+        tris = triangulate_with_holes(outer, holes)
+        want = abs(ring_area(outer)) - sum(abs(ring_area(h))
+                                           for h in holes)
+        assert pieces_area(tris) == pytest.approx(want, abs=1e-9)
+        for i, a in enumerate(tris):
+            for b in tris[i + 1:]:
+                assert abs(ring_area(sh_clip(a, b))) < 1e-9
+
+
+def test_layer_algebra_concave_hole_union(ray_session):
+    """Union with concave holes on BOTH layers: every output area is
+    a closed-form signed-rectangle sum (the poly_union_holes oracle
+    fixture)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.geom.ops import wkb_area
+    from gdal_ray.pipelines.queries import _holes_fixture
+    from gdal_ray.stages.layer_algebra import layer_algebra
+
+    inp, meth = _holes_fixture()
+    out = layer_algebra(rd.from_arrow(inp), meth, "union",
+                        input_schema_table=inp.slice(0, 0)).to_pandas()
+    got = {}
+    for _, r in out.iterrows():
+        key = (None if pd.isna(r["poly_id"]) else int(r["poly_id"]),
+               None if pd.isna(r["mkey"]) else int(r["mkey"]))
+        got[key] = got.get(key, 0.0) + wkb_area(r["geometry"])
+    # closed-form: A=rect(130x100)-L(1800), B=rect(130x100);
+    # M=rect(180x70)-L(3000); A∩M=(80x70 within A's x<=-20... ) use
+    # signed-rect sums
+    def ra(x0, y0, x1, y1):
+        return max(0.0, x1 - x0) * max(0.0, y1 - y0)
+    icomp = [(0, 1, -150, -55, -20, 45), (0, -1, -130, -30, -110, 20),
+             (0, -1, -110, -30, -70, -10), (1, 1, 0, -55, 130, 45)]
+    mcomp = [(1, -100, -40, 80, 30), (-1, -60, -20, 0, 20),
+             (-1, 0, -20, 30, 0)]
+    pair = {}
+    for pid, si, ix0, iy0, ix1, iy1 in icomp:
+        for sm, mx0, my0, mx1, my1 in mcomp:
+            pair[pid] = pair.get(pid, 0.0) + si * sm * ra(
+                max(ix0, mx0), max(iy0, my0), min(ix1, mx1),
+                min(iy1, my1))
+    a_area = ra(-150, -55, -20, 45) - ra(-130, -30, -110, 20) \
+        - ra(-110, -30, -70, -10)
+    b_area = ra(0, -55, 130, 45)
+    m_area = ra(-100, -40, 80, 30) - ra(-60, -20, 0, 20) \
+        - ra(0, -20, 30, 0)
+    assert got[(0, 0)] == pytest.approx(pair[0], abs=1e-6)
+    assert got[(1, 0)] == pytest.approx(pair[1], abs=1e-6)
+    assert got[(0, None)] == pytest.approx(a_area - pair[0], abs=1e-6)
+    assert got[(1, None)] == pytest.approx(b_area - pair[1], abs=1e-6)
+    assert got[(None, 0)] == pytest.approx(m_area - pair[0] - pair[1],
+                                           abs=1e-6)

@@ -513,6 +513,44 @@ def test_ivf_topk_recall_vs_bruteforce(ray_session):
     assert recall / 5 >= 0.8
 
 
+def test_ivf_recall_on_sorted_corpus_random_sample(ray_session):
+    """Corpus SORTED by cluster (worst case for prefix sampling): a
+    seeded ds.random_sample-trained index must still reach >= 80%
+    recall — a limit() prefix would train every centroid on cluster 0
+    and collapse the partitioning (the q_emb_ivf_topk sampling path)."""
+    import ray.data as rd
+
+    from gdal_ray.stages.similarity import (cosine_topk, ivf_topk,
+                                            train_centroids)
+
+    rs = np.random.RandomState(3)
+    centers = rs.normal(size=(8, 32)) * 4
+    # sorted: all of cluster 0 first, then cluster 1, ...
+    vecs = np.vstack([c + rs.normal(size=(100, 32)) for c in centers])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(vecs.astype(np.float64)),
+                                        pa.list_(pa.float64()))})
+    ds = rd.from_arrow(t).repartition(8)
+    # the query-level sampling recipe: seeded random_sample over ALL
+    # blocks, capped
+    samp = ds.random_sample(min(1.0, 512 / len(vecs)), seed=7) \
+        .limit(256).to_pandas()
+    sample = np.stack([np.asarray(v) for v in samp["embedding"]])
+    cents = train_centroids(sample, 8)
+    queries = vecs[rs.choice(len(vecs), 5, replace=False)] \
+        + rs.normal(size=(5, 32)) * 0.1
+    exact = cosine_topk(ds, queries, k=10, concurrency=1).to_pandas()
+    approx = ivf_topk(ds, queries, cents, k=10, nprobe=4,
+                      concurrency=1).to_pandas()
+    recall = 0.0
+    for qid in range(5):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recall += len(e & a) / len(e)
+    assert recall / 5 >= 0.8
+
+
 def test_colormap_rgba_tiles(ray_session):
     import struct
     import zlib as _z
