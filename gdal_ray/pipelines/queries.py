@@ -437,6 +437,33 @@ def q_tile_pyramid(sf_dir: str):
     return _tiling.pyramid_counts_ds(base, base_zoom=8, min_zoom=5)
 
 
+def q_tile_overviews_avg(sf_dir: str):
+    """PIXEL-resampled overview pyramid with 2×2 "average" resampling
+    (GenerateOverviewTile, apps/gdalalg_raster_tile.cpp:1487): render
+    z=3 count tiles, build z=2 and z=1 overviews whose parent pixels
+    AVERAGE (round-half-up, not sum) their 2×2 children — resampling is
+    non-associative, so levels chain like the reference's.  ORACLE:
+    SQL replays the two averaging levels on the per-global-pixel count
+    grid and left-joins per-tile pixel sums onto the tile enumeration."""
+    out = _tiling.pyramid_overviews(_rendered_tiles(sf_dir, 3),
+                                    base_zoom=3, min_zoom=1,
+                                    resampling="average")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        sums, nz = [], []
+        for blob in b["raster"].to_pylist():
+            g = np.frombuffer(_z.decompress(blob), dtype=">u2") \
+                .astype(np.int64)
+            sums.append(int(g.sum()))
+            nz.append(int((g > 0).sum()))
+        return pa.table({"z": b["z"], "x": b["x"], "y": b["y"],
+                         "pix_sum": pa.array(sums, pa.int64()),
+                         "nonzero": pa.array(nz, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_reproject_3857(sf_dir: str):
     """EPSG:4326 → EPSG:3857 vector reprojection (OGRCoordinateTransformation
     array API); mm-rounded."""
@@ -1315,6 +1342,34 @@ def q_raster_warp(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_raster_warp_bilinear(sf_dir: str):
+    """gdalwarp -r bilinear: the q_raster_warp dataflow with half-pixel
+    halo emission and a four-gather lerp per output pixel
+    (GWKBilinearResample, alg/gdalresamplingkernels.h:1).  ORACLE: SQL
+    enumerates the output pixels of every fed dest tile, computes each
+    center's CONTINUOUS source pixel position, joins the four
+    surrounding per-pixel counts and lerps; the per-pixel value is
+    quantized half-up at 1/256 through an explicit float32 cast on both
+    sides (the engine stores float32 rasters, so both sides round
+    through the same f32 grid before quantizing)."""
+    from ..stages.warp import warp_to_platecarree
+
+    out = warp_to_platecarree(_rendered_tiles(sf_dir, 2),
+                              resampling="bilinear")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        qs = []
+        for blob in b["raster_f32"].to_pylist():
+            g = np.frombuffer(_z.decompress(blob), dtype="<f4") \
+                .astype(np.float64)
+            qs.append(int(np.floor(g * 256.0 + 0.5).sum()))
+        return pa.table({"z": b["z"], "x": b["x"], "y": b["y"],
+                         "val_q_sum": pa.array(qs, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_raster_proximity(sf_dir: str):
     """GDALComputeProximity over the z3 count raster (maxdist 16 px):
     per-tile distance-grid sums.  ORACLE: enumerate the ≤(2·16+1)²
@@ -1781,8 +1836,10 @@ QUERIES = {
     "poly_symdiff_holes": q_poly_symdiff_holes,
     "poly_concave": q_poly_concave,
     "raster_warp": q_raster_warp,
+    "raster_warp_bilinear": q_raster_warp_bilinear,
     "raster_proximity": q_raster_proximity,
     "raster_fillnodata": q_raster_fillnodata,
+    "raster_sieve": q_raster_sieve,
     "polygonize_regions": q_polygonize_regions,
     "contour_segments": q_contour_segments,
     "band_stats": q_band_stats,
@@ -1813,6 +1870,7 @@ QUERIES = {
     "tile_assign_z8": q_tile_assign_z8,
     "tile_counts_tms_z6": q_tile_counts_tms_z6,
     "tile_pyramid": q_tile_pyramid,
+    "tile_overviews_avg": q_tile_overviews_avg,
     "reproject_3857": q_reproject_3857,
     "reproject_utm31_inzone": q_reproject_utm31_inzone,
     "knn_nearest_nation": q_knn_nearest_nation,
@@ -1851,7 +1909,6 @@ QUERIES = {
     "geom_buffer_simplify": q_geom_buffer_simplify,
     "contour_polylines": q_contour_polylines,
     "media_decode_embed": q_media_decode_embed,
-    "raster_sieve": q_raster_sieve,
 }
 
 
@@ -2853,6 +2910,121 @@ ORACLES["raster_warp"] = f"""
     SELECT CAST(2 AS INTEGER) AS z, xo AS x, yo AS y,
            CAST(count(n) AS BIGINT) AS nonzero,
            CAST(COALESCE(sum(n), 0) AS BIGINT) AS total
+    FROM sampled GROUP BY xo, yo
+"""
+
+# pixel-averaged overview pyramid oracle: replay the two 2×2
+# round-half-up averaging levels on the z3 (2048²) count grid; a
+# parent tile exists iff ≥1 child tile exists, so enumerate tiles from
+# the base grid and LEFT JOIN the pixel sums (an existing tile can
+# average to all-zero when every 2×2 block sums ≤ 1).
+ORACLES["tile_overviews_avg"] = f"""
+    WITH pts AS ({_PTS_SQL}),
+    mp AS (SELECT
+             CAST(least(greatest(floor((lon+180.0)/360.0*2048.0), 0),
+                        2047) AS BIGINT) AS gx,
+             CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                  + 1.0/cos(radians(lat)))/pi())/2.0*2048.0), 0), 2047)
+                  AS BIGINT) AS gy,
+             count(*) AS n
+           FROM pts GROUP BY 1, 2),
+    l2 AS (SELECT gx // 2 AS gx, gy // 2 AS gy,
+                  (sum(n) + 2) // 4 AS n
+           FROM mp GROUP BY 1, 2),
+    l1 AS (SELECT gx // 2 AS gx, gy // 2 AS gy,
+                  (sum(n) + 2) // 4 AS n
+           FROM l2 GROUP BY 1, 2),
+    t2 AS (SELECT DISTINCT (gx // 256) // 2 AS x, (gy // 256) // 2 AS y
+           FROM mp),
+    t1 AS (SELECT DISTINCT x // 2 AS x, y // 2 AS y FROM t2),
+    s2 AS (SELECT gx // 256 AS x, gy // 256 AS y,
+                  sum(n) AS pix_sum,
+                  count(*) FILTER (WHERE n > 0) AS nonzero
+           FROM l2 GROUP BY 1, 2),
+    s1 AS (SELECT gx // 256 AS x, gy // 256 AS y,
+                  sum(n) AS pix_sum,
+                  count(*) FILTER (WHERE n > 0) AS nonzero
+           FROM l1 GROUP BY 1, 2)
+    SELECT CAST(2 AS INTEGER) AS z, t2.x, t2.y,
+           CAST(COALESCE(s2.pix_sum, 0) AS BIGINT) AS pix_sum,
+           CAST(COALESCE(s2.nonzero, 0) AS BIGINT) AS nonzero
+    FROM t2 LEFT JOIN s2 ON t2.x = s2.x AND t2.y = s2.y
+    UNION ALL
+    SELECT CAST(1 AS INTEGER) AS z, t1.x, t1.y,
+           CAST(COALESCE(s1.pix_sum, 0) AS BIGINT) AS pix_sum,
+           CAST(COALESCE(s1.nonzero, 0) AS BIGINT) AS nonzero
+    FROM t1 LEFT JOIN s1 ON t1.x = s1.x AND t1.y = s1.y
+"""
+
+# bilinear warp oracle: same z=2 grids; dest tiles come from the
+# HALF-PIXEL-expanded source footprint (a dest pixel center at
+# continuous row gpy reads source rows floor(gpy-0.5) and +1, so tile
+# sy feeds gpy ∈ [sy·256-0.5, (sy+1)·256+0.5)); per pixel, four LEFT
+# JOINs on the count grid + lerp; wx ≡ 0 at equal zoom (dyadic-exact,
+# see stages/warp.py:_warp_one_bilinear) but the formula is general.
+ORACLES["raster_warp_bilinear"] = f"""
+    WITH pts AS ({_PTS_SQL}),
+    mp AS (SELECT
+             CAST(least(greatest(floor((lon+180.0)/360.0*1024.0), 0),
+                        1023) AS BIGINT) AS gx,
+             CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                  + 1.0/cos(radians(lat)))/pi())/2.0*1024.0), 0), 1023)
+                  AS BIGINT) AS gy,
+             count(*) AS n
+           FROM pts GROUP BY 1, 2),
+    src AS (SELECT DISTINCT gx // 256 AS sx, gy // 256 AS sy FROM mp),
+    srcb AS (SELECT sx, sy,
+                    degrees(atan((exp(pi()*(1.0-2.0*(sy*256 - 0.5)/1024.0))
+                           - exp(-pi()*(1.0-2.0*(sy*256 - 0.5)/1024.0)))
+                           /2.0)) AS lat_n,
+                    degrees(atan((exp(pi()*(1.0-2.0*((sy+1)*256 + 0.5)/1024.0))
+                           - exp(-pi()*(1.0-2.0*((sy+1)*256 + 0.5)/1024.0)))
+                           /2.0)) AS lat_s
+             FROM src),
+    dest AS (SELECT DISTINCT sx AS xo,
+                    unnest(generate_series(
+                      CAST(greatest(floor((90.0-lat_n)/45.0), 0)
+                           AS BIGINT),
+                      CAST(least(floor((90.0-lat_s)/45.0 - 1e-12), 3)
+                           AS BIGINT))) AS yo
+             FROM srcb),
+    opix AS (SELECT d.xo, d.yo,
+                    -180.0 + (d.xo + (px.i+0.5)/256.0) * 90.0 AS lon,
+                    90.0 - (d.yo + (py.i+0.5)/256.0) * 45.0 AS lat
+             FROM dest d
+             CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) px
+             CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) py),
+    pix AS (SELECT xo, yo,
+               (lon+180.0)/360.0*1024.0 - 0.5 AS fx,
+               CASE WHEN abs(lat) <= 85.05112877980659 THEN
+                 (1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))
+                    /pi())/2.0*1024.0 - 0.5
+               END AS fy
+            FROM opix),
+    pix2 AS (SELECT xo, yo,
+                CAST(floor(fx) AS BIGINT) AS x0r,
+                CAST(floor(fy) AS BIGINT) AS y0r,
+                fx - floor(fx) AS wx,
+                fy - floor(fy) AS wy
+             FROM pix),
+    pix3 AS (SELECT xo, yo, wx, wy,
+                greatest(x0r, 0) AS x0, least(x0r + 1, 1023) AS x1,
+                greatest(y0r, 0) AS y0, least(y0r + 1, 1023) AS y1
+             FROM pix2),
+    sampled AS (SELECT p.xo, p.yo,
+          CASE WHEN p.y0 IS NULL THEN 0.0 ELSE
+            (1.0-p.wx)*(1.0-p.wy)*COALESCE(m00.n, 0)
+            + p.wx*(1.0-p.wy)*COALESCE(m10.n, 0)
+            + (1.0-p.wx)*p.wy*COALESCE(m01.n, 0)
+            + p.wx*p.wy*COALESCE(m11.n, 0) END AS val
+       FROM pix3 p
+       LEFT JOIN mp m00 ON m00.gx = p.x0 AND m00.gy = p.y0
+       LEFT JOIN mp m10 ON m10.gx = p.x1 AND m10.gy = p.y0
+       LEFT JOIN mp m01 ON m01.gx = p.x0 AND m01.gy = p.y1
+       LEFT JOIN mp m11 ON m11.gx = p.x1 AND m11.gy = p.y1)
+    SELECT CAST(2 AS INTEGER) AS z, xo AS x, yo AS y,
+           CAST(sum(CAST(floor(CAST(val AS REAL) * 256.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS val_q_sum
     FROM sampled GROUP BY xo, yo
 """
 

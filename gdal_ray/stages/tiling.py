@@ -163,6 +163,123 @@ def pyramid_counts_ds(ds, base_zoom: int, min_zoom: int = 0):
                               [("n_pages", "sum", "n_pages")])
 
 
+def overview_level(tiles_ds, resampling: str = "average",
+                   n_buckets: int | None = None):
+    """One PIXEL-RESAMPLED overview level z → z−1
+    (``GenerateOverviewTile``, apps/gdalalg_raster_tile.cpp:1487): each
+    child tile downsamples its 256² grid to 128² and ships the quadrant
+    to its parent key; one bucketed exchange assembles ≤4 quadrants per
+    parent.  resampling:
+
+    - ``average`` — 2×2 block mean, integer round-half-up
+      ``(s+2)>>2`` (GDAL "average" on integer bands);
+    - ``nearest`` — top-left source pixel of each 2×2 block.
+
+    Unlike ``pyramid_counts_ds`` (associative count sums, one shuffle
+    for all levels) pixel resampling is NOT associative across levels,
+    so multi-level pyramids chain this per level, as the reference
+    does."""
+    from ._pool import cluster_cpus
+
+    B = n_buckets or max(16, cluster_cpus() * 2)
+    if resampling not in ("average", "nearest"):
+        raise ValueError(f"unsupported resampling {resampling!r}")
+
+    def emit(b: pa.Table) -> pa.Table:
+        out = {"bucket": [], "pkey": [], "z": [], "qx": [], "qy": [],
+               "n_pages": [], "down": []}
+        for z, x, y, npg, blob in zip(
+                b["z"].to_pylist(), b["x"].to_pylist(),
+                b["y"].to_pylist(), b["n_pages"].to_pylist(),
+                b["raster"].to_pylist()):
+            g = np.frombuffer(zlib.decompress(blob), dtype=">u2") \
+                .reshape(TILE_SIZE, TILE_SIZE).astype(np.int64)
+            if resampling == "average":
+                s = (g[0::2, 0::2] + g[0::2, 1::2]
+                     + g[1::2, 0::2] + g[1::2, 1::2])
+                down = (s + 2) >> 2
+            else:
+                down = g[0::2, 0::2]
+            pkey = ((int(x) >> 1) << 32) | (int(y) >> 1)
+            out["bucket"].append(pkey % B)
+            out["pkey"].append(pkey)
+            out["z"].append(int(z) - 1)
+            out["qx"].append(int(x) & 1)
+            out["qy"].append(int(y) & 1)
+            out["n_pages"].append(int(npg))
+            out["down"].append(zlib.compress(
+                down.astype(">u2").tobytes(), 6))
+        return pa.table({
+            "bucket": pa.array(out["bucket"], pa.int32()),
+            "pkey": pa.array(out["pkey"], pa.int64()),
+            "z": pa.array(out["z"], pa.int32()),
+            "qx": pa.array(out["qx"], pa.int8()),
+            "qy": pa.array(out["qy"], pa.int8()),
+            "n_pages": pa.array(out["n_pages"], pa.int64()),
+            "down": pa.array(out["down"], pa.binary()),
+        })
+
+    emitted = tiles_ds.map_batches(emit, batch_format="pyarrow")
+    half = TILE_SIZE // 2
+
+    def assemble(g: pa.Table) -> pa.Table:
+        pk = g["pkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        pk_s = pk[order]
+        starts = np.flatnonzero(np.r_[True, pk_s[1:] != pk_s[:-1]])
+        ends = np.r_[starts[1:], len(pk_s)]
+        zz = g["z"].to_numpy(zero_copy_only=False)
+        qx = g["qx"].to_numpy(zero_copy_only=False)
+        qy = g["qy"].to_numpy(zero_copy_only=False)
+        npg = g["n_pages"].to_numpy(zero_copy_only=False)
+        blobs = g["down"].to_pylist()
+        out = {"z": [], "x": [], "y": [], "n_pages": [], "raster": []}
+        for s, e in zip(starts, ends):
+            grid = np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.int64)
+            total = 0
+            for r in order[s:e]:
+                d = np.frombuffer(zlib.decompress(blobs[r]),
+                                  dtype=">u2").reshape(half, half)
+                r0, c0 = int(qy[r]) * half, int(qx[r]) * half
+                grid[r0:r0 + half, c0:c0 + half] = d
+                total += int(npg[r])
+            k = int(pk_s[s])
+            out["z"].append(int(zz[order[s]]))
+            out["x"].append(k >> 32)
+            out["y"].append(k & 0xFFFFFFFF)
+            out["n_pages"].append(total)
+            out["raster"].append(zlib.compress(
+                grid.astype(">u2").tobytes(), 6))
+        return pa.table({
+            "z": pa.array(out["z"], pa.int32()),
+            "x": pa.array(out["x"], pa.int64()),
+            "y": pa.array(out["y"], pa.int64()),
+            "n_pages": pa.array(out["n_pages"], pa.int64()),
+            "raster": pa.array(out["raster"], pa.binary()),
+        })
+
+    return emitted.groupby("bucket").map_groups(assemble,
+                                                batch_format="pyarrow")
+
+
+def pyramid_overviews(tiles_ds, base_zoom: int, min_zoom: int,
+                      resampling: str = "average"):
+    """Pixel-resampled overview pyramid: base tiles at ``base_zoom`` →
+    union of levels ``base_zoom-1 .. min_zoom``.  Each level is
+    materialized before feeding the next (levels shrink 4× per step;
+    the reference likewise writes each overview level before reading it
+    back, apps/gdalalg_raster_tile.cpp:6062-6089)."""
+    levels = []
+    cur = tiles_ds
+    for _ in range(base_zoom, min_zoom, -1):
+        cur = overview_level(cur, resampling=resampling).materialize()
+        levels.append(cur)
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
 # --- per-tile raster rendering --------------------------------------------
 
 

@@ -52,8 +52,24 @@ def _merc_lat_range(y: int, z: int) -> tuple[float, float]:
     return lat_of(y + 1), lat_of(y)
 
 
-def emit_to_dest(batch: pa.Table) -> pa.Table:
-    """Source mercator tile → one row per overlapped output tile."""
+def _lat_of_gp(gp: float, z: int) -> float:
+    """Latitude of CONTINUOUS global mercator pixel row gp at zoom z
+    (row 0 at the north edge); inverse of the slippy y formula."""
+    npix = 256 << z
+    t = np.pi * (1.0 - 2.0 * gp / npix)
+    return float(np.degrees(np.arctan(np.sinh(t))))
+
+
+def emit_to_dest(batch: pa.Table, halo: bool = False) -> pa.Table:
+    """Source mercator tile → one row per overlapped output tile.
+
+    ``halo=True`` (bilinear) expands the source footprint by half a
+    source pixel row on each side — a dest pixel center at continuous
+    global row gpy reads source rows floor(gpy-0.5) and +1, so it
+    touches tile row sy iff gpy ∈ [sy·256-0.5, (sy+1)·256+0.5).  The
+    lon direction needs no halo: the dest lon grid aligns exactly with
+    the source columns at equal zoom (wx ≡ 0, see _warp_one_bilinear).
+    """
     keys, zs, xs, ys, blobs = [], [], [], [], []
     for z, x, y, blob in zip(batch["z"].to_pylist(), batch["x"].to_pylist(),
                              batch["y"].to_pylist(),
@@ -62,7 +78,11 @@ def emit_to_dest(batch: pa.Table) -> pa.Table:
         n = 1 << z
         lon0 = -180.0 + x * 360.0 / n
         lon1 = lon0 + 360.0 / n
-        lat_s, lat_n = _merc_lat_range(y, z)
+        if halo:
+            lat_n = _lat_of_gp(y * 256 - 0.5, z)
+            lat_s = _lat_of_gp((y + 1) * 256 + 0.5, z)
+        else:
+            lat_s, lat_n = _merc_lat_range(y, z)
         # overlapped output tiles: lon cols are 360/2^z wide (== same
         # x range); lat rows are 180/2^z tall, row 0 at +90
         xo = x  # same lon split
@@ -111,13 +131,81 @@ def _warp_one(z: int, xo: int, yo: int, grids: dict) -> np.ndarray:
     return out.reshape(TILE, TILE)
 
 
-def warp_to_platecarree(tiles_ds, n_buckets: int | None = None):
-    """Mercator tile table → plate-carrée tile table (z, x, y, raster);
-    output y rows run north→south from lat +90."""
+def _gather(grids: dict, gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Vectorized lookup of global pixels (gx, gy) in the shipped source
+    tile dict {(tx, ty): 256×256 int64}; pixels in tiles not present in
+    the mosaic read 0 (the mosaic's implicit zero padding)."""
+    key = (gx >> 8 << 32) | (gy >> 8)
+    vals = np.zeros(len(gx), dtype=np.float64)
+    order = np.argsort(key, kind="stable")
+    uniq, starts = np.unique(key[order], return_index=True)
+    bounds = np.append(starts, len(key))
+    col = gx & 255
+    row = gy & 255
+    for j in range(len(uniq)):
+        g = grids.get((int(uniq[j] >> 32), int(uniq[j] & 0xFFFFFFFF)))
+        if g is not None:
+            idx = order[bounds[j]:bounds[j + 1]]
+            vals[idx] = g[row[idx], col[idx]]
+    return vals
+
+
+def _warp_one_bilinear(z: int, xo: int, yo: int, grids: dict) -> np.ndarray:
+    """Resample one output tile by bilinear interpolation
+    (GRA_Bilinear, alg/gdalresamplingkernels.h:1): the output pixel
+    center maps to a CONTINUOUS source pixel position; the four
+    surrounding source pixel centers are gathered and lerped.  Source
+    coordinates clamp at the global grid edge (edge replication).
+
+    At equal source/dest zoom the dest lon grid coincides with the
+    source columns — gpx-0.5 is exactly integral (all quantities are
+    dyadic rationals, exact in IEEE double), so wx ≡ 0 and only the
+    latitude direction interpolates.  Returns float64 (continuous
+    values; the caller quantizes)."""
+    n = 1 << z
+    npix = n * TILE
+    lon = -180.0 + (xo + (np.arange(TILE) + 0.5) / TILE) * 360.0 / n
+    lat = 90.0 - (yo + (np.arange(TILE) + 0.5) / TILE) * 180.0 / n
+    lon2 = np.repeat(lon[None, :], TILE, axis=0).ravel()
+    lat2 = np.repeat(lat[:, None], TILE, axis=1).ravel()
+    inside = np.abs(lat2) <= _tiles.MAX_LATITUDE
+    out = np.zeros(TILE * TILE, dtype=np.float64)
+    if inside.any():
+        li, ai = lon2[inside], lat2[inside]
+        gpx = (li + 180.0) / 360.0 * npix
+        r = np.radians(ai)
+        gpy = (1.0 - np.log(np.tan(r) + 1.0 / np.cos(r)) / np.pi) / 2.0 * npix
+        fx = gpx - 0.5
+        fy = gpy - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        wx = fx - x0
+        wy = fy - y0
+        x1 = np.minimum(x0 + 1, npix - 1)
+        y1 = np.minimum(y0 + 1, npix - 1)
+        x0 = np.maximum(x0, 0)
+        y0 = np.maximum(y0, 0)
+        val = ((1.0 - wx) * (1.0 - wy) * _gather(grids, x0, y0)
+               + wx * (1.0 - wy) * _gather(grids, x1, y0)
+               + (1.0 - wx) * wy * _gather(grids, x0, y1)
+               + wx * wy * _gather(grids, x1, y1))
+        out[inside] = val
+    return out.reshape(TILE, TILE)
+
+
+def warp_to_platecarree(tiles_ds, n_buckets: int | None = None,
+                        resampling: str = "nearest"):
+    """Mercator tile table → plate-carrée tile table; output y rows run
+    north→south from lat +90.  resampling: "nearest" (GDAL default,
+    uint16 raster out) or "bilinear" (float32 ``raster_f32`` out)."""
     from ._pool import cluster_cpus
     B = n_buckets or max(16, cluster_cpus() * 2)
+    if resampling not in ("nearest", "bilinear"):
+        raise ValueError(f"unsupported resampling {resampling!r}")
+    bilinear = resampling == "bilinear"
 
-    emit = tiles_ds.map_batches(emit_to_dest, batch_format="pyarrow")
+    emit = tiles_ds.map_batches(
+        lambda b: emit_to_dest(b, halo=bilinear), batch_format="pyarrow")
     emit = emit.map_batches(
         lambda b: b.append_column(
             "bucket", pa.array((b["dest"].to_numpy(zero_copy_only=False)
@@ -145,17 +233,24 @@ def warp_to_platecarree(tiles_ds, n_buckets: int | None = None):
                 grids[(int(sx[r]), int(sy[r]))] = np.frombuffer(
                     zlib.decompress(blobs[r]), dtype=">u2") \
                     .reshape(TILE, TILE).astype(np.int64)
-            res = _warp_one(z, xo, yo, grids)
+            if bilinear:
+                res = _warp_one_bilinear(z, xo, yo, grids)
+                blob = zlib.compress(
+                    res.astype("<f4").tobytes(), 6)
+            else:
+                res = _warp_one(z, xo, yo, grids)
+                blob = zlib.compress(
+                    np.clip(res, 0, 65535).astype(">u2").tobytes(), 6)
             out["z"].append(z)
             out["x"].append(xo)
             out["y"].append(yo)
-            out["raster"].append(zlib.compress(
-                np.clip(res, 0, 65535).astype(">u2").tobytes(), 6))
+            out["raster"].append(blob)
+        name = "raster_f32" if bilinear else "raster"
         return pa.table({
             "z": pa.array(out["z"], pa.int32()),
             "x": pa.array(out["x"], pa.int64()),
             "y": pa.array(out["y"], pa.int64()),
-            "raster": pa.array(out["raster"], pa.binary()),
+            name: pa.array(out["raster"], pa.binary()),
         })
 
     return emit.groupby("bucket").map_groups(per_bucket,

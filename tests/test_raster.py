@@ -89,3 +89,40 @@ def test_band_stats(ray_session):
     assert st["min"] == 0 and st["max"] >= 1
     assert st["n_pixels"] == st["n_tiles"] * 65536
     assert st["mean"] == pytest.approx(400 / st["n_pixels"])
+
+
+def test_overview_level_average_and_nearest(ray_session):
+    """overview_level: parent quadrants hold the 2×2 round-half-up
+    average (or top-left pixel) of each child tile's grid."""
+    import zlib
+    import ray.data as rd
+    from gdal_ray.stages.tiling import TILE_SIZE, overview_level
+
+    rs = np.random.RandomState(11)
+    rows, grids = [], {}
+    for x, y in [(2, 2), (3, 2), (2, 3)]:  # one quadrant missing
+        g = rs.randint(0, 1000, (TILE_SIZE, TILE_SIZE))
+        grids[(x, y)] = g
+        rows.append({"z": 4, "x": x, "y": y, "n_pages": int(g.sum()),
+                     "raster": zlib.compress(
+                         g.astype(">u2").tobytes(), 6)})
+    for resampling in ("average", "nearest"):
+        out = overview_level(rd.from_items(rows),
+                             resampling=resampling).to_pandas()
+        assert list(out["z"]) == [3] and len(out) == 1
+        assert (int(out["x"][0]), int(out["y"][0])) == (1, 1)
+        got = np.frombuffer(zlib.decompress(out["raster"][0]),
+                            dtype=">u2").reshape(TILE_SIZE, TILE_SIZE) \
+            .astype(np.int64)
+        h = TILE_SIZE // 2
+        expect = np.zeros((TILE_SIZE, TILE_SIZE), np.int64)
+        for (x, y), g in grids.items():
+            if resampling == "average":
+                s = (g[0::2, 0::2] + g[0::2, 1::2]
+                     + g[1::2, 0::2] + g[1::2, 1::2])
+                d = (s + 2) >> 2
+            else:
+                d = g[0::2, 0::2]
+            expect[(y & 1) * h:(y & 1) * h + h,
+                   (x & 1) * h:(x & 1) * h + h] = d
+        np.testing.assert_array_equal(got, expect)

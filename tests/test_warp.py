@@ -68,3 +68,85 @@ def test_warp_value_presence(ray_session):
     found = any((_decode(r["raster"]) == 777).any()
                 for _, r in out.iterrows())
     assert found
+
+
+def test_warp_bilinear_matches_direct_lerp(ray_session):
+    """Bilinear output == single-process 4-gather lerp recomputation,
+    including cross-tile reads at source-tile seams (halo emission)."""
+    import ray.data as rd
+
+    z = 2
+    npix = (1 << z) * TILE
+    rs = np.random.RandomState(7)
+    src = {}
+    rows = []
+    for x, y in [(1, 1), (2, 1), (1, 2), (2, 2)]:
+        g = rs.randint(0, 100, (TILE, TILE))
+        src[(x, y)] = g
+        rows.append(_tile_row(z, x, y, g))
+    out = warp_to_platecarree(rd.from_items(rows),
+                              resampling="bilinear").to_pandas()
+    assert len(out) > 0
+
+    def val_at(gx, gy):
+        v = np.zeros(len(gx), dtype=np.float64)
+        for i in range(len(gx)):
+            g = src.get((int(gx[i] >> 8), int(gy[i] >> 8)))
+            if g is not None:
+                v[i] = g[int(gy[i] & 255), int(gx[i] & 255)]
+        return v
+
+    n = 1 << z
+    for _, r in out.iterrows():
+        xo, yo = int(r["x"]), int(r["y"])
+        got = np.frombuffer(zlib.decompress(r["raster_f32"]),
+                            dtype="<f4").reshape(TILE, TILE)
+        lon = -180.0 + (xo + (np.arange(TILE) + 0.5) / TILE) * 360.0 / n
+        lat = 90.0 - (yo + (np.arange(TILE) + 0.5) / TILE) * 180.0 / n
+        lon2 = np.repeat(lon[None, :], TILE, axis=0).ravel()
+        lat2 = np.repeat(lat[:, None], TILE, axis=1).ravel()
+        inside = np.abs(lat2) <= _tiles.MAX_LATITUDE
+        expect = np.zeros(TILE * TILE, dtype=np.float64)
+        li, ai = lon2[inside], lat2[inside]
+        gpx = (li + 180.0) / 360.0 * npix
+        rr = np.radians(ai)
+        gpy = (1.0 - np.log(np.tan(rr) + 1.0 / np.cos(rr)) / np.pi) \
+            / 2.0 * npix
+        fx, fy = gpx - 0.5, gpy - 0.5
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        wx, wy = fx - x0, fy - y0
+        # equal-zoom warp: dest lon grid aligns with source columns
+        np.testing.assert_array_equal(wx, 0.0)
+        x1 = np.minimum(x0 + 1, npix - 1)
+        y1 = np.minimum(y0 + 1, npix - 1)
+        x0 = np.maximum(x0, 0)
+        y0 = np.maximum(y0, 0)
+        expect[inside] = ((1 - wx) * (1 - wy) * val_at(x0, y0)
+                          + wx * (1 - wy) * val_at(x1, y0)
+                          + (1 - wx) * wy * val_at(x0, y1)
+                          + wx * wy * val_at(x1, y1))
+        np.testing.assert_allclose(
+            got, expect.reshape(TILE, TILE).astype(np.float32), rtol=0,
+            atol=0)
+
+
+def test_warp_bilinear_seam_interpolation(ray_session):
+    """A dest pixel between two source-tile rows lerps values from BOTH
+    tiles — proves the halo ships the neighbor tile to the dest group."""
+    import ray.data as rd
+
+    z = 1
+    top = np.zeros((TILE, TILE), np.int64)
+    bot = np.zeros((TILE, TILE), np.int64)
+    top[255, :] = 100  # last row of tile (0,0) — just north of lat 0
+    bot[0, :] = 200    # first row of tile (0,1) — just south of lat 0
+    out = warp_to_platecarree(
+        rd.from_items([_tile_row(z, 0, 0, top), _tile_row(z, 0, 1, bot)]),
+        resampling="bilinear").to_pandas()
+    vals = set()
+    for _, r in out.iterrows():
+        g = np.frombuffer(zlib.decompress(r["raster_f32"]), dtype="<f4")
+        vals.update(np.unique(np.round(g[g > 0], 3)).tolist())
+    # strictly-between values exist only if both rows fed one lerp
+    assert any(100.0 < v < 200.0 for v in vals), sorted(vals)[:10]
