@@ -98,6 +98,27 @@ def lonlat_to_tile(lon, lat, z, convention: str = "xyz"):
     return tx, ty
 
 
+def lonlat_to_tile_geodetic(lon, lat, z, convention: str = "xyz"):
+    """Geodetic (plate-carrée / WorldCRS84Quad) tile profile: at zoom z
+    the world is 2^(z+1) × 2^z tiles of 180/2^z degrees each
+    (gdal2tiles.py GlobalGeodetic; the ``geodetic`` tiling profile of
+    apps/gdalalg_raster_tile.cpp:206-212).  xyz rows run north→south
+    from lat +90; tms flips.  No latitude cutoff — the whole ±90 range
+    tiles, unlike web mercator."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = np.int64(1) << np.int64(z)
+    tx = np.clip(np.floor((lon + 180.0) / 180.0 * n).astype(np.int64),
+                 0, 2 * n - 1)
+    ty = np.clip(np.floor((90.0 - lat) / 180.0 * n).astype(np.int64),
+                 0, n - 1)
+    if convention == "tms":
+        ty = n - 1 - ty
+    elif convention != "xyz":
+        raise ValueError(f"convention must be xyz|tms, got {convention}")
+    return tx, ty
+
+
 def tile_bounds_meters(tx, ty, z):
     """Bounds of a TMS tile in EPSG:3857 meters (gdal2tiles.py:480-488)."""
     res = resolution(z)

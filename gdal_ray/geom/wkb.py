@@ -27,6 +27,12 @@ WKB_MULTIPOINT = 4
 WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
 WKB_GEOMETRYCOLLECTION = 7
+# ISO SQL/MM curve types (ogr/ogr_core.h:440-446)
+WKB_CIRCULARSTRING = 8
+WKB_COMPOUNDCURVE = 9
+WKB_CURVEPOLYGON = 10
+WKB_MULTICURVE = 11
+WKB_MULTISURFACE = 12
 
 GEOMETRY_FIELD_METADATA = {b"ARROW:extension:name": b"ogc.wkb"}
 
@@ -136,12 +142,37 @@ def _decode_at(buf: memoryview, off: int) -> tuple[dict, int]:
             rings.append(arr.reshape(n, ndim)[:, :2].copy())
             off += 8 * ndim * n
         return {"type": "Polygon", "coordinates": rings}, off
-    if base in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON, WKB_GEOMETRYCOLLECTION):
+    if base == WKB_CIRCULARSTRING:
+        # same layout as LineString; n odd ≥ 3, each consecutive
+        # (start, via, end) triple defines one circular arc
+        (n,) = _rd(buf, off, e + "I")
+        off += 4
+        arr = np.frombuffer(buf, dtype=e + "f8", count=n * ndim, offset=off)
+        arr = arr.reshape(n, ndim)[:, :2].copy()
+        return {"type": "CircularString", "coordinates": arr}, off + 8 * ndim * n
+    if base == WKB_CURVEPOLYGON:
+        # rings are full geometries: LineString / CircularString /
+        # CompoundCurve (ogr/ogr_geometry.h:2461 OGRCurvePolygon)
+        (nrings,) = _rd(buf, off, e + "I")
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            g, off = _decode_at(buf, off)
+            rings.append(g)
+        return {"type": "CurvePolygon",
+                "coordinates": [r["coordinates"] for r in rings],
+                "parts": rings}, off
+    if base in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON,
+                WKB_GEOMETRYCOLLECTION, WKB_COMPOUNDCURVE, WKB_MULTICURVE,
+                WKB_MULTISURFACE):
         name = {
             WKB_MULTIPOINT: "MultiPoint",
             WKB_MULTILINESTRING: "MultiLineString",
             WKB_MULTIPOLYGON: "MultiPolygon",
             WKB_GEOMETRYCOLLECTION: "GeometryCollection",
+            WKB_COMPOUNDCURVE: "CompoundCurve",
+            WKB_MULTICURVE: "MultiCurve",
+            WKB_MULTISURFACE: "MultiSurface",
         }[base]
         (nparts,) = _rd(buf, off, e + "I")
         off += 4
@@ -182,6 +213,39 @@ def encode_multipolygon(polys) -> bytes:
     for rings in polys:
         out.append(encode_polygon(rings))
     return b"".join(out)
+
+
+def encode_circularstring(coords) -> bytes:
+    """coords: (n,2), n odd ≥ 3 — consecutive (start, via, end) arc
+    triples sharing endpoints (OGRCircularString, ogr/ogr_geometry.h:1949)."""
+    arr = np.asarray(coords, dtype="<f8").reshape(-1, 2)
+    if len(arr) < 3 or len(arr) % 2 == 0:
+        raise ValueError("CircularString needs an odd point count >= 3")
+    return struct.pack("<BII", 1, WKB_CIRCULARSTRING, len(arr)) + arr.tobytes()
+
+
+def encode_compoundcurve(segments: list[bytes]) -> bytes:
+    """segments: WKB LineString / CircularString blobs, contiguous
+    (each starts where the previous ends)."""
+    return (struct.pack("<BII", 1, WKB_COMPOUNDCURVE, len(segments))
+            + b"".join(segments))
+
+
+def encode_curvepolygon(rings: list[bytes]) -> bytes:
+    """rings: WKB LineString / CircularString / CompoundCurve blobs,
+    each closed; first = exterior."""
+    return (struct.pack("<BII", 1, WKB_CURVEPOLYGON, len(rings))
+            + b"".join(rings))
+
+
+def encode_multicurve(curves: list[bytes]) -> bytes:
+    return (struct.pack("<BII", 1, WKB_MULTICURVE, len(curves))
+            + b"".join(curves))
+
+
+def encode_multisurface(surfaces: list[bytes]) -> bytes:
+    return (struct.pack("<BII", 1, WKB_MULTISURFACE, len(surfaces))
+            + b"".join(surfaces))
 
 
 def box_polygon(minx: float, miny: float, maxx: float, maxy: float) -> bytes:

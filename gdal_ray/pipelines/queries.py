@@ -429,6 +429,15 @@ def q_tile_counts_tms_z6(sf_dir: str):
     return _tiling.tile_counts(pts, [6], convention="tms")
 
 
+def q_tile_counts_geodetic(sf_dir: str):
+    """Tile page-counts at z=5 in the GEODETIC (plate-carrée /
+    WorldCRS84Quad) profile — 2^(z+1) × 2^z tiles of 180/2^z degrees,
+    the ``geodetic`` tiling scheme of apps/gdalalg_raster_tile.cpp:
+    206-212; no web-mercator latitude cutoff."""
+    pts = event_points(sf_dir, columns=("event_id",))
+    return _tiling.tile_counts(pts, [5], profile="geodetic")
+
+
 def q_tile_pyramid(sf_dir: str):
     """Base z=8 counts + overview levels to z=5 (GenerateOverviewTile
     child-sum semantics); conservation tested per level."""
@@ -1017,6 +1026,50 @@ def q_geom_zone_centroid(sf_dir: str):
                             "cx": pc.round(b["centroid_x"], 9),
                             "cy": pc.round(b["centroid_y"], 9)}),
         batch_format="pyarrow")
+
+
+def q_geom_linearize(sf_dir: str):
+    """Curve-geometry linearization (getLinearGeometry,
+    ogr/ogrgeometryfactory.cpp curveToLineString): each sampled event
+    carries a CircularString arc (radius 1+id%5, sweep 90+15·(id%7)
+    degrees) that round-trips the WKB curve codec and strokes at the
+    4° OGR_ARC_STEPSIZE.  ORACLE: point count = ceil(sweep/4)+1 and
+    chord-length sum = n·2r·sin(sweep/2n) in closed form — uniform
+    angular sampling makes every chord equal, so SQL replays the
+    stroking arithmetic without the geometry."""
+    from ..geom import curves as _curves
+    from ..geom import wkb as _gwkb
+
+    pts = event_points(sf_dir, columns=("event_id",))
+
+    def stroke(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False)
+        m = ids % 29 == 0
+        ids = ids[m]
+        lon = b["lon"].to_numpy(zero_copy_only=False)[m]
+        lat = b["lat"].to_numpy(zero_copy_only=False)[m]
+        r = 1.0 + (ids % 5).astype(np.float64)
+        sweep = np.radians(90.0 + (ids % 7) * 15.0)
+        npts = np.empty(len(ids), dtype=np.int64)
+        chord = np.empty(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            s, rr = sweep[i], r[i]
+            blob = _gwkb.encode_circularstring([
+                (lon[i] + rr, lat[i]),
+                (lon[i] + rr * np.cos(s / 2), lat[i] + rr * np.sin(s / 2)),
+                (lon[i] + rr * np.cos(s), lat[i] + rr * np.sin(s))])
+            c = _curves.linearize(_gwkb.decode(blob))["coordinates"]
+            d = np.diff(c, axis=0)
+            npts[i] = len(c)
+            chord[i] = int(np.floor(
+                np.hypot(d[:, 0], d[:, 1]).sum() * 1e6 + 0.5))
+        return pa.table({
+            "event_id": pa.array(ids),
+            "n_points": pa.array(npts),
+            "chord_q6": pa.array(chord),
+        })
+
+    return pts.map_batches(stroke, batch_format="pyarrow")
 
 
 def q_geom_convex_hull(sf_dir: str):
@@ -1869,6 +1922,7 @@ QUERIES = {
     "zonal_stats": q_zonal_stats,
     "tile_assign_z8": q_tile_assign_z8,
     "tile_counts_tms_z6": q_tile_counts_tms_z6,
+    "tile_counts_geodetic": q_tile_counts_geodetic,
     "tile_pyramid": q_tile_pyramid,
     "tile_overviews_avg": q_tile_overviews_avg,
     "reproject_3857": q_reproject_3857,
@@ -1887,6 +1941,7 @@ QUERIES = {
     "geom_zone_area": q_geom_zone_area,
     "geom_zone_centroid": q_geom_zone_centroid,
     "geom_convex_hull": q_geom_convex_hull,
+    "geom_linearize": q_geom_linearize,
     "string_funcs": q_string_funcs,
     "events_props_extract": q_events_props_extract,
     "limit_offset": q_limit_offset,
@@ -2196,6 +2251,16 @@ ORACLES = {
                       AS BIGINT) AS x,
                  63 - CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
                       + 1.0/cos(radians(lat)))/pi())/2.0*64.0), 0), 63)
+                      AS BIGINT) AS y
+          FROM ({_PTS_SQL}))
+        SELECT z, x, y, count(*) AS n_pages FROM t GROUP BY 1, 2, 3
+    """,
+    "tile_counts_geodetic": f"""
+        WITH t AS (
+          SELECT CAST(5 AS INTEGER) AS z,
+                 CAST(least(greatest(floor((lon+180.0)/180.0*32.0), 0), 63)
+                      AS BIGINT) AS x,
+                 CAST(least(greatest(floor((90.0-lat)/180.0*32.0), 0), 31)
                       AS BIGINT) AS y
           FROM ({_PTS_SQL}))
         SELECT z, x, y, count(*) AS n_pages FROM t GROUP BY 1, 2, 3
@@ -3057,6 +3122,25 @@ ORACLES["zonal_weighted"] = f"""
                  / sum(event_id % 7 + 1), 6) AS wmean
     FROM matches GROUP BY 1
 """.replace("{ZONES}", _ZONES_SQL)
+
+# curve linearization: uniform angular stroking makes every chord
+# equal, so n_points and chord-length sum have closed forms
+ORACLES["geom_linearize"] = f"""
+    WITH pts AS ({_PTS_SQL}),
+    arcs AS (SELECT event_id,
+               1.0 + CAST(event_id % 5 AS DOUBLE) AS r,
+               CAST(90 + (event_id % 7) * 15 AS DOUBLE) AS sweep_deg
+             FROM pts WHERE event_id % 29 = 0),
+    n AS (SELECT event_id, r, sweep_deg,
+            CAST(ceil(sweep_deg / 4.0 - 1e-9) AS BIGINT) AS nseg
+          FROM arcs)
+    SELECT event_id,
+           CAST(nseg + 1 AS BIGINT) AS n_points,
+           CAST(floor(nseg * 2.0 * r
+                      * sin(radians(sweep_deg) / (2.0 * nseg))
+                      * 1000000 + 0.5) AS BIGINT) AS chord_q6
+    FROM n
+"""
 
 # buffer area: regular 120-gon closed form (n/2)·r²·sin(2π/n)
 ORACLES["geom_buffer_area"] = f"""

@@ -37,9 +37,16 @@ TILE_SIZE = _tiles.TILE_SIZE
 
 def assign_tiles_batch(batch: pa.Table, zooms, convention: str = "xyz",
                        lon_col: str = "lon", lat_col: str = "lat",
-                       keep_cols=None, with_pixel: bool = False) -> pa.Table:
+                       keep_cols=None, with_pixel: bool = False,
+                       profile: str = "mercator") -> pa.Table:
     """One output row per (input row, zoom): keep_cols ++ (z, x, y
-    [, px, py]).  Fully columnar: indices repeated, then take()."""
+    [, px, py]).  Fully columnar: indices repeated, then take().
+    profile: "mercator" (WebMercatorQuad) or "geodetic"
+    (plate-carrée WorldCRS84Quad, tiles only)."""
+    if profile not in ("mercator", "geodetic"):
+        raise ValueError(f"profile must be mercator|geodetic, got {profile}")
+    if profile == "geodetic" and with_pixel:
+        raise NotImplementedError("geodetic profile: tile assignment only")
     lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
     lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(lon)
@@ -50,6 +57,8 @@ def assign_tiles_batch(batch: pa.Table, zooms, convention: str = "xyz",
             tx, ty, col, row = _tiles.tile_pixel(lon, lat, z, convention)
             pxs.append(col)
             pys.append(row)
+        elif profile == "geodetic":
+            tx, ty = _tiles.lonlat_to_tile_geodetic(lon, lat, z, convention)
         else:
             tx, ty = _tiles.lonlat_to_tile(lon, lat, z, convention)
         zs.append(np.full(n, z, dtype=np.int32))
@@ -79,7 +88,8 @@ def partial_tile_counts(batch: pa.Table) -> pa.Table:
 
 
 def tile_counts(ds, zooms, convention: str = "xyz",
-                lon_col: str = "lon", lat_col: str = "lat"):
+                lon_col: str = "lon", lat_col: str = "lat",
+                profile: str = "mercator"):
     """Dataset pipeline: assign → per-batch partials → bucketed final sum.
     Returns a Dataset of (z, x, y, n_pages).
 
@@ -92,7 +102,7 @@ def tile_counts(ds, zooms, convention: str = "xyz",
     assigned = ds.map_batches(
         lambda b: partial_tile_counts(
             assign_tiles_batch(b, zooms, convention, lon_col, lat_col,
-                               keep_cols=[])),
+                               keep_cols=[], profile=profile)),
         batch_format="pyarrow",
     )
     return bucketed_group_agg(assigned, ["z", "x", "y"],

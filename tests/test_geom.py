@@ -425,3 +425,82 @@ def test_conic_dict_spec():
     lo, la, _ = ti.transform_with_errors(x, y)
     np.testing.assert_allclose(lo, [-75.0], atol=1e-11)
     np.testing.assert_allclose(la, [35.0], atol=1e-11)
+
+
+# --- curve geometries (CircularString / CompoundCurve / CurvePolygon) ----
+
+
+def test_curve_wkb_roundtrip():
+    from gdal_ray.geom import wkb as W
+
+    cs = W.encode_circularstring([(2, 0), (0, 2), (-2, 0)])
+    g = W.decode(cs)
+    assert g["type"] == "CircularString"
+    np.testing.assert_array_equal(
+        g["coordinates"], [[2, 0], [0, 2], [-2, 0]])
+
+    ls = W.encode_linestring([(-2, 0), (2, 0)])
+    cc = W.encode_compoundcurve([cs, ls])
+    g = W.decode(cc)
+    assert g["type"] == "CompoundCurve"
+    assert [p["type"] for p in g["parts"]] == ["CircularString",
+                                               "LineString"]
+
+    ring = W.encode_circularstring([(2, 0), (0, 2), (-2, 0), (0, -2),
+                                    (2, 0)])
+    cp = W.encode_curvepolygon([ring])
+    g = W.decode(cp)
+    assert g["type"] == "CurvePolygon"
+    assert g["parts"][0]["type"] == "CircularString"
+
+    mc = W.encode_multicurve([cs, ls])
+    assert W.decode(mc)["type"] == "MultiCurve"
+    ms = W.encode_multisurface([cp])
+    assert W.decode(ms)["type"] == "MultiSurface"
+
+
+def test_stroke_arc_semantics():
+    from gdal_ray.geom import curves as C
+
+    # CCW semicircle r=2: ceil(180/4)=45 segments, endpoints exact
+    pts = C.stroke_arc((2, 0), (0, 2), (-2, 0))
+    assert len(pts) == 46
+    np.testing.assert_array_equal(pts[0], [2, 0])
+    np.testing.assert_array_equal(pts[-1], [-2, 0])
+    assert (pts[1:, 1] >= 0).all()  # stays in upper half-plane
+    np.testing.assert_allclose(np.hypot(pts[:, 0], pts[:, 1]), 2.0,
+                               atol=1e-12)
+    # CW arc through (0,-2) stays in the lower half-plane
+    cw = C.stroke_arc((2, 0), (0, -2), (-2, 0))
+    assert (cw[1:-1, 1] < 0).all()
+    # collinear triple degenerates to the 3-point polyline
+    col = C.stroke_arc((0, 0), (1, 1), (2, 2))
+    np.testing.assert_array_equal(col, [[0, 0], [1, 1], [2, 2]])
+
+
+def test_linearize_curvepolygon_area():
+    """Full circular ring strokes to a polygon whose shoelace area
+    approaches πr² from below (inscribed polygon)."""
+    from gdal_ray.geom import curves as C, wkb as W
+
+    ring = W.encode_circularstring([(2, 0), (0, 2), (-2, 0), (0, -2),
+                                    (2, 0)])
+    g = C.linearize(W.decode(W.encode_curvepolygon([ring])))
+    assert g["type"] == "Polygon"
+    r0 = np.asarray(g["coordinates"][0])
+    x, y = r0[:, 0], r0[:, 1]
+    area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    assert 0.999 * np.pi * 4 < area < np.pi * 4
+
+
+def test_linearize_wkb_reencodes():
+    from gdal_ray.geom import curves as C, wkb as W
+
+    cs = W.encode_circularstring([(2, 0), (0, 2), (-2, 0)])
+    out = W.decode(C.linearize_wkb(cs))
+    assert out["type"] == "LineString" and len(out["coordinates"]) == 46
+    # compound: semicircle + return edge, shared endpoints dropped
+    cc = W.encode_compoundcurve(
+        [cs, W.encode_linestring([(-2, 0), (2, 0)])])
+    out = W.decode(C.linearize_wkb(cc))
+    assert out["type"] == "LineString" and len(out["coordinates"]) == 47
