@@ -225,8 +225,87 @@ class _Parser:
             return pds.scalar(None)
         if k == "ident":
             self.next()
+            if self.peek() == ("op", "("):
+                return self.func_call(v.upper())
             return pds.field(v)
         raise ValueError(f"unexpected token {k} {v}")
+
+    # --- scalar function calls (swq_op_registrar analog,
+    # ogr/swq_op_general.cpp): CONCAT/SUBSTR/UPPER/LOWER/LENGTH/ABS/
+    # ROUND/FLOOR/CEIL/SQRT/POWER/COALESCE + CAST(x AS type) ---------
+
+    _CAST_TYPES = {
+        "INTEGER": pa.int32(), "INT": pa.int32(), "BIGINT": pa.int64(),
+        "SMALLINT": pa.int16(), "DOUBLE": pa.float64(),
+        "FLOAT": pa.float32(), "REAL": pa.float32(),
+        "VARCHAR": pa.string(), "TEXT": pa.string(),
+        "CHARACTER": pa.string(), "BOOLEAN": pa.bool_(),
+    }
+
+    def func_call(self, name: str):
+        self.expect("op", "(")
+        if name == "CAST":
+            e = self.or_term()
+            kk, vv = self.next()  # AS tokenizes as a plain ident
+            if not (kk == "ident" and vv.upper() == "AS"):
+                raise ValueError("CAST needs 'AS type'")
+            tk, tv = self.next()
+            typ = self._CAST_TYPES.get(tv.upper()) if tk == "ident" else None
+            if typ is None:
+                raise ValueError(f"unsupported CAST type {tv!r}")
+            self.expect("op", ")")
+            return e.cast(typ)
+        args, spans = [], []
+        if self.peek() != ("op", ")"):
+            start = self.i
+            args.append(self.or_term())
+            spans.append((start, self.i))
+            while self.peek() == ("op", ","):
+                self.next()
+                start = self.i
+                args.append(self.or_term())
+                spans.append((start, self.i))
+        self.expect("op", ")")
+
+        def lit(i):
+            # scalar-option arguments (SUBSTR offsets, ROUND digits)
+            # must be numeric literals, as in the reference's swq
+            s, e = spans[i]
+            if e - s == 1 and self.toks[s][0] == "num":
+                v = self.toks[s][1]
+                return float(v) if "." in v else int(v)
+            raise ValueError(f"{name} arg {i + 1} must be a literal")
+
+        if name == "CONCAT":
+            return pc.binary_join_element_wise(*args, "")
+        if name == "SUBSTR" or name == "SUBSTRING":
+            start = int(lit(1))
+            if len(args) == 3:
+                return pc.utf8_slice_codeunits(
+                    args[0], start - 1, start - 1 + int(lit(2)))
+            return pc.utf8_slice_codeunits(args[0], start - 1)
+        if name == "UPPER":
+            return pc.utf8_upper(args[0])
+        if name == "LOWER":
+            return pc.utf8_lower(args[0])
+        if name == "LENGTH":
+            return pc.utf8_length(args[0])
+        if name == "ABS":
+            return pc.abs(args[0])
+        if name == "ROUND":
+            nd = int(lit(1)) if len(args) == 2 else 0
+            return pc.round(args[0], ndigits=nd)
+        if name == "FLOOR":
+            return pc.floor(args[0])
+        if name == "CEIL" or name == "CEILING":
+            return pc.ceil(args[0])
+        if name == "SQRT":
+            return pc.sqrt(args[0])
+        if name == "POWER" or name == "POW":
+            return pc.power(args[0], args[1])
+        if name == "COALESCE":
+            return pc.coalesce(*args)
+        raise ValueError(f"unknown function {name}")
 
     def literal_value(self):
         k, v = self.next()
@@ -248,3 +327,48 @@ def compile_where(where: str) -> pds.Expression:
 def filter_batch(batch: pa.Table, where: str) -> pa.Table:
     """Apply a WHERE string to one Arrow batch (vectorized)."""
     return batch.filter(compile_where(where))
+
+
+def compile_select(select: str) -> list[tuple[str, pds.Expression]]:
+    """Compile an OGR-SQL SELECT list — ``expr [AS alias], ...`` with
+    scalar functions, CAST and arithmetic (the swq select-expr
+    evaluator, ogr/ogr_swq.h:42-81 + swq_op_general.cpp) — to named
+    pyarrow expressions.  Bare columns keep their name; unaliased
+    expressions get ``expr1..exprN``."""
+    p = _Parser(_tokenize(select))
+    out: list[tuple[str, pds.Expression]] = []
+    n_anon = 0
+    while True:
+        start = p.i
+        e = p.or_term()
+        name = None
+        k, v = p.peek()
+        if k == "ident" and v.upper() == "AS":
+            p.next()
+            kk, vv = p.next()
+            if kk not in ("ident", "str"):
+                raise ValueError(f"bad alias {vv!r}")
+            name = vv
+        if name is None:
+            # bare single-column reference keeps the column name
+            if p.i - start == 1 and p.toks[start][0] == "ident":
+                name = p.toks[start][1].strip('"')
+            else:
+                n_anon += 1
+                name = f"expr{n_anon}"
+        out.append((name, e))
+        k, v = p.peek()
+        if (k, v) == ("op", ","):
+            p.next()
+            continue
+        if (k, v) == (None, None):
+            return out
+        raise ValueError(f"trailing tokens in SELECT: {p.toks[p.i:]}")
+
+
+def select_batch(batch: pa.Table, select: str) -> pa.Table:
+    """Project one Arrow batch through a SELECT-list string (vectorized
+    via a dataset scanner projection — expressions evaluate batch-wide,
+    no Python row loop)."""
+    cols = dict(compile_select(select))
+    return pds.dataset(batch).to_table(columns=cols)

@@ -240,6 +240,26 @@ def q_events_filter_where(sf_dir: str):
     return ds.map_batches(lambda b: b.filter(expr), batch_format="pyarrow")
 
 
+def q_events_select_expr(sf_dir: str):
+    """SELECT-list expressions through the swq select-expr evaluator
+    (functions/expr.py:compile_select; ogr/swq_op_general.cpp
+    function registry): arithmetic, %, CONCAT, SUBSTR, UPPER, LENGTH,
+    CAST, FLOOR/ABS in one vectorized scanner projection."""
+    from ..functions.expr import select_batch
+
+    sel = ("event_id, "
+           "CAST(event_id % 7 + 1 AS BIGINT) AS w, "
+           "UPPER(SUBSTR(event_type, 1, 3)) AS tag, "
+           "CONCAT(event_type, '-', CAST(event_id % 10 AS VARCHAR)) "
+           "AS tagged, "
+           "CAST(FLOOR(ABS(value) * 100.0 + 0.5) AS BIGINT) AS cents, "
+           "CAST(LENGTH(event_type) AS BIGINT) AS tlen")
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return ds.map_batches(lambda b: select_batch(b, sel),
+                          batch_format="pyarrow")
+
+
 def q_events_filter_like(sf_dir: str):
     """LIKE + BETWEEN + IS NOT NULL through the WHERE compiler
     (swq grammar, ogr/ogr_swq.h:42-81)."""
@@ -1911,6 +1931,7 @@ QUERIES = {
     "orders_customer_revenue": q_orders_customer_revenue,
     "events_filter_where": q_events_filter_where,
     "events_filter_like": q_events_filter_like,
+    "events_select_expr": q_events_select_expr,
     "orders_lineitem_join": q_orders_lineitem_join,
     "events_count_distinct_users": q_events_count_distinct_users,
     "events_windowed_hourly": q_events_windowed_hourly,
@@ -2187,6 +2208,16 @@ ORACLES = {
         SELECT event_id, event_type, value FROM events
         WHERE event_type LIKE 'p%' AND value BETWEEN 5.0 AND 50.0
           AND props IS NOT NULL
+    """,
+    "events_select_expr": """
+        SELECT event_id,
+               CAST(event_id % 7 + 1 AS BIGINT) AS w,
+               UPPER(SUBSTR(event_type, 1, 3)) AS tag,
+               CONCAT(event_type, '-',
+                      CAST(event_id % 10 AS VARCHAR)) AS tagged,
+               CAST(FLOOR(ABS(value) * 100.0 + 0.5) AS BIGINT) AS cents,
+               CAST(LENGTH(event_type) AS BIGINT) AS tlen
+        FROM events
     """,
     "orders_lineitem_join": """
         SELECT o.o_orderpriority,

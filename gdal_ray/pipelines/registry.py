@@ -87,6 +87,18 @@ def _select(ds, args):
     return ds.select_columns(list(args["columns"]))
 
 
+@register("select_expr")
+def _select_expr(ds, args):
+    """SELECT-list projection with expressions — ``expr [AS alias],
+    ...`` with scalar functions / CAST / arithmetic (swq select-expr
+    evaluator; see functions/expr.py:compile_select)."""
+    from ..functions.expr import select_batch
+
+    sel = args["exprs"]
+    return ds.map_batches(lambda b: select_batch(b, sel),
+                          batch_format="pyarrow")
+
+
 @register("rename")
 def _rename(ds, args):
     mapping = dict(args["mapping"])

@@ -597,3 +597,54 @@ def test_simhash_near_dup_pairs(ray_session):
                 ["hamming"].iloc[0])
     assert ham12 == 0
     assert not any(4 in p for p in pairs)
+
+
+def test_select_expr_functions():
+    """compile_select/select_batch: scalar-function + CAST coverage of
+    the swq select-expr evaluator, checked against hand-computed rows."""
+    import pyarrow as pa
+    from gdal_ray.functions.expr import compile_select, select_batch
+
+    t = pa.table({
+        "event_id": [1, 22, 333],
+        "event_type": ["click", "view", "purchase"],
+        "value": [1.5, None, -3.75],
+    })
+    out = select_batch(
+        t,
+        "event_id, CAST(event_id % 7 + 1 AS BIGINT) AS w, "
+        "UPPER(SUBSTR(event_type, 1, 3)) AS tag, "
+        "LOWER(CONCAT('X', event_type)) AS lx, "
+        "CAST(FLOOR(ABS(COALESCE(value, 0.0)) * 100.0 + 0.5) AS BIGINT)"
+        " AS cents, "
+        "ROUND(POWER(CAST(LENGTH(event_type) AS DOUBLE), 2), 0) AS l2, "
+        "value * 2")
+    d = out.to_pydict()
+    assert d["event_id"] == [1, 22, 333]
+    assert d["w"] == [2, 2, 5]
+    assert d["tag"] == ["CLI", "VIE", "PUR"]
+    assert d["lx"] == ["xclick", "xview", "xpurchase"]
+    assert d["cents"] == [150, 0, 375]
+    assert d["l2"] == [25.0, 16.0, 64.0]
+    assert d["expr1"] == [3.0, None, -7.5]  # anonymous expression name
+    # alias bookkeeping
+    names = [n for n, _ in compile_select("a, b AS c, a + b")]
+    assert names == ["a", "c", "expr1"]
+    # errors: non-literal SUBSTR offset, unknown function
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        compile_select("SUBSTR(event_type, event_id)")
+    with _pytest.raises(ValueError):
+        compile_select("NO_SUCH_FN(event_id)")
+
+
+def test_select_expr_registry_step(ray_session):
+    import ray.data as rd
+    from gdal_ray.pipelines.registry import REGISTRY
+
+    ds = rd.from_items([{"a": 1, "s": "ab"}, {"a": 2, "s": "cd"}])
+    out = REGISTRY["select_expr"](
+        ds, {"exprs": "a * 10 AS a10, UPPER(s) AS u"})
+    d = out.to_pandas().sort_values("a10").reset_index(drop=True)
+    assert list(d["a10"]) == [10, 20]
+    assert list(d["u"]) == ["AB", "CD"]
