@@ -207,18 +207,18 @@ def q_topk_orders(sf_dir: str):
 
 
 def q_orders_customer_revenue(sf_dir: str):
-    """Broadcast equality lookup join (OGR SQL LEFT JOIN semantics) +
-    grouped aggregate."""
+    """Equality lookup join (OGR SQL LEFT JOIN semantics) + grouped
+    aggregate — size-dispatched: broadcast while the customer side
+    fits a worker heap, distributed hash join beyond
+    (stages/join.py:join_auto)."""
+    from ..stages.join import join_auto
+
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_mktsegment"]) \
-        .to_arrow_refs()
-    import ray as _ray
-    cust_t = pa.concat_tables([_ray.get(r) for r in cust])
+                           columns=["c_custkey", "c_mktsegment"])
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
-    joined = broadcast_join(
-        orders, cust_t.rename_columns(["o_custkey", "c_mktsegment"]),
-        keys="o_custkey")
+    joined = join_auto(orders, cust, keys="o_custkey",
+                       right_keys="c_custkey")
     out = partial_final_agg(joined, "c_mktsegment",
                             [("o_totalprice", "sum", "revenue"),
                              (None, "count", "n_orders")])

@@ -46,3 +46,49 @@ def broadcast_join(ds, small_table: pa.Table, keys,
                                    join_type=join_type),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=_autoscale(concurrency))
+
+
+# default broadcast ceiling: the build side must fit in every worker's
+# heap next to a streaming batch; 256 MB leaves headroom on the 4 GB
+# heaps this engine sizes for (same dispatch pattern as
+# stages/raster.py:value_at_points_auto)
+BROADCAST_MAX_BYTES = 256 << 20
+
+
+def join_auto(ds, lookup_ds, keys, right_keys=None,
+              join_type: str = "inner",
+              broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
+              concurrency=None):
+    """Size-dispatched equi-join: if the lookup side's estimated size
+    fits under ``broadcast_max_bytes`` it is collected ONCE and
+    broadcast (``ray.put`` → per-actor pyarrow hash join, no shuffle);
+    otherwise both sides go through Ray's distributed hash join with a
+    data-proportional partition count.  ``right_keys`` renames the
+    lookup side's key columns to match ``keys`` (broadcast path renames
+    columns; shuffle path passes ``right_on``)."""
+    from ._pool import cluster_cpus
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    rk = ([right_keys] if isinstance(right_keys, str)
+          else list(right_keys)) if right_keys else keys
+    try:
+        est = lookup_ds.size_bytes() or 0
+    except Exception:
+        est = 0
+    if est <= broadcast_max_bytes:
+        tbl = pa.concat_tables(ray.get(lookup_ds.to_arrow_refs()))
+        if rk != keys:
+            tbl = tbl.rename_columns(
+                [keys[rk.index(c)] if c in rk else c
+                 for c in tbl.column_names])
+        return broadcast_join(ds, tbl, keys, join_type=join_type,
+                              concurrency=concurrency)
+    try:
+        left_est = ds.size_bytes() or 0
+    except Exception:
+        left_est = 0
+    nparts = int(min(max(16, (left_est + est) // (128 << 20)),
+                     16 * cluster_cpus()))
+    return ds.join(lookup_ds, join_type=join_type,
+                   num_partitions=nparts,
+                   on=tuple(keys), right_on=tuple(rk))

@@ -648,3 +648,28 @@ def test_select_expr_registry_step(ray_session):
     d = out.to_pandas().sort_values("a10").reset_index(drop=True)
     assert list(d["a10"]) == [10, 20]
     assert list(d["u"]) == ["AB", "CD"]
+
+
+def test_join_auto_paths_agree(ray_session):
+    """join_auto: broadcast path (small side fits) and forced shuffle
+    path (ceiling 0) produce identical joined rows."""
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.stages.join import join_auto
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5, 2, 3], pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50, 21, 31], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 3, 4], pa.int64()),
+        "tag": pa.array(["b", "c", "d"])}))
+
+    def rows(ds):
+        d = ds.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        return list(map(tuple, d[["k", "v", "tag"]].itertuples(index=False)))
+
+    bcast = rows(join_auto(left, right, keys="k", right_keys="rk"))
+    shuf = rows(join_auto(left, right, keys="k", right_keys="rk",
+                          broadcast_max_bytes=0))
+    assert bcast == shuf
+    assert len(bcast) == 5 and {t[2] for t in bcast} == {"b", "c", "d"}
