@@ -1437,10 +1437,16 @@ def q_raster_warp_bilinear(sf_dir: str):
     quantized half-up at 1/256 through an explicit float32 cast on both
     sides (the engine stores float32 rasters, so both sides round
     through the same f32 grid before quantizing)."""
+    return _warp_f32_summary(sf_dir, "bilinear")
+
+
+def _warp_f32_summary(sf_dir: str, resampling: str):
+    """Float32 warp + per-tile quantized pixel sum (both float kernels
+    share the f32-grid half-up quantization contract with their SQL)."""
     from ..stages.warp import warp_to_platecarree
 
     out = warp_to_platecarree(_rendered_tiles(sf_dir, 2),
-                              resampling="bilinear")
+                              resampling=resampling)
 
     def summarize(b: pa.Table) -> pa.Table:
         import zlib as _z
@@ -1453,6 +1459,16 @@ def q_raster_warp_bilinear(sf_dir: str):
                          "val_q_sum": pa.array(qs, pa.int64())})
 
     return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_raster_warp_cubic(sf_dir: str):
+    """gdalwarp -r cubic (Catmull-Rom a=−0.5, GWKCubicKernel,
+    alg/gdalresamplingkernels.h:37): 4 row taps at y0−1..y0+2 with a
+    1.5-pixel emission halo; the aligned column direction degenerates
+    to weights (0,1,0,0) exactly.  ORACLE: SQL joins the 4 tap rows per
+    output pixel and applies the identical Horner-form kernel
+    polynomials; quantization as in raster_warp_bilinear."""
+    return _warp_f32_summary(sf_dir, "cubic")
 
 
 def q_raster_proximity(sf_dir: str):
@@ -1922,6 +1938,7 @@ QUERIES = {
     "poly_concave": q_poly_concave,
     "raster_warp": q_raster_warp,
     "raster_warp_bilinear": q_raster_warp_bilinear,
+    "raster_warp_cubic": q_raster_warp_cubic,
     "raster_proximity": q_raster_proximity,
     "raster_fillnodata": q_raster_fillnodata,
     "raster_sieve": q_raster_sieve,
@@ -3130,6 +3147,81 @@ ORACLES["raster_warp_bilinear"] = f"""
        LEFT JOIN mp m10 ON m10.gx = p.x1 AND m10.gy = p.y0
        LEFT JOIN mp m01 ON m01.gx = p.x0 AND m01.gy = p.y1
        LEFT JOIN mp m11 ON m11.gx = p.x1 AND m11.gy = p.y1)
+    SELECT CAST(2 AS INTEGER) AS z, xo AS x, yo AS y,
+           CAST(sum(CAST(floor(CAST(val AS REAL) * 256.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS val_q_sum
+    FROM sampled GROUP BY xo, yo
+"""
+
+# cubic warp oracle: 1.5-pixel halo; 4 tap-row joins per output pixel;
+# kernel polynomials in the same Horner form as stages/warp.py
+# (_cubic_w_near/_cubic_w_far) so both engines compute bit-identical
+# weights; the aligned column direction is exactly (0,1,0,0).
+ORACLES["raster_warp_cubic"] = f"""
+    WITH pts AS ({_PTS_SQL}),
+    mp AS (SELECT
+             CAST(least(greatest(floor((lon+180.0)/360.0*1024.0), 0),
+                        1023) AS BIGINT) AS gx,
+             CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                  + 1.0/cos(radians(lat)))/pi())/2.0*1024.0), 0), 1023)
+                  AS BIGINT) AS gy,
+             count(*) AS n
+           FROM pts GROUP BY 1, 2),
+    src AS (SELECT DISTINCT gx // 256 AS sx, gy // 256 AS sy FROM mp),
+    srcb AS (SELECT sx, sy,
+                    degrees(atan((exp(pi()*(1.0-2.0*(sy*256 - 1.5)/1024.0))
+                           - exp(-pi()*(1.0-2.0*(sy*256 - 1.5)/1024.0)))
+                           /2.0)) AS lat_n,
+                    degrees(atan((exp(pi()*(1.0-2.0*((sy+1)*256 + 1.5)/1024.0))
+                           - exp(-pi()*(1.0-2.0*((sy+1)*256 + 1.5)/1024.0)))
+                           /2.0)) AS lat_s
+             FROM src),
+    dest AS (SELECT DISTINCT sx AS xo,
+                    unnest(generate_series(
+                      CAST(greatest(floor((90.0-lat_n)/45.0), 0)
+                           AS BIGINT),
+                      CAST(least(floor((90.0-lat_s)/45.0 - 1e-12), 3)
+                           AS BIGINT))) AS yo
+             FROM srcb),
+    opix AS (SELECT d.xo, d.yo,
+                    -180.0 + (d.xo + (px.i+0.5)/256.0) * 90.0 AS lon,
+                    90.0 - (d.yo + (py.i+0.5)/256.0) * 45.0 AS lat
+             FROM dest d
+             CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) px
+             CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) py),
+    pix AS (SELECT xo, yo,
+               (lon+180.0)/360.0*1024.0 - 0.5 AS fx,
+               CASE WHEN abs(lat) <= 85.05112877980659 THEN
+                 (1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))
+                    /pi())/2.0*1024.0 - 0.5
+               END AS fy
+            FROM opix),
+    pix2 AS (SELECT xo, yo,
+                greatest(CAST(floor(fx) AS BIGINT), 0) AS x0,
+                CAST(floor(fy) AS BIGINT) AS y0r,
+                fy - floor(fy) AS wy
+             FROM pix),
+    pix3 AS (SELECT xo, yo, x0,
+                least(greatest(y0r - 1, 0), 1023) AS ym1,
+                least(greatest(y0r, 0), 1023) AS yc0,
+                least(greatest(y0r + 1, 0), 1023) AS yp1,
+                least(greatest(y0r + 2, 0), 1023) AS yp2,
+                ((-0.5*(1.0+wy) + 2.5)*(1.0+wy) - 4.0)*(1.0+wy) + 2.0
+                    AS w0,
+                (1.5*wy - 2.5)*wy*wy + 1.0 AS w1,
+                (1.5*(1.0-wy) - 2.5)*(1.0-wy)*(1.0-wy) + 1.0 AS w2,
+                ((-0.5*(2.0-wy) + 2.5)*(2.0-wy) - 4.0)*(2.0-wy) + 2.0
+                    AS w3
+             FROM pix2),
+    sampled AS (SELECT p.xo, p.yo,
+          CASE WHEN p.yc0 IS NULL THEN 0.0 ELSE
+            p.w0*COALESCE(m0.n, 0) + p.w1*COALESCE(m1.n, 0)
+            + p.w2*COALESCE(m2.n, 0) + p.w3*COALESCE(m3.n, 0) END AS val
+       FROM pix3 p
+       LEFT JOIN mp m0 ON m0.gx = p.x0 AND m0.gy = p.ym1
+       LEFT JOIN mp m1 ON m1.gx = p.x0 AND m1.gy = p.yc0
+       LEFT JOIN mp m2 ON m2.gx = p.x0 AND m2.gy = p.yp1
+       LEFT JOIN mp m3 ON m3.gx = p.x0 AND m3.gy = p.yp2)
     SELECT CAST(2 AS INTEGER) AS z, xo AS x, yo AS y,
            CAST(sum(CAST(floor(CAST(val AS REAL) * 256.0 + 0.5)
                          AS BIGINT)) AS BIGINT) AS val_q_sum

@@ -60,16 +60,16 @@ def _lat_of_gp(gp: float, z: int) -> float:
     return float(np.degrees(np.arctan(np.sinh(t))))
 
 
-def emit_to_dest(batch: pa.Table, halo: bool = False) -> pa.Table:
+def emit_to_dest(batch: pa.Table, halo: float = 0.0) -> pa.Table:
     """Source mercator tile → one row per overlapped output tile.
 
-    ``halo=True`` (bilinear) expands the source footprint by half a
-    source pixel row on each side — a dest pixel center at continuous
-    global row gpy reads source rows floor(gpy-0.5) and +1, so it
-    touches tile row sy iff gpy ∈ [sy·256-0.5, (sy+1)·256+0.5).  The
-    lon direction needs no halo: the dest lon grid aligns exactly with
-    the source columns at equal zoom (wx ≡ 0, see _warp_one_bilinear).
-    """
+    ``halo`` expands the source footprint by that many source pixel
+    rows on each side: a dest pixel center at continuous global row gpy
+    reads rows floor(gpy-0.5)±(taps), so it touches tile row sy iff
+    gpy ∈ [sy·256-halo, (sy+1)·256+halo) — 0.5 for bilinear (2 taps),
+    1.5 for cubic (4 taps).  The lon direction needs no halo: the dest
+    lon grid aligns exactly with the source columns at equal zoom
+    (wx ≡ 0, see _warp_one_bilinear)."""
     keys, zs, xs, ys, blobs = [], [], [], [], []
     for z, x, y, blob in zip(batch["z"].to_pylist(), batch["x"].to_pylist(),
                              batch["y"].to_pylist(),
@@ -79,8 +79,8 @@ def emit_to_dest(batch: pa.Table, halo: bool = False) -> pa.Table:
         lon0 = -180.0 + x * 360.0 / n
         lon1 = lon0 + 360.0 / n
         if halo:
-            lat_n = _lat_of_gp(y * 256 - 0.5, z)
-            lat_s = _lat_of_gp((y + 1) * 256 + 0.5, z)
+            lat_n = _lat_of_gp(y * 256 - halo, z)
+            lat_s = _lat_of_gp((y + 1) * 256 + halo, z)
         else:
             lat_s, lat_n = _merc_lat_range(y, z)
         # overlapped output tiles: lon cols are 360/2^z wide (== same
@@ -193,19 +193,74 @@ def _warp_one_bilinear(z: int, xo: int, yo: int, grids: dict) -> np.ndarray:
     return out.reshape(TILE, TILE)
 
 
+def _cubic_w_near(d):
+    """Catmull-Rom cubic kernel (a = −0.5), |d| ≤ 1 branch, Horner form
+    shared verbatim with the SQL oracle (GWKCubicKernel,
+    alg/gdalresamplingkernels.h:37)."""
+    return (1.5 * d - 2.5) * d * d + 1.0
+
+
+def _cubic_w_far(d):
+    """Cubic kernel 1 < |d| ≤ 2 branch (same Horner form as the SQL)."""
+    return ((-0.5 * d + 2.5) * d - 4.0) * d + 2.0
+
+
+def _warp_one_cubic(z: int, xo: int, yo: int, grids: dict) -> np.ndarray:
+    """Cubic-convolution resample (GRA_Cubic, Catmull-Rom a=−0.5): 4
+    row taps at y0−1..y0+2 weighted by the cubic kernel; the column
+    direction degenerates to the single aligned column (wx ≡ 0 ⇒
+    weights (0,1,0,0) exactly — the kernel polynomials are exact at
+    integer distances in IEEE arithmetic)."""
+    n = 1 << z
+    npix = n * TILE
+    lon = -180.0 + (xo + (np.arange(TILE) + 0.5) / TILE) * 360.0 / n
+    lat = 90.0 - (yo + (np.arange(TILE) + 0.5) / TILE) * 180.0 / n
+    lon2 = np.repeat(lon[None, :], TILE, axis=0).ravel()
+    lat2 = np.repeat(lat[:, None], TILE, axis=1).ravel()
+    inside = np.abs(lat2) <= _tiles.MAX_LATITUDE
+    out = np.zeros(TILE * TILE, dtype=np.float64)
+    if inside.any():
+        li, ai = lon2[inside], lat2[inside]
+        gpx = (li + 180.0) / 360.0 * npix
+        r = np.radians(ai)
+        gpy = (1.0 - np.log(np.tan(r) + 1.0 / np.cos(r)) / np.pi) / 2.0 * npix
+        fx = gpx - 0.5
+        fy = gpy - 0.5
+        x0 = np.maximum(np.floor(fx).astype(np.int64), 0)
+        y0 = np.floor(fy).astype(np.int64)
+        wy = fy - y0
+        w = (_cubic_w_far(1.0 + wy), _cubic_w_near(wy),
+             _cubic_w_near(1.0 - wy), _cubic_w_far(2.0 - wy))
+        val = np.zeros(inside.sum(), dtype=np.float64)
+        for j in range(4):
+            yj = np.clip(y0 - 1 + j, 0, npix - 1)
+            val = val + w[j] * _gather(grids, x0, yj)
+        out[inside] = val
+    return out.reshape(TILE, TILE)
+
+
+_RESAMPLERS = {
+    "nearest": (_warp_one, 0.0),
+    "bilinear": (_warp_one_bilinear, 0.5),
+    "cubic": (_warp_one_cubic, 1.5),
+}
+
+
 def warp_to_platecarree(tiles_ds, n_buckets: int | None = None,
                         resampling: str = "nearest"):
     """Mercator tile table → plate-carrée tile table; output y rows run
     north→south from lat +90.  resampling: "nearest" (GDAL default,
-    uint16 raster out) or "bilinear" (float32 ``raster_f32`` out)."""
+    uint16 raster out), "bilinear" or "cubic" (float32 ``raster_f32``
+    out)."""
     from ._pool import cluster_cpus
     B = n_buckets or max(16, cluster_cpus() * 2)
-    if resampling not in ("nearest", "bilinear"):
+    if resampling not in _RESAMPLERS:
         raise ValueError(f"unsupported resampling {resampling!r}")
-    bilinear = resampling == "bilinear"
+    kernel, halo = _RESAMPLERS[resampling]
+    bilinear = resampling != "nearest"  # float32 output path
 
     emit = tiles_ds.map_batches(
-        lambda b: emit_to_dest(b, halo=bilinear), batch_format="pyarrow")
+        lambda b: emit_to_dest(b, halo=halo), batch_format="pyarrow")
     emit = emit.map_batches(
         lambda b: b.append_column(
             "bucket", pa.array((b["dest"].to_numpy(zero_copy_only=False)
@@ -234,7 +289,7 @@ def warp_to_platecarree(tiles_ds, n_buckets: int | None = None,
                     zlib.decompress(blobs[r]), dtype=">u2") \
                     .reshape(TILE, TILE).astype(np.int64)
             if bilinear:
-                res = _warp_one_bilinear(z, xo, yo, grids)
+                res = kernel(z, xo, yo, grids)
                 blob = zlib.compress(
                     res.astype("<f4").tobytes(), 6)
             else:

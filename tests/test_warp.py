@@ -150,3 +150,41 @@ def test_warp_bilinear_seam_interpolation(ray_session):
         vals.update(np.unique(np.round(g[g > 0], 3)).tolist())
     # strictly-between values exist only if both rows fed one lerp
     assert any(100.0 < v < 200.0 for v in vals), sorted(vals)[:10]
+
+
+def test_warp_cubic_constant_field_and_overshoot(ray_session):
+    """Cubic kernel weights sum to 1 — a constant mosaic warps to the
+    same constant everywhere inside; a step edge overshoots (the
+    Catmull-Rom signature bilinear can't produce)."""
+    import ray.data as rd
+
+    z = 1
+    flat = np.full((TILE, TILE), 40, np.int64)
+    rows = [_tile_row(z, x, y, flat) for x in (0, 1) for y in (0, 1)]
+    out = warp_to_platecarree(rd.from_items(rows),
+                              resampling="cubic").to_pandas()
+    interior = []
+    for _, r in out.iterrows():
+        g = np.frombuffer(zlib.decompress(r["raster_f32"]),
+                          dtype="<f4").reshape(TILE, TILE)
+        # rows fully inside the mercator square and ≥2 src px from the
+        # mosaic edge: cubic of a constant is exactly the constant
+        yo = int(r["y"])
+        lat = 90.0 - (yo + (np.arange(TILE) + 0.5) / TILE) * 180.0 / 2
+        m = np.abs(lat) <= 80.0
+        interior.append(g[m])
+    inter = np.concatenate([a.ravel() for a in interior])
+    np.testing.assert_allclose(inter, 40.0, atol=1e-4)
+
+    # step edge along the equator: 0 (north tiles) → 100 (south tiles)
+    hot = np.full((TILE, TILE), 100, np.int64)
+    zero = np.zeros((TILE, TILE), np.int64)
+    rows = [_tile_row(z, 0, 0, zero), _tile_row(z, 1, 0, zero),
+            _tile_row(z, 0, 1, hot), _tile_row(z, 1, 1, hot)]
+    out = warp_to_platecarree(rd.from_items(rows),
+                              resampling="cubic").to_pandas()
+    vmax = max(
+        float(np.frombuffer(zlib.decompress(r["raster_f32"]),
+                            dtype="<f4").max())
+        for _, r in out.iterrows())
+    assert vmax > 100.0 + 1e-3  # overshoot past the step
