@@ -244,6 +244,59 @@ class _Albers:
         return (self.lon0 + np.degrees(th / self.n), np.degrees(phi))
 
 
+class _PolarStereo:
+    """Polar stereographic, variant B (standard parallel; Snyder
+    21-33..21-41, ellipsoidal).  ``south=True`` mirrors the aspect: the
+    math runs on (−lat, λ−λ0 negated in y) per Snyder p.161, which is
+    what PROJ's +proj=stere +lat_0=−90 does."""
+
+    def __init__(self, lat_ts, lon0, x0=0.0, y0=0.0, south=False,
+                 a=WGS84_A, f=WGS84_F):
+        e2 = f * (2.0 - f)
+        self.a, self.e, self.e2 = a, np.sqrt(e2), e2
+        self.south = south
+        pc = np.radians(abs(lat_ts))
+        self.mc = _snyder_m(pc, e2)
+        self.tc = _snyder_t(pc, self.e)
+        self.k = a * self.mc / self.tc  # rho = k * t(phi)
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+
+    def forward(self, lon, lat):
+        lat = np.asarray(lat, dtype=np.float64)
+        lon = np.asarray(lon, dtype=np.float64)
+        phi = np.radians(-lat if self.south else lat)
+        t = _snyder_t(phi, self.e)
+        rho = self.k * t
+        lam = np.radians(((lon - self.lon0 + 180.0) % 360.0) - 180.0)
+        if self.south:
+            lam = -lam
+        x = rho * np.sin(lam)
+        y = -rho * np.cos(lam)
+        if self.south:
+            x, y = -x, -y
+        return self.x0 + x, self.y0 + y
+
+    def inverse(self, x, y):
+        xr = np.asarray(x, dtype=np.float64) - self.x0
+        yr = np.asarray(y, dtype=np.float64) - self.y0
+        if self.south:
+            xr, yr = -xr, -yr
+        rho = np.hypot(xr, yr)
+        t = rho / self.k
+        # iterate Snyder 7-9 (same fixed point as the conics)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):
+            s = self.e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - s) / (1.0 + s)) ** (self.e / 2.0))
+        lam = np.arctan2(xr, -yr)
+        if self.south:
+            lam = -lam
+        lat = np.degrees(phi)
+        return (self.lon0 + np.degrees(lam),
+                -lat if self.south else lat)
+
+
 # ---------------------------------------------------------------------------
 # CRS registry + Transformer
 # ---------------------------------------------------------------------------
@@ -283,6 +336,10 @@ def _parse_crs(crs) -> tuple[str, dict]:
         return "conic", {"conic": _Albers(29.5, 45.5, 23.0, -96.0)}
     if code == 3978:  # NAD83 / Canada Lambert conformal conic (GRS80)
         return "conic", {"conic": _LCC(49.0, 77.0, 49.0, -95.0)}
+    if code == 3413:  # WGS84 / NSIDC Sea Ice Polar Stereographic North
+        return "conic", {"conic": _PolarStereo(70.0, -45.0)}
+    if code == 3031:  # WGS84 / Antarctic Polar Stereographic
+        return "conic", {"conic": _PolarStereo(-71.0, 0.0, south=True)}
     raise ValueError(f"unsupported CRS EPSG:{code}")
 
 

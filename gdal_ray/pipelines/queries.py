@@ -1368,6 +1368,30 @@ def q_reproject_albers(sf_dir: str):
     return pts.map_batches(proj, batch_format="pyarrow")
 
 
+def q_reproject_stereo(sf_dir: str):
+    """EPSG:4326 → EPSG:3413 (NSIDC polar stereographic north, WGS84,
+    lat_ts=70, lon_0=−45; Snyder 21-33..21-41 variant B) for the arctic
+    events — oracle restates the formulas in SQL with the projection
+    constants inlined."""
+    from ..geom.crs import Transformer
+
+    t = Transformer.from_crs("EPSG:4326", "EPSG:3413")
+    pts = event_points(sf_dir, columns=("event_id",))
+
+    def proj(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        m = lat >= 60.0
+        E, N, _ = t.transform_with_errors(lon[m], lat[m])
+        return pa.table({
+            "event_id": b["event_id"].filter(pa.array(m)),
+            "x_cm": pa.array(np.round(E * 100.0).astype(np.int64)),
+            "y_cm": pa.array(np.round(N * 100.0).astype(np.int64)),
+        })
+
+    return pts.map_batches(proj, batch_format="pyarrow")
+
+
 def q_grid_metrics(sf_dir: str):
     """gdal_grid moving-average + data-metrics algorithms over the same
     24x8 node grid as grid_idw (alg/gdalgrid.cpp:630,1059-2000):
@@ -1950,6 +1974,7 @@ QUERIES = {
     "grid_metrics": q_grid_metrics,
     "grid_linear": q_grid_linear,
     "reproject_albers": q_reproject_albers,
+    "reproject_stereo": q_reproject_stereo,
     "geom_buffer_area": q_geom_buffer_area,
     "zonal_weighted": q_zonal_weighted,
     "lineitem_summary": q_lineitem_summary,
@@ -2815,6 +2840,40 @@ def _albers_oracle() -> str:
 
 
 ORACLES["reproject_albers"] = _albers_oracle().replace("{PTS}", _PTS_SQL)
+
+
+def _stereo_oracle() -> str:
+    """Snyder polar stereographic variant B in SQL, EPSG:3413 constants
+    (K = a·mc/tc, e, e/2, lon_0=−45) inlined from geom/crs.py."""
+    from ..geom.crs import _parse_crs
+
+    p = _parse_crs("EPSG:3413")[1]["conic"]
+    e = f"{float(p.e)!r}::DOUBLE"
+    eh = f"{float(p.e / 2.0)!r}::DOUBLE"
+    K = f"{float(p.k)!r}::DOUBLE"
+    return f"""
+    WITH pts AS ({{PTS}}),
+    inw AS (SELECT event_id, lon, lat FROM pts WHERE lat >= 60.0),
+    s1 AS (SELECT event_id, lon,
+                  {e} * sin(radians(lat)) AS es,
+                  radians(lat) / 2.0 AS p2
+           FROM inw),
+    s2 AS (SELECT event_id, lon,
+                  tan(pi()/4.0 - p2)
+                    / pow((1.0 - es)/(1.0 + es), {eh}) AS t
+           FROM s1),
+    s3 AS (SELECT event_id, {K} * t AS rho,
+                  radians((((lon + 45.0 + 180.0) % 360.0 + 360.0)
+                           % 360.0) - 180.0) AS th
+           FROM s2)
+    SELECT event_id,
+           CAST(round(rho * sin(th) * 100.0, 0) AS BIGINT) AS x_cm,
+           CAST(round(-rho * cos(th) * 100.0, 0) AS BIGINT) AS y_cm
+    FROM s3
+    """
+
+
+ORACLES["reproject_stereo"] = _stereo_oracle().replace("{PTS}", _PTS_SQL)
 
 
 def _grid_linear_oracle() -> str:

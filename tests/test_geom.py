@@ -504,3 +504,44 @@ def test_linearize_wkb_reencodes():
         [cs, W.encode_linestring([(-2, 0), (2, 0)])])
     out = W.decode(C.linearize_wkb(cc))
     assert out["type"] == "LineString" and len(out["coordinates"]) == 47
+
+
+def test_polar_stereographic():
+    """EPSG:3413/3031 (Snyder 21 variant B): roundtrip identity, unit
+    scale at the standard parallel, pole at the origin, aspect signs."""
+    from gdal_ray.geom.crs import Transformer, _parse_crs
+
+    for code, lat_lo, lat_hi, ts in (("EPSG:3413", 55.0, 89.9, 70.0),
+                                     ("EPSG:3031", -89.9, -55.0, -71.0)):
+        fwd = Transformer.from_crs("EPSG:4326", code)
+        inv = Transformer.from_crs(code, "EPSG:4326")
+        rs = np.random.RandomState(13)
+        lon = rs.uniform(-180, 180, 500)
+        lat = rs.uniform(lat_lo, lat_hi, 500)
+        x, y, ok = fwd.transform_with_errors(lon, lat)
+        assert ok.all()
+        lon2, lat2, _ = inv.transform_with_errors(x, y)
+        dl = np.abs(((lon2 - lon + 180) % 360) - 180)
+        assert dl.max() < 1e-9 and np.abs(lat2 - lat).max() < 1e-9
+        p = _parse_crs(code)[1]["conic"]
+        # pole → origin
+        np.testing.assert_allclose(
+            p.forward(0.0, 90.0 if ts > 0 else -90.0), (0.0, 0.0),
+            atol=1e-6)
+        # scale factor 1 at the standard parallel (along-meridian)
+        x1, y1 = p.forward(0.0, ts - 0.0005)
+        x2, y2 = p.forward(0.0, ts + 0.0005)
+        e2 = p.e2
+        M = 6378137.0 * (1 - e2) / (1 - e2 * np.sin(np.radians(ts)) ** 2) ** 1.5
+        k = np.hypot(x2 - x1, y2 - y1) / (M * np.radians(0.001))
+        assert abs(k - 1.0) < 1e-9
+    # aspect: 3413 has lon −45 on the −y axis; 3031 has lon 0 on +y
+    p = _parse_crs("EPSG:3413")[1]["conic"]
+    x, y = p.forward(-45.0, 70.0)
+    assert abs(x) < 1e-6 and y < 0
+    p = _parse_crs("EPSG:3031")[1]["conic"]
+    x, y = p.forward(0.0, -71.0)
+    assert abs(x) < 1e-6 and y > 0
+    # east of the central meridian is +x in both aspects
+    assert _parse_crs("EPSG:3413")[1]["conic"].forward(45.0, 70.0)[0] > 0
+    assert _parse_crs("EPSG:3031")[1]["conic"].forward(90.0, -71.0)[0] > 0
