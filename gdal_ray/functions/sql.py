@@ -1,0 +1,247 @@
+"""OGR-SQL statement executor over Ray Datasets.
+
+The reference executes ``SELECT`` statements against layers through the
+generic SQL engine (``GDALDataset::ExecuteSQL`` →
+ogr/ogrsf_frmts/generic/ogr_gensql.cpp; dialect reference
+doc/source/user/ogr_sql_dialect.rst).  This module re-expresses the
+supported statement shape Ray-Data-first:
+
+    SELECT [DISTINCT] select-list
+    FROM table
+    [WHERE predicate]
+    [GROUP BY col, ...]
+    [ORDER BY col [ASC|DESC], ...]
+    [LIMIT n [OFFSET m]]
+
+- the select-list runs through ``compile_select`` (expressions, scalar
+  functions, CAST, aliases) as ONE vectorized scanner projection;
+- aggregates COUNT(*) / COUNT / MIN / MAX / SUM / AVG compile to the
+  engine's partial+final distributed aggregation
+  (stages/aggregate.py:partial_final_agg) — aggregate arguments may be
+  arbitrary expressions, evaluated batch-side before the exchange;
+- WHERE compiles to a pyarrow predicate (row-group pushdown capable);
+- ORDER BY / LIMIT / OFFSET map to ``Dataset.sort`` / ``limit`` plus a
+  driver-side slice of the (small, post-LIMIT) head, mirroring
+  ogr_gensql's offset skip.
+
+Only single-table FROM is handled here; joins go through
+stages/join.py (the reference routes multi-table SELECTs to a
+different executor too).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from .expr import _tokenize, compile_select, compile_where, select_batch
+
+_AGG_FNS = {"COUNT", "MIN", "MAX", "SUM", "AVG"}
+
+_CLAUSE_RE = re.compile(
+    r"\b(SELECT|FROM|WHERE|GROUP\s+BY|ORDER\s+BY|LIMIT|OFFSET)\b",
+    re.IGNORECASE)
+
+
+def _split_clauses(sql: str) -> dict:
+    """Split a statement into clauses at TOP-LEVEL keywords (quoted
+    strings and parenthesized sub-expressions are opaque)."""
+    s = sql.strip().rstrip(";")
+    # mask string literals and parens so clause keywords inside them
+    # don't split
+    masked = []
+    depth = 0
+    in_str = False
+    for ch in s:
+        if in_str:
+            masked.append("_")
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            masked.append("_")
+            in_str = True
+        elif ch == "(":
+            depth += 1
+            masked.append("(")
+        elif ch == ")":
+            depth -= 1
+            masked.append(")")
+        else:
+            masked.append(ch if depth == 0 else "_")
+    masked = "".join(masked)
+    hits = [(m.start(), m.end(), re.sub(r"\s+", " ", m.group(1).upper()))
+            for m in _CLAUSE_RE.finditer(masked)]
+    if not hits or hits[0][2] != "SELECT" or hits[0][0] != 0:
+        raise ValueError("statement must start with SELECT")
+    out: dict = {}
+    for i, (st, en, kw) in enumerate(hits):
+        body = s[en:hits[i + 1][0] if i + 1 < len(hits) else len(s)].strip()
+        if kw in out:
+            raise ValueError(f"duplicate {kw} clause")
+        out[kw] = body
+    if "FROM" not in out:
+        raise ValueError("missing FROM clause")
+    return out
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, depth, in_str, cur = [], 0, False, []
+    for ch in s:
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            cur.append(ch)
+            in_str = True
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+_AGG_ITEM_RE = re.compile(
+    r"^\s*(COUNT|MIN|MAX|SUM|AVG)\s*\((.*)\)\s*(?:AS\s+(\w+))?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _parse_select_items(select: str):
+    """Each item → ('agg', fn, arg_expr, alias) or ('expr', text)."""
+    distinct = False
+    s = select.strip()
+    if re.match(r"^DISTINCT\b", s, re.IGNORECASE):
+        distinct = True
+        s = s[8:].strip()
+    items = []
+    for raw in _split_top_commas(s):
+        m = _AGG_ITEM_RE.match(raw)
+        if m and m.group(2).count("(") == m.group(2).count(")"):
+            fn = m.group(1).upper()
+            arg = m.group(2).strip()
+            alias = m.group(3)
+            if alias is None:
+                alias = f"{fn.lower()}_{len(items) + 1}"
+            items.append(("agg", fn, arg, alias))
+        else:
+            items.append(("expr", raw))
+    return distinct, items
+
+
+def execute_sql(sql: str, tables: dict):
+    """Run one OGR-SQL SELECT over named Ray Datasets.
+
+    ``tables``: {name: Dataset}.  Returns a Dataset (or, after
+    OFFSET, an Arrow table — OFFSET implies a driver-side slice of the
+    already-LIMITed head, which is small by construction)."""
+    cl = _split_clauses(sql)
+    from_name = cl["FROM"].strip().strip('"')
+    if not re.fullmatch(r"[A-Za-z_][\w.]*", from_name):
+        raise ValueError(f"unsupported FROM {cl['FROM']!r} (single table)")
+    if from_name not in tables:
+        raise ValueError(f"unknown table {from_name!r}")
+    ds = tables[from_name]
+
+    if "WHERE" in cl:
+        pred = compile_where(cl["WHERE"])
+        ds = ds.map_batches(lambda b: b.filter(pred),
+                            batch_format="pyarrow")
+
+    distinct, items = _parse_select_items(cl["SELECT"])
+    has_agg = any(it[0] == "agg" for it in items)
+    group_cols = ([c.strip().strip('"')
+                   for c in _split_top_commas(cl["GROUP BY"])]
+                  if "GROUP BY" in cl else [])
+
+    if has_agg:
+        if distinct:
+            raise ValueError("DISTINCT with aggregates is unsupported")
+        ds = _aggregate(ds, items, group_cols)
+    else:
+        if group_cols:
+            raise ValueError("GROUP BY requires aggregate select items")
+        sel = ", ".join(it[1] for it in items)
+        ds = ds.map_batches(lambda b: select_batch(b, sel),
+                            batch_format="pyarrow")
+        if distinct:
+            from ..stages.aggregate import partial_final_agg
+            names = [n for n, _ in compile_select(sel)]
+            ds = partial_final_agg(ds, names, [(None, "count", "__n")]) \
+                .map_batches(lambda b: b.drop_columns(["__n"]),
+                             batch_format="pyarrow")
+
+    if "ORDER BY" in cl:
+        keys, desc = [], []
+        for part in _split_top_commas(cl["ORDER BY"]):
+            m = re.fullmatch(r'("?[\w.]+"?)(?:\s+(ASC|DESC))?', part.strip(),
+                             re.IGNORECASE)
+            if not m:
+                raise ValueError(f"bad ORDER BY item {part!r}")
+            keys.append(m.group(1).strip('"'))
+            desc.append(bool(m.group(2)) and m.group(2).upper() == "DESC")
+        ds = ds.sort(keys, descending=desc)
+
+    if "LIMIT" in cl:
+        n = int(cl["LIMIT"])
+        off = int(cl["OFFSET"]) if "OFFSET" in cl else 0
+        ds = ds.limit(n + off)
+        if off:
+            # post-LIMIT head is small by construction — driver slice,
+            # exactly ogr_gensql's iNextIndexFID skip
+            t = pa.Table.from_pylist(ds.take_all())
+            return t.slice(off, n)
+    elif "OFFSET" in cl:
+        raise ValueError("OFFSET requires LIMIT")
+    return ds
+
+
+def _aggregate(ds, items, group_cols):
+    """Aggregate select items → batch-side argument projection + one
+    partial/final grouped exchange."""
+    from ..stages.aggregate import partial_final_agg
+
+    aggs = []
+    proj_parts = [f'"{c}"' for c in group_cols]
+    keep = []
+    for i, it in enumerate(items):
+        if it[0] == "expr":
+            txt = it[1].strip().strip('"')
+            if txt not in group_cols:
+                raise ValueError(
+                    f"non-aggregate select item {it[1]!r} must appear "
+                    "in GROUP BY")
+            keep.append(txt)
+            continue
+        _, fn, arg, alias = it
+        keep.append(alias)
+        if fn == "COUNT":
+            if arg.strip() != "*":
+                raise ValueError("only COUNT(*) is supported")
+            aggs.append((None, "count", alias))
+        else:
+            col = f"__arg_{i}"
+            proj_parts.append(f"{arg} AS {col}")
+            aggs.append((col, {"AVG": "mean"}.get(fn, fn.lower()), alias))
+    sel = ", ".join(proj_parts)
+    projected = ds.map_batches(lambda b: select_batch(b, sel),
+                               batch_format="pyarrow")
+    if group_cols:
+        out = partial_final_agg(projected, group_cols, aggs)
+    else:
+        projected = projected.map_batches(
+            lambda b: b.append_column("__all", pa.array([0] * len(b),
+                                                        pa.int8())),
+            batch_format="pyarrow")
+        out = partial_final_agg(projected, ["__all"], aggs)
+    return out.map_batches(lambda b: b.select(keep),
+                           batch_format="pyarrow")

@@ -260,6 +260,22 @@ def q_events_select_expr(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def q_sql_statement(sf_dir: str):
+    """Full OGR-SQL statement execution (GDALDataset::ExecuteSQL →
+    ogr_gensql.cpp): SELECT list with an expression-argument aggregate,
+    WHERE, GROUP BY — parsed by functions/sql.py:execute_sql and
+    compiled to a batch-side projection + one partial/final grouped
+    exchange.  ORACLE: DuckDB runs the SAME statement text."""
+    from ..functions.sql import execute_sql
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return execute_sql(
+        "SELECT event_type, COUNT(*) AS n, MIN(event_id) AS mn, "
+        "MAX(event_id) AS mx, SUM(CAST(event_id % 100 AS BIGINT)) AS s "
+        "FROM events WHERE value > 10.0 GROUP BY event_type",
+        {"events": ds})
+
+
 def q_events_filter_like(sf_dir: str):
     """LIKE + BETWEEN + IS NOT NULL through the WHERE compiler
     (swq grammar, ogr/ogr_swq.h:42-81)."""
@@ -1986,6 +2002,7 @@ QUERIES = {
     "events_filter_where": q_events_filter_where,
     "events_filter_like": q_events_filter_like,
     "events_select_expr": q_events_select_expr,
+    "sql_statement": q_sql_statement,
     "orders_lineitem_join": q_orders_lineitem_join,
     "events_count_distinct_users": q_events_count_distinct_users,
     "events_windowed_hourly": q_events_windowed_hourly,
@@ -2272,6 +2289,12 @@ ORACLES = {
                CAST(FLOOR(ABS(value) * 100.0 + 0.5) AS BIGINT) AS cents,
                CAST(LENGTH(event_type) AS BIGINT) AS tlen
         FROM events
+    """,
+    "sql_statement": """
+        SELECT event_type, COUNT(*) AS n, MIN(event_id) AS mn,
+               MAX(event_id) AS mx,
+               CAST(SUM(CAST(event_id % 100 AS BIGINT)) AS BIGINT) AS s
+        FROM events WHERE value > 10.0 GROUP BY event_type
     """,
     "orders_lineitem_join": """
         SELECT o.o_orderpriority,

@@ -673,3 +673,48 @@ def test_join_auto_paths_agree(ray_session):
                           broadcast_max_bytes=0))
     assert bcast == shuf
     assert len(bcast) == 5 and {t[2] for t in bcast} == {"b", "c", "d"}
+
+
+def test_execute_sql_shapes(ray_session):
+    """execute_sql: projection, DISTINCT, ORDER/LIMIT/OFFSET, grouped
+    and global aggregates, plus clause/argument validation errors."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+    from gdal_ray.functions.sql import execute_sql
+
+    t = pa.table({
+        "k": pa.array([1, 1, 2, 2, 2, 3], pa.int64()),
+        "v": pa.array([10.0, 20.0, 5.0, 15.0, 25.0, 7.0]),
+        "s": pa.array(["a", "a", "b", "b", "b", "c"]),
+    })
+    tables = {"t": rd.from_arrow(t).repartition(3)}
+
+    g = execute_sql(
+        "SELECT s, COUNT(*) AS n, SUM(CAST(v * 2.0 AS BIGINT)) AS sv "
+        "FROM t GROUP BY s", tables).to_pandas() \
+        .sort_values("s").reset_index(drop=True)
+    assert list(g["s"]) == ["a", "b", "c"]
+    assert list(g["n"]) == [2, 3, 1]
+    assert list(g["sv"]) == [60, 90, 14]
+
+    d = execute_sql("SELECT DISTINCT k FROM t WHERE v > 6.0", tables)
+    assert sorted(d.to_pandas()["k"]) == [1, 2, 3]
+
+    lo = execute_sql("SELECT k, v FROM t ORDER BY v DESC LIMIT 3 OFFSET 1",
+                     tables)
+    assert list(lo.to_pandas()["v"]) == [20.0, 15.0, 10.0]
+
+    ga = execute_sql("SELECT COUNT(*) AS n, AVG(v) AS m, MIN(v) AS lo, "
+                     "MAX(v) AS hi FROM t", tables).to_pandas()
+    assert int(ga["n"][0]) == 6 and ga["lo"][0] == 5.0 and ga["hi"][0] == 25.0
+    assert abs(ga["m"][0] - (82.0 / 6.0)) < 1e-12
+
+    with _pytest.raises(ValueError):
+        execute_sql("SELECT k FROM missing", tables)
+    with _pytest.raises(ValueError):
+        execute_sql("SELECT v FROM t GROUP BY k", tables)  # v not grouped
+    with _pytest.raises(ValueError):
+        execute_sql("SELECT COUNT(v) AS n FROM t", tables)  # COUNT(col)
+    with _pytest.raises(ValueError):
+        execute_sql("SELECT k FROM t OFFSET 2", tables)  # OFFSET sans LIMIT
