@@ -1511,6 +1511,15 @@ def q_raster_warp_cubic(sf_dir: str):
     return _warp_f32_summary(sf_dir, "cubic")
 
 
+def q_raster_warp_lanczos(sf_dir: str):
+    """gdalwarp -r lanczos (a=3 windowed sinc, GWKLanczosSinc,
+    alg/gdalresamplingkernels.h:74): 6 row taps at y0−2..y0+3 with a
+    2.5-pixel emission halo, weights normalized by their sum.  ORACLE:
+    SQL joins the 6 tap rows and applies the identical sinc expression
+    order; quantization as in raster_warp_bilinear."""
+    return _warp_f32_summary(sf_dir, "lanczos")
+
+
 def q_raster_proximity(sf_dir: str):
     """GDALComputeProximity over the z3 count raster (maxdist 16 px):
     per-tile distance-grid sums.  ORACLE: enumerate the ≤(2·16+1)²
@@ -1979,6 +1988,7 @@ QUERIES = {
     "raster_warp": q_raster_warp,
     "raster_warp_bilinear": q_raster_warp_bilinear,
     "raster_warp_cubic": q_raster_warp_cubic,
+    "raster_warp_lanczos": q_raster_warp_lanczos,
     "raster_proximity": q_raster_proximity,
     "raster_fillnodata": q_raster_fillnodata,
     "raster_sieve": q_raster_sieve,
@@ -3304,6 +3314,103 @@ ORACLES["raster_warp_cubic"] = f"""
        LEFT JOIN mp m1 ON m1.gx = p.x0 AND m1.gy = p.yc0
        LEFT JOIN mp m2 ON m2.gx = p.x0 AND m2.gy = p.yp1
        LEFT JOIN mp m3 ON m3.gx = p.x0 AND m3.gy = p.yp2)
+    SELECT CAST(2 AS INTEGER) AS z, xo AS x, yo AS y,
+           CAST(sum(CAST(floor(CAST(val AS REAL) * 256.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS val_q_sum
+    FROM sampled GROUP BY xo, yo
+"""
+
+# lanczos warp oracle: 2.5-pixel halo; 6 tap-row joins; windowed-sinc
+# weights in the same expression order as stages/warp.py:_lanczos_w;
+# weights normalized by their (interleaved-order) sum.
+ORACLES["raster_warp_lanczos"] = f"""
+    WITH pts AS ({_PTS_SQL}),
+    mp AS (SELECT
+             CAST(least(greatest(floor((lon+180.0)/360.0*1024.0), 0),
+                        1023) AS BIGINT) AS gx,
+             CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                  + 1.0/cos(radians(lat)))/pi())/2.0*1024.0), 0), 1023)
+                  AS BIGINT) AS gy,
+             count(*) AS n
+           FROM pts GROUP BY 1, 2),
+    src AS (SELECT DISTINCT gx // 256 AS sx, gy // 256 AS sy FROM mp),
+    srcb AS (SELECT sx, sy,
+                    degrees(atan((exp(pi()*(1.0-2.0*(sy*256 - 2.5)/1024.0))
+                           - exp(-pi()*(1.0-2.0*(sy*256 - 2.5)/1024.0)))
+                           /2.0)) AS lat_n,
+                    degrees(atan((exp(pi()*(1.0-2.0*((sy+1)*256 + 2.5)/1024.0))
+                           - exp(-pi()*(1.0-2.0*((sy+1)*256 + 2.5)/1024.0)))
+                           /2.0)) AS lat_s
+             FROM src),
+    dest AS (SELECT DISTINCT sx AS xo,
+                    unnest(generate_series(
+                      CAST(greatest(floor((90.0-lat_n)/45.0), 0)
+                           AS BIGINT),
+                      CAST(least(floor((90.0-lat_s)/45.0 - 1e-12), 3)
+                           AS BIGINT))) AS yo
+             FROM srcb),
+    opix AS (SELECT d.xo, d.yo,
+                    -180.0 + (d.xo + (px.i+0.5)/256.0) * 90.0 AS lon,
+                    90.0 - (d.yo + (py.i+0.5)/256.0) * 45.0 AS lat
+             FROM dest d
+             CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) px
+             CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) py),
+    pix AS (SELECT xo, yo,
+               (lon+180.0)/360.0*1024.0 - 0.5 AS fx,
+               CASE WHEN abs(lat) <= 85.05112877980659 THEN
+                 (1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))
+                    /pi())/2.0*1024.0 - 0.5
+               END AS fy
+            FROM opix),
+    pix2 AS (SELECT xo, yo,
+                greatest(CAST(floor(fx) AS BIGINT), 0) AS x0,
+                CAST(floor(fy) AS BIGINT) AS y0r,
+                fy - floor(fy) AS wy
+             FROM pix),
+    dists AS (SELECT xo, yo, x0, y0r,
+                 abs(wy + 2.0) AS d0, abs(wy + 1.0) AS d1,
+                 abs(wy + 0.0) AS d2, abs(wy - 1.0) AS d3,
+                 abs(wy - 2.0) AS d4, abs(wy - 3.0) AS d5
+              FROM pix2),
+    pix3 AS (SELECT xo, yo, x0,
+                least(greatest(y0r - 2, 0), 1023) AS t0,
+                least(greatest(y0r - 1, 0), 1023) AS t1,
+                least(greatest(y0r, 0), 1023) AS t2,
+                least(greatest(y0r + 1, 0), 1023) AS t3,
+                least(greatest(y0r + 2, 0), 1023) AS t4,
+                least(greatest(y0r + 3, 0), 1023) AS t5,
+                CASE WHEN d0 = 0.0 THEN 1.0 ELSE
+                  sin(pi()*d0)/(pi()*d0)
+                  * (sin(pi()*d0/3.0)/(pi()*d0/3.0)) END AS w0,
+                CASE WHEN d1 = 0.0 THEN 1.0 ELSE
+                  sin(pi()*d1)/(pi()*d1)
+                  * (sin(pi()*d1/3.0)/(pi()*d1/3.0)) END AS w1,
+                CASE WHEN d2 = 0.0 THEN 1.0 ELSE
+                  sin(pi()*d2)/(pi()*d2)
+                  * (sin(pi()*d2/3.0)/(pi()*d2/3.0)) END AS w2,
+                CASE WHEN d3 = 0.0 THEN 1.0 ELSE
+                  sin(pi()*d3)/(pi()*d3)
+                  * (sin(pi()*d3/3.0)/(pi()*d3/3.0)) END AS w3,
+                CASE WHEN d4 = 0.0 THEN 1.0 ELSE
+                  sin(pi()*d4)/(pi()*d4)
+                  * (sin(pi()*d4/3.0)/(pi()*d4/3.0)) END AS w4,
+                CASE WHEN d5 = 0.0 THEN 1.0 ELSE
+                  sin(pi()*d5)/(pi()*d5)
+                  * (sin(pi()*d5/3.0)/(pi()*d5/3.0)) END AS w5
+             FROM dists),
+    sampled AS (SELECT p.xo, p.yo,
+          CASE WHEN p.t2 IS NULL THEN 0.0 ELSE
+            (p.w0*COALESCE(m0.n, 0) + p.w1*COALESCE(m1.n, 0)
+             + p.w2*COALESCE(m2.n, 0) + p.w3*COALESCE(m3.n, 0)
+             + p.w4*COALESCE(m4.n, 0) + p.w5*COALESCE(m5.n, 0))
+            / (p.w0 + p.w1 + p.w2 + p.w3 + p.w4 + p.w5) END AS val
+       FROM pix3 p
+       LEFT JOIN mp m0 ON m0.gx = p.x0 AND m0.gy = p.t0
+       LEFT JOIN mp m1 ON m1.gx = p.x0 AND m1.gy = p.t1
+       LEFT JOIN mp m2 ON m2.gx = p.x0 AND m2.gy = p.t2
+       LEFT JOIN mp m3 ON m3.gx = p.x0 AND m3.gy = p.t3
+       LEFT JOIN mp m4 ON m4.gx = p.x0 AND m4.gy = p.t4
+       LEFT JOIN mp m5 ON m5.gx = p.x0 AND m5.gy = p.t5)
     SELECT CAST(2 AS INTEGER) AS z, xo AS x, yo AS y,
            CAST(sum(CAST(floor(CAST(val AS REAL) * 256.0 + 0.5)
                          AS BIGINT)) AS BIGINT) AS val_q_sum

