@@ -18,18 +18,21 @@ def _labels(pairs, **kw):
 
 
 def test_cc_two_components(ray_session):
-    lbl = _labels([(1, 2), (2, 3), (10, 11), (5, 3)])
-    assert lbl == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
+    for dl in (5_000_000, 0):  # driver-vectorized AND distributed
+        lbl = _labels([(1, 2), (2, 3), (10, 11), (5, 3)],
+                      driver_limit=dl)
+        assert lbl == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
 
 
 def test_cc_long_chain(ray_session):
     """A path graph (worst-case diameter) converges in O(log d)
     rounds — the hash-to-min guarantee the hot-bucket star/chain
-    emission relies on."""
+    emission relies on — on both dispatch paths."""
     n = 200
-    lbl = _labels([(i, i + 1) for i in range(n)])
-    assert set(lbl.values()) == {0}
-    assert len(lbl) == n + 1
+    for dl in (5_000_000, 0):
+        lbl = _labels([(i, i + 1) for i in range(n)], driver_limit=dl)
+        assert set(lbl.values()) == {0}
+        assert len(lbl) == n + 1
 
 
 def test_cc_string_keys(ray_session):
@@ -37,9 +40,11 @@ def test_cc_string_keys(ray_session):
 
     t = pa.table({"key_a": pa.array(["u3", "u1"]),
                   "key_b": pa.array(["u2", "u2"])})
-    out = connected_components(rd.from_arrow(t)).to_pandas()
-    assert dict(zip(out["key"], out["label"])) == \
-        {"u1": "u1", "u2": "u1", "u3": "u1"}
+    for dl in (5_000_000, 0):
+        out = connected_components(rd.from_arrow(t),
+                                   driver_limit=dl).to_pandas()
+        assert dict(zip(out["key"], out["label"])) == \
+            {"u1": "u1", "u2": "u1", "u3": "u1"}
 
 
 def test_cc_million_pairs_no_driver_dicts(ray_session):
@@ -63,7 +68,9 @@ def test_cc_million_pairs_no_driver_dicts(ray_session):
     t = pa.table({"key_a": pa.array(np.concatenate(ka)),
                   "key_b": pa.array(np.concatenate(kb))})
     assert len(t) == 15000 * 64 + 625 * 63
-    labels = connected_components(rd.from_arrow(t).repartition(8))
+    # driver_limit=0 forces the DISTRIBUTED rounds (the 100-TB path)
+    labels = connected_components(rd.from_arrow(t).repartition(8),
+                                  driver_limit=0)
     out = labels.to_pandas()
     assert len(out) == 15000 * 65 + 625 * 64
     # every star member labeled by its hub; every chain by its head
