@@ -214,8 +214,56 @@ def _remap_sorted(keys: np.ndarray, vals: np.ndarray,
     return out
 
 
+def region_agg_table(g: pa.Table) -> pa.Table:
+    """(region, value, n_pixels) rows → per-region (region, size,
+    value) — one vectorized reduceat, whole-table or per-bucket."""
+    reg = g["region"].to_numpy(zero_copy_only=False)
+    npx = g["n_pixels"].to_numpy(zero_copy_only=False)
+    val = g["value"].to_numpy(zero_copy_only=False)
+    order = np.argsort(reg, kind="stable")
+    rs = reg[order]
+    starts = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
+    sizes = np.add.reduceat(npx[order], starts) if len(rs) \
+        else np.array([], np.int64)
+    return pa.table({
+        "region": pa.array(rs[starts] if len(rs)
+                           else np.array([], np.int64)),
+        "size": pa.array(sizes),
+        "value": pa.array(val[order][starts] if len(rs)
+                          else np.array([], np.int64)),
+    })
+
+
+def _uf_roots(seam_t_iter) -> tuple[np.ndarray, np.ndarray]:
+    """Union-find over seam MERGE edges (kind==0) → sorted
+    (comp, root) arrays.  O(perimeter) — polygonize's equivalence
+    economics."""
+    uf = _UF()
+    for b in seam_t_iter:
+        kk = b["kind"].to_numpy(zero_copy_only=False)
+        aa = b["a"].to_numpy(zero_copy_only=False)[kk == 0]
+        bb = b["b"].to_numpy(zero_copy_only=False)[kk == 0]
+        for a_, b_ in zip(aa.tolist(), bb.tolist()):
+            uf.union(a_, b_)
+    mk = np.fromiter(uf.p.keys(), dtype=np.int64, count=len(uf.p))
+    mv = np.fromiter((uf.find(int(c)) for c in mk), dtype=np.int64,
+                     count=len(mk))
+    order = np.argsort(mk, kind="stable")
+    return mk[order], mv[order]
+
+
+def _adj_normalize(a: np.ndarray, b: np.ndarray, rk: np.ndarray,
+                   rv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    a = _remap_sorted(rk, rv, a)
+    b = _remap_sorted(rk, rv, b)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    keep = lo != hi
+    return lo[keep], hi[keep]
+
+
 def sieve(tiles_ds, threshold: int, protect_zero: bool = False,
-          n_buckets: int | None = None):
+          n_buckets: int | None = None, driver_limit: int = 5_000_000):
     """Tile table → sieved tile table (same schema).
 
     Region ACCOUNTING is distributed: the driver's working set is only
@@ -224,7 +272,15 @@ def sieve(tiles_ds, threshold: int, protect_zero: bool = False,
     inputs: regions below threshold, their incident edges, and the
     sizes/values of their neighbors).  Region sizes/values and the
     adjacency distinct are bucketed exchanges; at salt-and-pepper
-    worst case the driver never sees the supra-threshold majority."""
+    worst case the driver never sees the supra-threshold majority.
+
+    Size-dispatched (the join_auto / connected_components pattern):
+    record tables ≤ ``driver_limit`` rows run the SAME vectorized
+    kernels in-process — each distributed exchange is a fixed
+    all-to-all barrier that dwarfs small mosaics (measured 12 s → ~1 s
+    on a 12-tile fixture); larger mosaics take the bucketed
+    exchanges."""
+    import pandas as pd
     import ray
     from ._pool import autoscale as _autoscale
     from ._pool import cluster_cpus
@@ -236,6 +292,49 @@ def sieve(tiles_ds, threshold: int, protect_zero: bool = False,
     recs = tiles_ds.map_batches(tile_records_batch,
                                 batch_format="pyarrow").materialize()
 
+    if driver_limit and recs.count() <= driver_limit:
+        rt = pa.concat_tables(
+            [t for t in ray.get(list(recs.to_arrow_refs()))
+             if t.num_rows])
+        seam_t = _seam_edges(rt.filter(pc.equal(rt["kind"], 1)))
+        rk, rv = _uf_roots([seam_t])
+        comp_rows = rt.filter(pc.equal(rt["kind"], 0))
+        reg = _remap_sorted(
+            rk, rv, comp_rows["comp"].to_numpy(zero_copy_only=False))
+        region_pdf = region_agg_table(pa.table({
+            "region": pa.array(reg),
+            "value": comp_rows["value"],
+            "n_pixels": comp_rows["n_pixels"]})).to_pandas()
+        sk = seam_t["kind"].to_numpy(zero_copy_only=False)
+        it2 = rt.filter(pc.equal(rt["kind"], 2))
+        a_all = np.concatenate([
+            seam_t["a"].to_numpy(zero_copy_only=False)[sk == 1],
+            it2["comp"].to_numpy(zero_copy_only=False)])
+        b_all = np.concatenate([
+            seam_t["b"].to_numpy(zero_copy_only=False)[sk == 1],
+            it2["other"].to_numpy(zero_copy_only=False)])
+        lo, hi = _adj_normalize(a_all, b_all, rk, rv)
+        order2 = np.lexsort((hi, lo))
+        lo, hi = lo[order2], hi[order2]
+        keep2 = np.r_[True, (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])]
+        adj_pdf = pd.DataFrame({"a": lo[keep2], "b": hi[keep2]})
+
+        sub_t = region_pdf[region_pdf["size"] < int(threshold)] \
+            .reset_index(drop=True)
+        sub_set = set(sub_t["region"].tolist())
+        touch = adj_pdf["a"].isin(sub_set) | adj_pdf["b"].isin(sub_set)
+        edges_t = adj_pdf[touch].reset_index(drop=True)
+        need = np.unique(np.concatenate([
+            edges_t["a"].to_numpy() if len(edges_t)
+            else np.array([], np.int64),
+            edges_t["b"].to_numpy() if len(edges_t)
+            else np.array([], np.int64),
+            sub_t["region"].to_numpy()]))
+        stats_t = region_pdf[region_pdf["region"].isin(need)] \
+            .reset_index(drop=True)
+        return _sieve_finish(tiles_ds, threshold, protect_zero,
+                             rk, rv, sub_t, edges_t, stats_t)
+
     borders = recs.filter(expr="kind == 1").map_batches(
         lambda b: b.append_column(
             "bucket", pa.array((b["edge_key"].to_numpy(zero_copy_only=False)
@@ -245,25 +344,15 @@ def sieve(tiles_ds, threshold: int, protect_zero: bool = False,
         _seam_edges, batch_format="pyarrow").materialize()
 
     # --- cross-tile equivalences: union-find over SEAM merge edges only
-    # (O(perimeter) — polygonize's equivalence economics) ------------------
-    uf = _UF()
-    for b in seam.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        kk = b["kind"].to_numpy(zero_copy_only=False)
-        aa = b["a"].to_numpy(zero_copy_only=False)[kk == 0]
-        bb = b["b"].to_numpy(zero_copy_only=False)[kk == 0]
-        for a_, b_ in zip(aa.tolist(), bb.tolist()):
-            uf.union(a_, b_)
-    mk = np.fromiter(uf.p.keys(), dtype=np.int64, count=len(uf.p))
-    mv = np.fromiter((uf.find(int(c)) for c in mk), dtype=np.int64,
-                     count=len(mk))
-    order = np.argsort(mk, kind="stable")
-    root_ref = ray.put((mk[order], mv[order]))
+    rk, rv = _uf_roots(seam.iter_batches(batch_size=65536,
+                                         batch_format="pyarrow"))
+    root_ref = ray.put((rk, rv))
 
     # --- DISTRIBUTED region stats: comp rows → root → bucketed sum -------
     def to_region_rows(b: pa.Table) -> pa.Table:
-        rk, rv = ray.get(root_ref)
+        rk_, rv_ = ray.get(root_ref)
         comp = b["comp"].to_numpy(zero_copy_only=False)
-        reg = _remap_sorted(rk, rv, comp)
+        reg = _remap_sorted(rk_, rv_, comp)
         return pa.table({
             "region": pa.array(reg),
             "value": b["value"],
@@ -271,23 +360,10 @@ def sieve(tiles_ds, threshold: int, protect_zero: bool = False,
             "bucket": pa.array((reg % B).astype(np.int32)),
         })
 
-    def region_agg(g: pa.Table) -> pa.Table:
-        reg = g["region"].to_numpy(zero_copy_only=False)
-        npx = g["n_pixels"].to_numpy(zero_copy_only=False)
-        val = g["value"].to_numpy(zero_copy_only=False)
-        order = np.argsort(reg, kind="stable")
-        rs = reg[order]
-        starts = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
-        sizes = np.add.reduceat(npx[order], starts)
-        return pa.table({
-            "region": pa.array(rs[starts]),
-            "size": pa.array(sizes),
-            "value": pa.array(val[order][starts]),
-        })
-
     region_stats = recs.filter(expr="kind == 0") \
         .map_batches(to_region_rows, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(region_agg, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(region_agg_table,
+                                      batch_format="pyarrow") \
         .materialize()
 
     # --- DISTRIBUTED adjacency: seam cross-value + in-tile edges → roots →
@@ -302,13 +378,10 @@ def sieve(tiles_ds, threshold: int, protect_zero: bool = False,
         return pa.table({"a": b["comp"], "b": b["other"]})
 
     def adj_norm(b: pa.Table) -> pa.Table:
-        rk, rv = ray.get(root_ref)
-        a = _remap_sorted(rk, rv, b["a"].to_numpy(zero_copy_only=False))
-        bb = _remap_sorted(rk, rv, b["b"].to_numpy(zero_copy_only=False))
-        lo = np.minimum(a, bb)
-        hi = np.maximum(a, bb)
-        keep = lo != hi
-        lo, hi = lo[keep], hi[keep]
+        rk_, rv_ = ray.get(root_ref)
+        lo, hi = _adj_normalize(
+            b["a"].to_numpy(zero_copy_only=False),
+            b["b"].to_numpy(zero_copy_only=False), rk_, rv_)
         return pa.table({
             "a": pa.array(lo), "b": pa.array(hi),
             "bucket": pa.array(((lo * 31 + hi) % B).astype(np.int32)),
@@ -329,7 +402,6 @@ def sieve(tiles_ds, threshold: int, protect_zero: bool = False,
         .groupby("bucket").map_groups(adj_distinct, batch_format="pyarrow")
 
     # --- collect ONLY the sub-threshold working set -----------------------
-    import pandas as pd
     sub_t = region_stats.filter(
         expr=f"size < {int(threshold)}").select_columns(
         ["region", "size", "value"]).to_pandas()
@@ -368,6 +440,20 @@ def sieve(tiles_ds, threshold: int, protect_zero: bool = False,
         stats_t = pd.DataFrame({"region": pd.Series([], dtype=np.int64),
                                 "size": pd.Series([], dtype=np.int64),
                                 "value": pd.Series([], dtype=np.int64)})
+    return _sieve_finish(tiles_ds, threshold, protect_zero,
+                         rk, rv, sub_t, edges_t, stats_t)
+
+
+def _sieve_finish(tiles_ds, threshold: int, protect_zero: bool,
+                  rk: np.ndarray, rv: np.ndarray, sub_t, edges_t,
+                  stats_t):
+    """Shared tail of both dispatch paths: the smallest-first merge
+    loop over the sub-threshold working set, then the tile rewrite
+    pass."""
+    import heapq
+    import ray
+    from ._pool import autoscale as _autoscale
+
     sizes: dict[int, int] = dict(zip(stats_t["region"].tolist(),
                                      stats_t["size"].tolist()))
     value_of: dict[int, int] = dict(zip(stats_t["region"].tolist(),
@@ -427,7 +513,7 @@ def sieve(tiles_ds, threshold: int, protect_zero: bool = False,
     cka = np.asarray(ch_k, dtype=np.int64)
     cva = np.asarray(ch_v, dtype=np.int64)
     corder = np.argsort(cka, kind="stable")
-    rw_ref = ray.put((ray.get(root_ref), (cka[corder], cva[corder])))
+    rw_ref = ray.put(((rk, rv), (cka[corder], cva[corder])))
 
     class Rewrite:
         def __init__(self, rw_ref):

@@ -102,3 +102,30 @@ def test_sieve_world_top_edge_regions_stay_separate(ray_session):
         .sort_values("x")
     assert (_decode(out["raster"].iloc[0])[0, 10:13] == 0).all()
     assert (_decode(out["raster"].iloc[1])[0, 40:43] == 0).all()
+
+
+def test_sieve_dispatch_paths_agree(ray_session):
+    """driver_limit=0 forces the distributed region accounting; output
+    rasters must be byte-identical to the driver-vectorized path on a
+    cross-tile + cascade fixture."""
+    import ray.data as rd
+
+    rs = np.random.RandomState(31)
+    ga = np.zeros((TILE, TILE), np.int64)
+    gb = np.zeros((TILE, TILE), np.int64)
+    ga[rs.randint(0, TILE, 300), rs.randint(0, TILE, 300)] = \
+        rs.randint(1, 5, 300)
+    gb[rs.randint(0, TILE, 300), rs.randint(0, TILE, 300)] = \
+        rs.randint(1, 5, 300)
+    ga[50, TILE - 3:] = 5
+    gb[50, :3] = 5
+    rows = [_tile_row(2, 1, 1, ga), _tile_row(2, 2, 1, gb)]
+    for th in (3, 7):
+        a = sieve(rd.from_items(rows), threshold=th).to_pandas() \
+            .sort_values(["x", "y"]).reset_index(drop=True)
+        b = sieve(rd.from_items(rows), threshold=th,
+                  driver_limit=0).to_pandas() \
+            .sort_values(["x", "y"]).reset_index(drop=True)
+        for i in range(len(a)):
+            np.testing.assert_array_equal(_decode(a["raster"][i]),
+                                          _decode(b["raster"][i]))
