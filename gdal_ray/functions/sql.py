@@ -145,12 +145,16 @@ def execute_sql(sql: str, tables: dict):
     OFFSET, an Arrow table — OFFSET implies a driver-side slice of the
     already-LIMITed head, which is small by construction)."""
     cl = _split_clauses(sql)
-    from_name = cl["FROM"].strip().strip('"')
-    if not re.fullmatch(r"[A-Za-z_][\w.]*", from_name):
-        raise ValueError(f"unsupported FROM {cl['FROM']!r} (single table)")
-    if from_name not in tables:
-        raise ValueError(f"unknown table {from_name!r}")
-    ds = tables[from_name]
+    ds, aliases = _resolve_from(cl["FROM"], tables)
+    # strip "alias." qualifiers — column names are unqualified after
+    # the join (the reference's gensql secondary-table fields likewise
+    # flatten into one schema)
+    if aliases:
+        qual = re.compile(
+            r"\b(" + "|".join(map(re.escape, aliases)) + r")\.")
+        for k in ("SELECT", "WHERE", "GROUP BY", "ORDER BY"):
+            if k in cl:
+                cl[k] = qual.sub("", cl[k])
 
     if "WHERE" in cl:
         pred = compile_where(cl["WHERE"])
@@ -203,6 +207,59 @@ def execute_sql(sql: str, tables: dict):
     elif "OFFSET" in cl:
         raise ValueError("OFFSET requires LIMIT")
     return ds
+
+
+_JOIN_SPLIT_RE = re.compile(r"\b(LEFT\s+JOIN|INNER\s+JOIN|JOIN)\b",
+                            re.IGNORECASE)
+_ON_RE = re.compile(
+    r'^\s*("?[\w.]+"?)\s+ON\s+("?[\w.]+"?)\s*=\s*("?[\w.]+"?)\s*$',
+    re.IGNORECASE | re.DOTALL)
+
+
+def _strip_qual(col: str) -> str:
+    return col.strip().strip('"').split(".")[-1]
+
+
+def _resolve_from(body: str, tables: dict):
+    """FROM clause → joined Dataset + the table/alias names seen.
+    Grammar: ``t1 [JOIN|LEFT JOIN t2 ON a = b]*`` (equality ON only,
+    the reference's secondary-table join shape,
+    doc/source/user/ogr_sql_dialect.rst:410-503).  Each join is
+    size-dispatched through stages/join.py:join_auto."""
+    from ..stages.join import join_auto
+
+    parts = _JOIN_SPLIT_RE.split(body)
+    base = parts[0].strip().strip('"')
+    if not re.fullmatch(r"[A-Za-z_][\w.]*", base):
+        raise ValueError(f"unsupported FROM {body!r}")
+    if base not in tables:
+        raise ValueError(f"unknown table {base!r}")
+    ds = tables[base]
+    aliases = [base]
+    for i in range(1, len(parts), 2):
+        kw, seg = parts[i].upper(), parts[i + 1]
+        m = _ON_RE.match(seg)
+        if not m:
+            raise ValueError(f"bad JOIN clause {seg!r} (need "
+                             "'table ON col = col')")
+        tname = m.group(1).strip().strip('"')
+        if tname not in tables:
+            raise ValueError(f"unknown table {tname!r}")
+        lcol, rcol = _strip_qual(m.group(2)), _strip_qual(m.group(3))
+        # left side of ON must name the accumulated side's column;
+        # swap if the user wrote it the other way round
+        left_names = set()
+        try:
+            left_names = set(ds.schema().names)
+        except Exception:
+            pass
+        if left_names and lcol not in left_names and rcol in left_names:
+            lcol, rcol = rcol, lcol
+        jt = "left" if kw.startswith("LEFT") else "inner"
+        ds = join_auto(ds, tables[tname], keys=lcol, right_keys=rcol,
+                       join_type=jt)
+        aliases.append(tname)
+    return ds, aliases
 
 
 def _aggregate(ds, items, group_cols):

@@ -276,6 +276,26 @@ def q_sql_statement(sf_dir: str):
         {"events": ds})
 
 
+def q_sql_join(sf_dir: str):
+    """OGR-SQL JOIN statement (secondary-table equality join,
+    ogr_sql_dialect.rst:410-503 / ogr_gensql.cpp): FROM … JOIN … ON
+    parsed by execute_sql and dispatched through join_auto (broadcast
+    here; distributed hash join above the size ceiling).  ORACLE:
+    DuckDB runs the SAME statement text."""
+    from ..functions.sql import execute_sql
+
+    tables = {
+        "orders": rd.read_parquet(f"{sf_dir}/orders.parquet"),
+        "lineitem": rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+    }
+    return execute_sql(
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) "
+        "AS rev_c "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority", tables)
+
+
 def q_events_filter_like(sf_dir: str):
     """LIKE + BETWEEN + IS NOT NULL through the WHERE compiler
     (swq grammar, ogr/ogr_swq.h:42-81)."""
@@ -2013,6 +2033,7 @@ QUERIES = {
     "events_filter_like": q_events_filter_like,
     "events_select_expr": q_events_select_expr,
     "sql_statement": q_sql_statement,
+    "sql_join": q_sql_join,
     "orders_lineitem_join": q_orders_lineitem_join,
     "events_count_distinct_users": q_events_count_distinct_users,
     "events_windowed_hourly": q_events_windowed_hourly,
@@ -2305,6 +2326,13 @@ ORACLES = {
                MAX(event_id) AS mx,
                CAST(SUM(CAST(event_id % 100 AS BIGINT)) AS BIGINT) AS s
         FROM events WHERE value > 10.0 GROUP BY event_type
+    """,
+    "sql_join": """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS rev_c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """,
     "orders_lineitem_join": """
         SELECT o.o_orderpriority,

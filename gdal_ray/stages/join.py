@@ -71,6 +71,15 @@ def join_auto(ds, lookup_ds, keys, right_keys=None,
     keys = [keys] if isinstance(keys, str) else list(keys)
     rk = ([right_keys] if isinstance(right_keys, str)
           else list(right_keys)) if right_keys else keys
+    # normalize join type across the two engines' spellings
+    jt_pa = {"inner": "inner", "left": "left outer",
+             "left outer": "left outer",
+             "left_outer": "left outer"}.get(join_type)
+    jt_ray = {"inner": "inner", "left": "left_outer",
+              "left outer": "left_outer",
+              "left_outer": "left_outer"}.get(join_type)
+    if jt_pa is None:
+        raise ValueError(f"unsupported join_type {join_type!r}")
     try:
         est = lookup_ds.size_bytes() or 0
     except Exception:
@@ -81,7 +90,7 @@ def join_auto(ds, lookup_ds, keys, right_keys=None,
             tbl = tbl.rename_columns(
                 [keys[rk.index(c)] if c in rk else c
                  for c in tbl.column_names])
-        return broadcast_join(ds, tbl, keys, join_type=join_type,
+        return broadcast_join(ds, tbl, keys, join_type=jt_pa,
                               concurrency=concurrency)
     try:
         left_est = ds.size_bytes() or 0
@@ -89,6 +98,6 @@ def join_auto(ds, lookup_ds, keys, right_keys=None,
         left_est = 0
     nparts = int(min(max(16, (left_est + est) // (128 << 20)),
                      16 * cluster_cpus()))
-    return ds.join(lookup_ds, join_type=join_type,
+    return ds.join(lookup_ds, join_type=jt_ray,
                    num_partitions=nparts,
                    on=tuple(keys), right_on=tuple(rk))

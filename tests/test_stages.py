@@ -718,3 +718,30 @@ def test_execute_sql_shapes(ray_session):
         execute_sql("SELECT COUNT(v) AS n FROM t", tables)  # COUNT(col)
     with _pytest.raises(ValueError):
         execute_sql("SELECT k FROM t OFFSET 2", tables)  # OFFSET sans LIMIT
+
+
+def test_execute_sql_joins(ray_session):
+    """FROM … [LEFT] JOIN … ON: inner drops unmatched, left keeps them
+    with nulls; qualified alias.col names are stripped."""
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.functions.sql import execute_sql
+
+    tables = {
+        "t": rd.from_arrow(pa.table({
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array([10, 20, 30, 40], pa.int64())})),
+        "r": rd.from_arrow(pa.table({
+            "rk": pa.array([2, 3], pa.int64()),
+            "tag": pa.array(["b", "c"])})),
+    }
+    inner = execute_sql("SELECT t.k, r.tag FROM t JOIN r ON t.k = r.rk "
+                        "ORDER BY k", tables).to_pandas()
+    assert list(inner["k"]) == [2, 3] and list(inner["tag"]) == ["b", "c"]
+    left = execute_sql("SELECT k, tag FROM t LEFT JOIN r ON k = rk "
+                       "ORDER BY k", tables).to_pandas()
+    assert list(left["k"]) == [1, 2, 3, 4]
+    assert left["tag"].isna().tolist() == [True, False, False, True]
+    agg = execute_sql("SELECT tag, SUM(v) AS sv FROM t JOIN r ON k = rk "
+                      "GROUP BY tag ORDER BY tag", tables).to_pandas()
+    assert list(agg["sv"]) == [20, 30]
