@@ -40,7 +40,7 @@ from .expr import _tokenize, compile_select, compile_where, select_batch
 _AGG_FNS = {"COUNT", "MIN", "MAX", "SUM", "AVG"}
 
 _CLAUSE_RE = re.compile(
-    r"\b(SELECT|FROM|WHERE|GROUP\s+BY|ORDER\s+BY|LIMIT|OFFSET)\b",
+    r"\b(SELECT|FROM|WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|OFFSET)\b",
     re.IGNORECASE)
 
 
@@ -171,9 +171,17 @@ def execute_sql(sql: str, tables: dict):
         if distinct:
             raise ValueError("DISTINCT with aggregates is unsupported")
         ds = _aggregate(ds, items, group_cols)
+        if "HAVING" in cl:
+            # HAVING references output aliases (engine extension — the
+            # reference's dialect has no HAVING); compiles like WHERE
+            hpred = compile_where(cl["HAVING"])
+            ds = ds.map_batches(lambda b: b.filter(hpred),
+                                batch_format="pyarrow")
     else:
         if group_cols:
             raise ValueError("GROUP BY requires aggregate select items")
+        if "HAVING" in cl:
+            raise ValueError("HAVING requires aggregates")
         sel = ", ".join(it[1] for it in items)
         ds = ds.map_batches(lambda b: select_batch(b, sel),
                             batch_format="pyarrow")
@@ -264,10 +272,14 @@ def _resolve_from(body: str, tables: dict):
 
 def _aggregate(ds, items, group_cols):
     """Aggregate select items → batch-side argument projection + one
-    partial/final grouped exchange."""
+    partial/final grouped exchange.  ``COUNT(DISTINCT expr)`` compiles
+    to the two-stage groupby (distinct pairs, then count — the
+    events_count_distinct_users plan); its small aggregated result
+    joins the other aggregates' via the size-dispatched join."""
     from ..stages.aggregate import partial_final_agg
+    from ..stages.join import join_auto
 
-    aggs = []
+    aggs, distinct_aggs = [], []
     proj_parts = [f'"{c}"' for c in group_cols]
     keep = []
     for i, it in enumerate(items):
@@ -281,9 +293,20 @@ def _aggregate(ds, items, group_cols):
             continue
         _, fn, arg, alias = it
         keep.append(alias)
+        dm = re.match(r"^\s*DISTINCT\s+(.+)$", arg,
+                      re.IGNORECASE | re.DOTALL)
+        if dm:
+            if fn != "COUNT":
+                raise ValueError(
+                    f"{fn}(DISTINCT ...) is unsupported (COUNT only)")
+            col = f"__darg_{i}"
+            proj_parts.append(f"{dm.group(1)} AS {col}")
+            distinct_aggs.append((col, alias))
+            continue
         if fn == "COUNT":
             if arg.strip() != "*":
-                raise ValueError("only COUNT(*) is supported")
+                raise ValueError(
+                    "COUNT takes * or DISTINCT expr")
             aggs.append((None, "count", alias))
         else:
             col = f"__arg_{i}"
@@ -292,13 +315,26 @@ def _aggregate(ds, items, group_cols):
     sel = ", ".join(proj_parts)
     projected = ds.map_batches(lambda b: select_batch(b, sel),
                                batch_format="pyarrow")
-    if group_cols:
-        out = partial_final_agg(projected, group_cols, aggs)
-    else:
+    gkeys = group_cols
+    if not gkeys:
         projected = projected.map_batches(
             lambda b: b.append_column("__all", pa.array([0] * len(b),
                                                         pa.int8())),
             batch_format="pyarrow")
-        out = partial_final_agg(projected, ["__all"], aggs)
+        gkeys = ["__all"]
+    if len(distinct_aggs) > 1 or (distinct_aggs and aggs):
+        projected = projected.materialize()  # shared by several passes
+    pieces = []
+    if aggs or not distinct_aggs:
+        pieces.append(partial_final_agg(projected, gkeys, aggs))
+    for col, alias in distinct_aggs:
+        pairs = partial_final_agg(projected.select_columns(gkeys + [col]),
+                                  gkeys + [col], [(None, "count", "__n")])
+        pieces.append(partial_final_agg(
+            pairs.select_columns(gkeys), gkeys,
+            [(None, "count", alias)]))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = join_auto(out, p, keys=gkeys)
     return out.map_batches(lambda b: b.select(keep),
                            batch_format="pyarrow")

@@ -296,6 +296,21 @@ def q_sql_join(sf_dir: str):
         "GROUP BY o_orderpriority", tables)
 
 
+def q_sql_distinct_having(sf_dir: str):
+    """COUNT(DISTINCT) + HAVING through the SQL executor: the
+    distinct count compiles to the two-stage groupby, HAVING filters
+    the aggregated output (engine extension — the reference's dialect
+    lacks HAVING).  ORACLE: DuckDB runs the SAME statement text."""
+    from ..functions.sql import execute_sql
+
+    return execute_sql(
+        "SELECT event_type, COUNT(*) AS n, "
+        "COUNT(DISTINCT user_id) AS nu "
+        "FROM events WHERE value > 5.0 GROUP BY event_type "
+        "HAVING n > 10",
+        {"events": rd.read_parquet(f"{sf_dir}/events.parquet")})
+
+
 def q_events_filter_like(sf_dir: str):
     """LIKE + BETWEEN + IS NOT NULL through the WHERE compiler
     (swq grammar, ogr/ogr_swq.h:42-81)."""
@@ -2034,6 +2049,7 @@ QUERIES = {
     "events_select_expr": q_events_select_expr,
     "sql_statement": q_sql_statement,
     "sql_join": q_sql_join,
+    "sql_distinct_having": q_sql_distinct_having,
     "orders_lineitem_join": q_orders_lineitem_join,
     "events_count_distinct_users": q_events_count_distinct_users,
     "events_windowed_hourly": q_events_windowed_hourly,
@@ -2326,6 +2342,12 @@ ORACLES = {
                MAX(event_id) AS mx,
                CAST(SUM(CAST(event_id % 100 AS BIGINT)) AS BIGINT) AS s
         FROM events WHERE value > 10.0 GROUP BY event_type
+    """,
+    "sql_distinct_having": """
+        SELECT event_type, COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS nu
+        FROM events WHERE value > 5.0 GROUP BY event_type
+        HAVING n > 10
     """,
     "sql_join": """
         SELECT o_orderpriority, COUNT(*) AS n,

@@ -85,7 +85,13 @@ def join_auto(ds, lookup_ds, keys, right_keys=None,
     except Exception:
         est = 0
     if est <= broadcast_max_bytes:
-        tbl = pa.concat_tables(ray.get(lookup_ds.to_arrow_refs()))
+        # groupby outputs can contain schema-less empty blocks — drop
+        parts = [t for t in ray.get(list(lookup_ds.to_arrow_refs()))
+                 if t.num_columns]
+        if parts:
+            tbl = pa.concat_tables(parts)
+        else:
+            tbl = lookup_ds.schema().base_schema.empty_table()
         if rk != keys:
             tbl = tbl.rename_columns(
                 [keys[rk.index(c)] if c in rk else c

@@ -745,3 +745,27 @@ def test_execute_sql_joins(ray_session):
     agg = execute_sql("SELECT tag, SUM(v) AS sv FROM t JOIN r ON k = rk "
                       "GROUP BY tag ORDER BY tag", tables).to_pandas()
     assert list(agg["sv"]) == [20, 30]
+
+
+def test_execute_sql_count_distinct_having(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.functions.sql import execute_sql
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "a", "b", "b", "c"]),
+        "u": pa.array([1, 1, 2, 3, 3, 4], pa.int64()),
+    })
+    tables = {"t": rd.from_arrow(t).repartition(3)}
+    out = execute_sql(
+        "SELECT g, COUNT(*) AS n, COUNT(DISTINCT u) AS nu FROM t "
+        "GROUP BY g ORDER BY g", tables).to_pandas()
+    assert list(out["n"]) == [3, 2, 1]
+    assert list(out["nu"]) == [2, 1, 1]
+    hv = execute_sql(
+        "SELECT g, COUNT(*) AS n FROM t GROUP BY g HAVING n >= 2 "
+        "ORDER BY g", tables).to_pandas()
+    assert list(hv["g"]) == ["a", "b"]
+    glob = execute_sql("SELECT COUNT(DISTINCT u) AS nu FROM t",
+                       tables).to_pandas()
+    assert int(glob["nu"][0]) == 4
