@@ -257,7 +257,8 @@ def _tile_counts(ds, args):
     from ..stages.tiling import tile_counts
 
     return tile_counts(ds, list(args.get("zooms", [8])),
-                       convention=args.get("convention", "xyz"))
+                       convention=args.get("convention", "xyz"),
+                       profile=args.get("profile", "mercator"))
 
 
 @register("pyramid")
@@ -537,10 +538,55 @@ def _color_map(ds, args):
 @register("warp")
 def _warp(ds, args):
     """Mercator tile table → plate-carrée tile table
-    (ChunkAndWarpImage dataflow, nearest-neighbor)."""
+    (ChunkAndWarpImage dataflow).  resampling: nearest (default) |
+    bilinear | cubic | lanczos."""
     from ..stages.warp import warp_to_platecarree
 
-    return warp_to_platecarree(ds)
+    return warp_to_platecarree(
+        ds, resampling=args.get("resampling", "nearest"))
+
+
+@register("overviews")
+def _overviews(ds, args):
+    """Pixel-resampled overview pyramid (GenerateOverviewTile):
+    base tiles → union of levels base_zoom-1 .. min_zoom; resampling:
+    average (default) | nearest."""
+    from ..stages.tiling import pyramid_overviews
+
+    return pyramid_overviews(
+        ds, base_zoom=int(args["base_zoom"]),
+        min_zoom=int(args.get("min_zoom", 0)),
+        resampling=args.get("resampling", "average"))
+
+
+@register("sql")
+def _sql(ds, args):
+    """Run an OGR-SQL statement against the current dataset (table
+    name ``input``; override with args['table'])."""
+    import ray.data as rd
+
+    from ..functions.sql import execute_sql
+
+    out = execute_sql(args["query"], {args.get("table", "input"): ds})
+    return rd.from_arrow(out) if isinstance(out, pa.Table) else out
+
+
+@register("linearize")
+def _linearize(ds, args):
+    """Stroke curve geometries (CircularString/CompoundCurve/
+    CurvePolygon/...) to linear types (getLinearGeometry, default 4°
+    max angular step)."""
+    from ..geom.curves import linearize_wkb
+
+    col = args.get("geometry_col", "geometry")
+    step = float(args.get("max_step_deg", 4.0))
+
+    def f(b: pa.Table) -> pa.Table:
+        out = pa.array([linearize_wkb(x, step)
+                        for x in b[col].to_pylist()], pa.binary())
+        return b.set_column(b.column_names.index(col), col, out)
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 @register("sieve")

@@ -147,3 +147,41 @@ def test_ipc_steps_roundtrip(ray_session, tmp_path):
     assert res["rows"].sum() == 3
     back = REGISTRY["read_ipc"](None, {"paths": out_dir}).to_pandas()
     assert sorted(back["a"]) == [7, 8, 9]
+
+
+def test_registry_sql_linearize_overviews_steps(ray_session):
+    import zlib
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.geom import wkb as W
+    from gdal_ray.pipelines.registry import REGISTRY
+
+    # sql step over the current dataset
+    ds = rd.from_items([{"a": 1, "b": "x"}, {"a": 5, "b": "y"},
+                        {"a": 9, "b": "y"}])
+    out = REGISTRY["sql"](ds, {"query":
+                               "SELECT b, SUM(a) AS s FROM input "
+                               "GROUP BY b ORDER BY b"})
+    d = out.to_pandas()
+    assert list(d["s"]) == [1, 14]
+
+    # linearize step strokes a CircularString column
+    cs = W.encode_circularstring([(2, 0), (0, 2), (-2, 0)])
+    gds = rd.from_items([{"gid": 1, "geometry": cs}])
+    lin = REGISTRY["linearize"](gds, {}).to_pandas()
+    g = W.decode(lin["geometry"][0])
+    assert g["type"] == "LineString" and len(g["coordinates"]) == 46
+
+    # overviews step builds one average level
+    grid = np.full((256, 256), 8, np.int64)
+    tds = rd.from_items([{"z": 3, "x": 2, "y": 2, "n_pages": 1,
+                          "raster": zlib.compress(
+                              grid.astype(">u2").tobytes(), 6)}])
+    ov = REGISTRY["overviews"](tds, {"base_zoom": 3, "min_zoom": 2}) \
+        .to_pandas()
+    assert list(ov["z"]) == [2]
+    got = np.frombuffer(zlib.decompress(ov["raster"][0]),
+                        dtype=">u2").reshape(256, 256)
+    q = got[128:, :128]  # child (2,2) → quadrant (qx=0, qy=0)? check any
+    assert got.max() == 8
