@@ -285,9 +285,57 @@ def wkt_to_wkb(wkt: str) -> bytes:
                     parts.append(txt[start:i])
         return parts
 
+    def split_items(txt: str) -> list[str]:
+        # split top-level comma-separated items (respecting parens):
+        # "CIRCULARSTRING(...),( ... ),COMPOUNDCURVE(...)" → 3 items
+        parts, depth, cur = [], 0, []
+        for c in txt:
+            if c == "(":
+                depth += 1
+                cur.append(c)
+            elif c == ")":
+                depth -= 1
+                cur.append(c)
+            elif c == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(c)
+        if cur:
+            parts.append("".join(cur).strip())
+        return [p for p in parts if p]
+
+    def parse_curve_item(item: str) -> bytes:
+        # a CompoundCurve/CurvePolygon/MultiCurve member: a typed
+        # curve WKT, or a bare "(...)" point list ≡ LINESTRING
+        if item.startswith("("):
+            return encode_linestring(parse_ring(item.strip("() ")))
+        return wkt_to_wkb(item)
+
     if typ == "POINT":
         x, y = (float(v) for v in body.strip("() ").split()[:2])
         return encode_point(x, y)
+    if typ == "CIRCULARSTRING":
+        return encode_circularstring(parse_ring(body.strip("() ")))
+    if typ == "COMPOUNDCURVE":
+        return encode_compoundcurve(
+            [parse_curve_item(i) for i in split_items(body.strip()[1:-1])])
+    if typ == "CURVEPOLYGON":
+        return encode_curvepolygon(
+            [parse_curve_item(i) for i in split_items(body.strip()[1:-1])])
+    if typ == "MULTICURVE":
+        return encode_multicurve(
+            [parse_curve_item(i) for i in split_items(body.strip()[1:-1])])
+    if typ == "MULTISURFACE":
+        items = split_items(body.strip()[1:-1])
+        surfs = []
+        for it in items:
+            if it.startswith("("):  # bare polygon ((ring),(ring))
+                surfs.append(encode_polygon(
+                    [parse_ring(r) for r in split_parens(it[1:-1])]))
+            else:
+                surfs.append(wkt_to_wkb(it))
+        return encode_multisurface(surfs)
     if typ == "LINESTRING":
         return encode_linestring(parse_ring(body.strip("() ")))
     if typ == "POLYGON":
@@ -338,4 +386,58 @@ def wkb_to_wkt(wkb: bytes, precision: int = 15) -> str:
         return "MULTIPOLYGON (" + ",".join(
             "(" + ",".join(f"({ring_txt(r)})" for r in rings) + ")" for rings in polys
         ) + ")"
+    if t == "CircularString":
+        return f"CIRCULARSTRING ({ring_txt(g['coordinates'])})"
+
+    def curve_part_txt(p: dict) -> str:
+        # inside COMPOUNDCURVE/CURVEPOLYGON, LineString members print
+        # as bare point lists (ISO WKT convention)
+        if p["type"] == "LineString":
+            return f"({ring_txt(p['coordinates'])})"
+        return _wkt_of_part(p, precision)
+
+    if t == "CompoundCurve":
+        return "COMPOUNDCURVE (" + ",".join(
+            curve_part_txt(p) for p in g["parts"]) + ")"
+    if t == "CurvePolygon":
+        return "CURVEPOLYGON (" + ",".join(
+            curve_part_txt(p) for p in g["parts"]) + ")"
+    if t == "MultiCurve":
+        return "MULTICURVE (" + ",".join(
+            curve_part_txt(p) for p in g["parts"]) + ")"
+    if t == "MultiSurface":
+        return "MULTISURFACE (" + ",".join(
+            _wkt_of_part(p, precision) for p in g["parts"]) + ")"
     raise ValueError(f"unsupported type {t}")
+
+
+def _wkt_of_part(p: dict, precision: int) -> str:
+    """WKT of a nested decoded part (re-encode then format)."""
+    t = p["type"]
+    if t == "CircularString":
+        return wkb_to_wkt(encode_circularstring(p["coordinates"]),
+                          precision)
+    if t == "LineString":
+        return wkb_to_wkt(encode_linestring(p["coordinates"]), precision)
+    if t == "CompoundCurve":
+        return wkb_to_wkt(
+            encode_compoundcurve(
+                [_part_wkb(q) for q in p["parts"]]), precision)
+    if t == "CurvePolygon":
+        return wkb_to_wkt(
+            encode_curvepolygon(
+                [_part_wkb(q) for q in p["parts"]]), precision)
+    if t == "Polygon":
+        return wkb_to_wkt(encode_polygon(p["coordinates"]), precision)
+    raise ValueError(f"unsupported nested type {t}")
+
+
+def _part_wkb(p: dict) -> bytes:
+    t = p["type"]
+    if t == "CircularString":
+        return encode_circularstring(p["coordinates"])
+    if t == "LineString":
+        return encode_linestring(p["coordinates"])
+    if t == "Polygon":
+        return encode_polygon(p["coordinates"])
+    raise ValueError(f"unsupported part type {t}")

@@ -545,3 +545,28 @@ def test_polar_stereographic():
     # east of the central meridian is +x in both aspects
     assert _parse_crs("EPSG:3413")[1]["conic"].forward(45.0, 70.0)[0] > 0
     assert _parse_crs("EPSG:3031")[1]["conic"].forward(90.0, -71.0)[0] > 0
+
+
+def test_curve_wkt_roundtrip():
+    """Curve WKT ↔ WKB: parse → format → parse is byte-stable,
+    including nested CompoundCurve rings and mixed MultiSurface."""
+    from gdal_ray.geom import wkb as W
+
+    samples = [
+        "CIRCULARSTRING (2 0,0 2,-2 0)",
+        "COMPOUNDCURVE (CIRCULARSTRING (2 0,0 2,-2 0),(-2 0,2 0))",
+        "CURVEPOLYGON (CIRCULARSTRING (2 0,0 2,-2 0,0 -2,2 0))",
+        "CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING (2 0,0 2,-2 0),"
+        "(-2 0,2 0)))",
+        "MULTICURVE (CIRCULARSTRING (2 0,0 2,-2 0),(0 0,1 1))",
+        "MULTISURFACE (CURVEPOLYGON (CIRCULARSTRING "
+        "(2 0,0 2,-2 0,0 -2,2 0)),((0 0,1 0,1 1,0 0)))",
+    ]
+    for s in samples:
+        blob = W.wkt_to_wkb(s)
+        rt = W.wkb_to_wkt(blob, precision=15)
+        assert W.wkt_to_wkb(rt) == blob
+    # WKT-parsed curve linearizes like the directly-encoded one
+    from gdal_ray.geom.curves import linearize
+    g = linearize(W.decode(W.wkt_to_wkb(samples[3])))
+    assert g["type"] == "Polygon" and len(g["coordinates"][0]) == 47
