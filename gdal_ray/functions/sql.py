@@ -138,13 +138,77 @@ def _parse_select_items(select: str):
     return distinct, items
 
 
+def _mask(s: str) -> str:
+    """Copy of ``s`` with string literals and parenthesized spans
+    blanked, for top-level keyword scanning."""
+    out = []
+    depth = 0
+    in_str = False
+    for ch in s:
+        if in_str:
+            out.append("_")
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            out.append("_")
+            in_str = True
+        elif ch == "(":
+            depth += 1
+            out.append("(")
+        elif ch == ")":
+            depth -= 1
+            out.append(")")
+        else:
+            out.append(ch if depth == 0 else "_")
+    return "".join(out)
+
+
+_UNION_RE = re.compile(r"\bUNION\s+ALL\b", re.IGNORECASE)
+_TAIL_RE = re.compile(r"\b(ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE)
+
+
 def execute_sql(sql: str, tables: dict):
     """Run one OGR-SQL SELECT over named Ray Datasets.
 
     ``tables``: {name: Dataset}.  Returns a Dataset (or, after
     OFFSET, an Arrow table — OFFSET implies a driver-side slice of the
-    already-LIMITed head, which is small by construction)."""
-    cl = _split_clauses(sql)
+    already-LIMITed head, which is small by construction).
+
+    ``stmt UNION ALL stmt [...]`` concatenates the member results
+    (``ogr_sql_dialect.rst`` UNION ALL layer concatenation); a trailing
+    ORDER BY / LIMIT / OFFSET on the last member applies to the WHOLE
+    union, per standard SQL."""
+    s = sql.strip().rstrip(";")
+    m = _UNION_RE.search(_mask(s))
+    if m:
+        segs, masked = [], _mask(s)
+        pos = 0
+        for mm in _UNION_RE.finditer(masked):
+            segs.append(s[pos:mm.start()])
+            pos = mm.end()
+        last = s[pos:]
+        tail_txt = None
+        tm = _TAIL_RE.search(_mask(last))
+        if tm:
+            tail_txt = last[tm.start():]
+            last = last[:tm.start()]
+        segs.append(last)
+        dss = [execute_sql(seg, tables) for seg in segs]
+        out = dss[0]
+        for d in dss[1:]:
+            out = out.union(d)
+        if tail_txt:
+            tail_cl = {}
+            hits = [(x.start(), x.end(),
+                     re.sub(r"\s+", " ", x.group(1).upper()))
+                    for x in _TAIL_RE.finditer(_mask(tail_txt))]
+            for i, (st, en, kw) in enumerate(hits):
+                body = tail_txt[en:hits[i + 1][0] if i + 1 < len(hits)
+                                else len(tail_txt)].strip()
+                tail_cl[kw] = body
+            return _apply_tail(out, tail_cl)
+        return out
+    cl = _split_clauses(s)
     ds, aliases = _resolve_from(cl["FROM"], tables)
     # strip "alias." qualifiers — column names are unqualified after
     # the join (the reference's gensql secondary-table fields likewise
@@ -192,6 +256,12 @@ def execute_sql(sql: str, tables: dict):
                 .map_batches(lambda b: b.drop_columns(["__n"]),
                              batch_format="pyarrow")
 
+    return _apply_tail(ds, cl)
+
+
+def _apply_tail(ds, cl: dict):
+    """ORDER BY / LIMIT / OFFSET application (shared by single
+    statements and UNION ALL results)."""
     if "ORDER BY" in cl:
         keys, desc = [], []
         for part in _split_top_commas(cl["ORDER BY"]):

@@ -309,6 +309,18 @@ def _parse_crs(crs) -> tuple[str, dict]:
     (ellipsoid defaults to GRS80; pass a/f to override)."""
     if isinstance(crs, dict):
         proj = crs.get("proj")
+        if proj == "stere":
+            # polar aspects only (lat_0 = ±90), PROJ-style keys
+            lat0 = float(crs.get("lat_0", 90.0))
+            if abs(lat0) != 90.0:
+                raise ValueError("stere: polar aspects only (lat_0=±90)")
+            conic = _PolarStereo(crs.get("lat_ts", lat0),
+                                 crs.get("lon_0", 0.0),
+                                 crs.get("x_0", 0.0), crs.get("y_0", 0.0),
+                                 south=lat0 < 0,
+                                 a=crs.get("a", WGS84_A),
+                                 f=crs.get("f", WGS84_F))
+            return "conic", {"conic": conic}
         if proj not in ("lcc", "aea"):
             raise ValueError(f"unsupported dict CRS proj={proj!r}")
         cls = _LCC if proj == "lcc" else _Albers

@@ -769,3 +769,23 @@ def test_execute_sql_count_distinct_having(ray_session):
     glob = execute_sql("SELECT COUNT(DISTINCT u) AS nu FROM t",
                        tables).to_pandas()
     assert int(glob["nu"][0]) == 4
+
+
+def test_execute_sql_union_all(ray_session):
+    """UNION ALL concatenates members; trailing ORDER BY/LIMIT applies
+    to the whole union."""
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.functions.sql import execute_sql
+
+    tables = {
+        "p": rd.from_arrow(pa.table({"k": pa.array([1, 3], pa.int64())})),
+        "q": rd.from_arrow(pa.table({"k": pa.array([2, 4], pa.int64())})),
+    }
+    out = execute_sql("SELECT k FROM p UNION ALL SELECT k FROM q "
+                      "ORDER BY k DESC LIMIT 3", tables).to_pandas()
+    assert list(out["k"]) == [4, 3, 2]
+    # duplicates preserved (ALL semantics)
+    dup = execute_sql("SELECT k FROM p UNION ALL SELECT k FROM p",
+                      tables).to_pandas()
+    assert sorted(dup["k"]) == [1, 1, 3, 3]
