@@ -164,6 +164,39 @@ def tile_pixel(lon, lat, z, convention: str = "xyz"):
     raise ValueError(f"convention must be xyz|tms, got {convention}")
 
 
+def global_pixel_geodetic(lon, lat, z):
+    """Global pixel coordinates on the geodetic (plate-carrée) grid at
+    zoom z: 2^(z+1)·256 columns × 2^z·256 rows, row 0 at lat +90
+    (GlobalGeodetic resolution 180/256/2^z)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = np.int64(1) << np.int64(z)
+    w = 2 * n * TILE_SIZE
+    h = n * TILE_SIZE
+    gx = np.clip(np.floor((lon + 180.0) / 180.0 * (n * TILE_SIZE))
+                 .astype(np.int64), 0, w - 1)
+    gy = np.clip(np.floor((90.0 - lat) / 180.0 * (n * TILE_SIZE))
+                 .astype(np.int64), 0, h - 1)
+    return gx, gy
+
+
+def tile_pixel_geodetic(lon, lat, z, convention: str = "xyz"):
+    """Geodetic-profile (tile x, tile y, col, row); derived from
+    `global_pixel_geodetic` so it agrees bit-for-bit with
+    `lonlat_to_tile_geodetic`."""
+    gx, gy = global_pixel_geodetic(lon, lat, z)
+    n = np.int64(1) << np.int64(z)
+    tx = gx >> 8
+    col = gx & (TILE_SIZE - 1)
+    ty_xyz = gy >> 8
+    row_xyz = gy & (TILE_SIZE - 1)
+    if convention == "xyz":
+        return tx, ty_xyz, col, row_xyz
+    if convention == "tms":
+        return tx, n - 1 - ty_xyz, col, TILE_SIZE - 1 - row_xyz
+    raise ValueError(f"convention must be xyz|tms, got {convention}")
+
+
 def parent_tile(tx, ty, z):
     """(z-1)-level parent of an XYZ tile: (x//2, y//2) — the child-gathering
     rule of overview generation (gdalalg_raster_tile.cpp:6062-6089)."""

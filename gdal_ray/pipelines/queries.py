@@ -521,6 +521,32 @@ def q_tile_counts_geodetic(sf_dir: str):
     return _tiling.tile_counts(pts, [5], profile="geodetic")
 
 
+def q_tile_render_geodetic(sf_dir: str):
+    """Pixel-level tile rendering in the GEODETIC profile (the
+    ``geodetic`` tiling scheme rendering path,
+    apps/gdalalg_raster_tile.cpp:206-212): z=3 count rasters on the
+    2^(z+1)×2^z plate-carrée tile grid; per-tile pixel sums + nonzero
+    counts.  ORACLE: SQL replays the linear lat/lon → global-pixel
+    floor formulas."""
+    pts = event_points(sf_dir, columns=("event_id",))
+    out = _tiling.render_tiles(pts, zoom=3, profile="geodetic")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        sums, nz = [], []
+        for blob in b["raster"].to_pylist():
+            g = np.frombuffer(_z.decompress(blob), dtype=">u2") \
+                .astype(np.int64)
+            sums.append(int(g.sum()))
+            nz.append(int((g > 0).sum()))
+        return pa.table({"z": pa.array([3] * len(b), pa.int32()),
+                         "x": b["x"], "y": b["y"],
+                         "pix_sum": pa.array(sums, pa.int64()),
+                         "nonzero": pa.array(nz, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_tile_pyramid(sf_dir: str):
     """Base z=8 counts + overview levels to z=5 (GenerateOverviewTile
     child-sum semantics); conservation tested per level."""
@@ -2062,6 +2088,7 @@ QUERIES = {
     "tile_assign_z8": q_tile_assign_z8,
     "tile_counts_tms_z6": q_tile_counts_tms_z6,
     "tile_counts_geodetic": q_tile_counts_geodetic,
+    "tile_render_geodetic": q_tile_render_geodetic,
     "tile_pyramid": q_tile_pyramid,
     "tile_overviews_avg": q_tile_overviews_avg,
     "reproject_3857": q_reproject_3857,
@@ -2432,6 +2459,19 @@ ORACLES = {
                       AS BIGINT) AS y
           FROM ({_PTS_SQL}))
         SELECT z, x, y, count(*) AS n_pages FROM t GROUP BY 1, 2, 3
+    """,
+    "tile_render_geodetic": f"""
+        WITH mp AS (
+          SELECT CAST(least(greatest(floor((lon+180.0)/180.0*2048.0),
+                            0), 4095) AS BIGINT) AS gx,
+                 CAST(least(greatest(floor((90.0-lat)/180.0*2048.0),
+                            0), 2047) AS BIGINT) AS gy,
+                 count(*) AS n
+          FROM ({_PTS_SQL}) GROUP BY 1, 2)
+        SELECT CAST(3 AS INTEGER) AS z, gx // 256 AS x, gy // 256 AS y,
+               CAST(sum(n) AS BIGINT) AS pix_sum,
+               CAST(count(*) AS BIGINT) AS nonzero
+        FROM mp GROUP BY 2, 3
     """,
     "tile_pyramid": f"""
         WITH t8 AS (

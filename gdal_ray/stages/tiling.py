@@ -45,8 +45,6 @@ def assign_tiles_batch(batch: pa.Table, zooms, convention: str = "xyz",
     (plate-carrée WorldCRS84Quad, tiles only)."""
     if profile not in ("mercator", "geodetic"):
         raise ValueError(f"profile must be mercator|geodetic, got {profile}")
-    if profile == "geodetic" and with_pixel:
-        raise NotImplementedError("geodetic profile: tile assignment only")
     lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
     lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(lon)
@@ -54,7 +52,9 @@ def assign_tiles_batch(batch: pa.Table, zooms, convention: str = "xyz",
     zs, xs, ys, pxs, pys = [], [], [], [], []
     for z in zooms:
         if with_pixel:
-            tx, ty, col, row = _tiles.tile_pixel(lon, lat, z, convention)
+            px_fn = (_tiles.tile_pixel_geodetic if profile == "geodetic"
+                     else _tiles.tile_pixel)
+            tx, ty, col, row = px_fn(lon, lat, z, convention)
             pxs.append(col)
             pys.append(row)
         elif profile == "geodetic":
@@ -375,7 +375,8 @@ def write_tile_directory(tiles_ds, out_dir: str, resume: bool = False):
 
 def render_tiles(ds, zoom: int, convention: str = "xyz",
                  lon_col: str = "lon", lat_col: str = "lat",
-                 n_buckets: int | None = None):
+                 n_buckets: int | None = None,
+                 profile: str = "mercator"):
     """Full tile-build pipeline at one zoom, partial-then-final: each
     batch pre-aggregates its points into SPARSE per-tile partials
     (nonzero ravel indices + counts), so the exchange moves one small
@@ -390,7 +391,9 @@ def render_tiles(ds, zoom: int, convention: str = "xyz",
     def partial(b: pa.Table) -> pa.Table:
         lon = b[lon_col].to_numpy(zero_copy_only=False)
         lat = b[lat_col].to_numpy(zero_copy_only=False)
-        tx, ty, col, row = _tiles.tile_pixel(lon, lat, zoom, convention)
+        px_fn = (_tiles.tile_pixel_geodetic if profile == "geodetic"
+                 else _tiles.tile_pixel)
+        tx, ty, col, row = px_fn(lon, lat, zoom, convention)
         key = (tx.astype(np.int64) << 32) | ty.astype(np.int64)
         pix = (row.astype(np.int64) * TILE_SIZE + col).astype(np.int64)
         order = np.argsort(key, kind="stable")
