@@ -235,3 +235,63 @@ def test_dedup_exact_matches_pandas(seed):
     df = t.to_pandas()
     df["bucket"] = b1
     assert (df.groupby("k")["bucket"].nunique() == 1).all()
+
+
+@st.composite
+def select_exprs(draw):
+    """Random SELECT-list expressions over integer column a / string
+    column s — integer-exact so Arrow and DuckDB agree bit-for-bit."""
+    def int_atom():
+        kind = draw(st.sampled_from(
+            ["col", "lit", "add", "mul", "mod", "abs", "len"]))
+        if kind == "col":
+            return "a"
+        if kind == "lit":
+            return str(draw(st.integers(0, 9)))
+        if kind == "add":
+            return f"(a + {draw(st.integers(0, 9))})"
+        if kind == "mul":
+            return f"(a * {draw(st.integers(1, 5))})"
+        if kind == "mod":
+            return f"(a % {draw(st.integers(1, 7))})"
+        if kind == "abs":
+            return f"ABS(a - {draw(st.integers(0, 9))})"
+        return "LENGTH(s)"
+
+    e = int_atom()
+    for _ in range(draw(st.integers(0, 2))):
+        op = draw(st.sampled_from(["+", "*"]))
+        e = f"({e} {op} {int_atom()})"
+    # string expression alongside
+    sk = draw(st.sampled_from(
+        ["UPPER(s)", "LOWER(s)", "SUBSTR(s, 1, 2)",
+         "CONCAT(s, '-', CAST(a % 10 AS VARCHAR))"]))
+    return f"rid, CAST({e} AS BIGINT) AS v, {sk} AS t"
+
+
+@settings(max_examples=150, deadline=None)
+@given(select_exprs(), st.integers(0, 2**31 - 1))
+def test_select_expr_matches_duckdb(sel, seed):
+    """compile_select/select_batch ≡ DuckDB on the same SELECT list —
+    the swq select-expr evaluator's general oracle (integer-exact
+    expressions; the scalar-function registry incl. CAST)."""
+    import duckdb
+    import pyarrow as pa
+
+    from gdal_ray.functions.expr import select_batch
+
+    rs = np.random.RandomState(seed)
+    n = 48
+    t = pa.table({
+        "rid": pa.array(np.arange(n, dtype=np.int64)),
+        "a": pa.array(rs.randint(-20, 20, n)),
+        "s": pa.array(rs.choice(["xyz", "Abc", "zzy", "q", "xy"], n)),
+    })
+    got = select_batch(t, sel).to_pandas().sort_values("rid") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(f"SELECT {sel} FROM t ORDER BY rid").fetchdf()
+    assert list(got["v"].astype("int64")) == \
+        list(want["v"].astype("int64")), sel
+    assert list(got["t"]) == list(want["t"]), sel
