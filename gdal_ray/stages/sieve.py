@@ -293,9 +293,11 @@ def sieve(tiles_ds, threshold: int, protect_zero: bool = False,
                                 batch_format="pyarrow").materialize()
 
     if driver_limit and recs.count() <= driver_limit:
-        rt = pa.concat_tables(
-            [t for t in ray.get(list(recs.to_arrow_refs()))
-             if t.num_rows])
+        parts = [t for t in ray.get(list(recs.to_arrow_refs()))
+                 if t.num_rows]
+        if not parts:  # empty mosaic — nothing to sieve
+            return tiles_ds
+        rt = pa.concat_tables(parts)
         seam_t = _seam_edges(rt.filter(pc.equal(rt["kind"], 1)))
         rk, rv = _uf_roots([seam_t])
         comp_rows = rt.filter(pc.equal(rt["kind"], 0))

@@ -305,7 +305,7 @@ def warp_to_platecarree(tiles_ds, n_buckets: int | None = None,
     if resampling not in _RESAMPLERS:
         raise ValueError(f"unsupported resampling {resampling!r}")
     kernel, halo = _RESAMPLERS[resampling]
-    bilinear = resampling != "nearest"  # float32 output path
+    float_kernel = resampling != "nearest"  # float32 output path
 
     emit = tiles_ds.map_batches(
         lambda b: emit_to_dest(b, halo=halo), batch_format="pyarrow")
@@ -336,7 +336,7 @@ def warp_to_platecarree(tiles_ds, n_buckets: int | None = None,
                 grids[(int(sx[r]), int(sy[r]))] = np.frombuffer(
                     zlib.decompress(blobs[r]), dtype=">u2") \
                     .reshape(TILE, TILE).astype(np.int64)
-            if bilinear:
+            if float_kernel:
                 res = kernel(z, xo, yo, grids)
                 blob = zlib.compress(
                     res.astype("<f4").tobytes(), 6)
@@ -348,7 +348,7 @@ def warp_to_platecarree(tiles_ds, n_buckets: int | None = None,
             out["x"].append(xo)
             out["y"].append(yo)
             out["raster"].append(blob)
-        name = "raster_f32" if bilinear else "raster"
+        name = "raster_f32" if float_kernel else "raster"
         return pa.table({
             "z": pa.array(out["z"], pa.int32()),
             "x": pa.array(out["x"], pa.int64()),
