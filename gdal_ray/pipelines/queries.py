@@ -716,6 +716,24 @@ def q_docs_fingerprint(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_docs_jaccard_exact(sf_dir: str):
+    """EXACT n-gram Jaccard similarity self-join on a document subset
+    (stages/dedup.py:jaccard_similarity_join — distributed inverted
+    index over LITERAL token 3-grams, fenced quadratic path).  The
+    ground-truth oracle for the MinHash-LSH approximate family: SQL
+    rebuilds the same gram sets with regexp_extract_all +
+    list_transform and joins posting lists."""
+    from ..stages.dedup import jaccard_similarity_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    docs = docs.map_batches(
+        lambda b: b.filter(pa.array(
+            b["doc_id"].to_numpy(zero_copy_only=False) < 2000)),
+        batch_format="pyarrow")
+    return jaccard_similarity_join(docs, threshold=0.2)
+
+
 def q_docs_dedup_exact(sf_dir: str):
     """Exact dedup: keep min doc_id per content fingerprint."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -2097,6 +2115,7 @@ QUERIES = {
     "knn_radius_nodata": q_knn_radius_nodata,
     "knn_idw": q_knn_idw,
     "docs_dedup_exact": q_docs_dedup_exact,
+    "docs_jaccard_exact": q_docs_jaccard_exact,
     "docs_lang_id": q_docs_lang_id,
     "emb_cosine_topk": q_emb_cosine_topk,
     "docs_fingerprint": q_docs_fingerprint,
@@ -3536,6 +3555,34 @@ ORACLES["zonal_weighted"] = f"""
                  / sum(event_id % 7 + 1), 6) AS wmean
     FROM matches GROUP BY 1
 """.replace("{ZONES}", _ZONES_SQL)
+
+# exact n-gram Jaccard: SQL rebuilds the literal token 3-gram sets
+# (regexp_extract_all + list_transform lambda) and joins posting
+# lists; identical float expression order for the score + filter
+ORACLES["docs_jaccard_exact"] = """
+    WITH d AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '\\S+') AS toks
+               FROM documents WHERE doc_id < 2000),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                     range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' '
+                          || toks[i+2]))) AS gram
+          FROM d),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+              FROM g GROUP BY 1),
+    inter AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+                     CAST(count(*) AS BIGINT) AS i
+              FROM g a JOIN g b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT key_a, key_b,
+           CAST(floor(i / (sa.n + sb.n - i) * 1000000.0 + 0.5)
+                AS BIGINT) AS jaccard_q6
+    FROM inter JOIN sizes sa ON sa.doc_id = key_a
+               JOIN sizes sb ON sb.doc_id = key_b
+    WHERE i / (sa.n + sb.n - i) >= 0.2
+"""
 
 # curve linearization: uniform angular stroking makes every chord
 # equal, so n_points and chord-length sum have closed forms

@@ -614,6 +614,136 @@ def _ds_signature(rows) -> tuple:
             if len(parts) else 0)
 
 
+def jaccard_similarity_join(ds, key_col: str = "doc_id",
+                            text_col: str = "text", k: int = 3,
+                            threshold: float = 0.5,
+                            n_buckets: int | None = None,
+                            max_rows: int = 100_000):
+    """EXACT n-gram Jaccard similarity self-join: every document pair
+    whose k-token-gram Jaccard ≥ threshold, via a distributed inverted
+    index (gram → posting list → per-gram pair emission → one bucketed
+    pair-count exchange).  Grams are LITERAL lowercased token k-grams
+    (``\\S+`` tokens joined by single spaces), so the result is
+    SQL-checkable end to end — the ground-truth oracle for the
+    MinHash-LSH + hashed-shingle approximate path
+    (minhash_candidate_pairs → jaccard_verify_pairs).
+
+    All-pairs emission is quadratic in a gram's posting-list length, so
+    this is FENCED at ``max_rows`` documents (the emb_threshold_join
+    pattern): beyond it use the LSH path, which trades exactness for
+    never materializing hot posting lists."""
+    import re as _re
+
+    from ._pool import cluster_cpus
+
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"jaccard_similarity_join is the exact (quadratic-per-gram) "
+            f"path, fenced at {max_rows} rows (got {n}); use "
+            f"minhash_candidate_pairs + jaccard_verify_pairs at scale")
+    B = n_buckets or max(16, cluster_cpus() * 2)
+    tok_re = _re.compile(r"\S+")
+    ds = ds.materialize()
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        out_k, out_g = [], []
+        sizes_k, sizes_n = [], []
+        for key, txt in zip(b[key_col].to_pylist(),
+                            b[text_col].to_pylist()):
+            toks = tok_re.findall((txt or "").lower())
+            gs = sorted({" ".join(toks[i:i + k])
+                         for i in range(len(toks) - k + 1)})
+            out_k.extend([key] * len(gs))
+            out_g.extend(gs)
+            sizes_k.append(key)
+            sizes_n.append(len(gs))
+        t = pa.table({"gram": pa.array(out_g, pa.string())})
+        return pa.table({
+            "key": pa.array(out_k, pa.int64()),
+            "gram": t["gram"],
+            _BUCKET_COL: pa.array(_hash_bucket(t, ["gram"], B)),
+        })
+
+    def size_rows(b: pa.Table) -> pa.Table:
+        ks, ns = [], []
+        for key, txt in zip(b[key_col].to_pylist(),
+                            b[text_col].to_pylist()):
+            toks = tok_re.findall((txt or "").lower())
+            ks.append(key)
+            ns.append(len({" ".join(toks[i:i + k])
+                           for i in range(len(toks) - k + 1)}))
+        return pa.table({"key": pa.array(ks, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow")
+    sizes_t = pa.concat_tables(
+        [t for t in
+         __import__("ray").get(list(
+             ds.map_batches(size_rows, batch_format="pyarrow")
+             .to_arrow_refs())) if t.num_rows])
+    sk = sizes_t["key"].to_numpy(zero_copy_only=False)
+    sn = sizes_t["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(sk, kind="stable")
+    import ray as _ray
+    sizes_ref = _ray.put((sk[order], sn[order]))
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        gr = g["gram"].to_numpy(zero_copy_only=False)
+        ky = g["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ky, gr))
+        gr_s, ky_s = gr[order], ky[order]
+        starts = np.flatnonzero(np.r_[True, gr_s[1:] != gr_s[:-1]])
+        ends = np.r_[starts[1:], len(gr_s)]
+        aa, bb = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            seg = ky_s[s:e]
+            iu = np.triu_indices(m, 1)
+            aa.append(seg[iu[0]])
+            bb.append(seg[iu[1]])
+        if not aa:
+            return pa.table({"key_a": pa.array([], pa.int64()),
+                             "key_b": pa.array([], pa.int64())})
+        return pa.table({"key_a": pa.array(np.concatenate(aa)),
+                         "key_b": pa.array(np.concatenate(bb))})
+
+    pairs = grams.groupby(_BUCKET_COL).map_groups(emit_pairs,
+                                                  batch_format="pyarrow")
+
+    def rebucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            _BUCKET_COL,
+            pa.array(_hash_bucket(b, ["key_a", "key_b"], B)))
+
+    def count_and_score(g: pa.Table) -> pa.Table:
+        a = g["key_a"].to_numpy(zero_copy_only=False)
+        b_ = g["key_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b_, a))
+        a, b_ = a[order], b_[order]
+        new = np.r_[True, (a[1:] != a[:-1]) | (b_[1:] != b_[:-1])]
+        starts = np.flatnonzero(new)
+        inter = np.r_[starts[1:], len(a)] - starts
+        ua, ub = a[starts], b_[starts]
+        rk, rv = _ray.get(sizes_ref)
+        na = rv[np.searchsorted(rk, ua)]
+        nb = rv[np.searchsorted(rk, ub)]
+        jac = inter / (na + nb - inter)
+        keep = jac >= threshold
+        return pa.table({
+            "key_a": pa.array(ua[keep]),
+            "key_b": pa.array(ub[keep]),
+            "jaccard_q6": pa.array(
+                np.floor(jac[keep] * 1000000.0 + 0.5).astype(np.int64)),
+        })
+
+    return pairs.map_batches(rebucket, batch_format="pyarrow") \
+        .groupby(_BUCKET_COL).map_groups(count_and_score,
+                                         batch_format="pyarrow")
+
+
 def connected_components(pairs_ds, buckets: int | None = None,
                          max_rounds: int = 40,
                          driver_limit: int = 5_000_000):

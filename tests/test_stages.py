@@ -789,3 +789,45 @@ def test_execute_sql_union_all(ray_session):
     dup = execute_sql("SELECT k FROM p UNION ALL SELECT k FROM p",
                       tables).to_pandas()
     assert sorted(dup["k"]) == [1, 1, 3, 3]
+
+
+def test_jaccard_similarity_join_exact(ray_session):
+    """Inverted-index exact Jaccard join vs a brute-force recompute;
+    fence raises beyond max_rows."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+    from gdal_ray.stages.dedup import jaccard_similarity_join
+
+    docs = [
+        (0, "a b c d e f"),
+        (1, "a b c d e f"),           # exact dup of 0
+        (2, "a b c d e g"),           # near dup of 0
+        (3, "x y z w q r"),           # unrelated
+        (4, "x y z w q s"),           # near dup of 3
+    ]
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([s for _, s in docs])})
+    out = jaccard_similarity_join(rd.from_arrow(t).repartition(2),
+                                  threshold=0.3).to_pandas()
+    got = {(a, b): j for a, b, j in
+           zip(out["key_a"], out["key_b"], out["jaccard_q6"])}
+
+    def jac(s1, s2):
+        g1 = {" ".join(s1.split()[i:i + 3])
+              for i in range(len(s1.split()) - 2)}
+        g2 = {" ".join(s2.split()[i:i + 3])
+              for i in range(len(s2.split()) - 2)}
+        return len(g1 & g2) / len(g1 | g2)
+
+    expect = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            v = jac(docs[i][1], docs[j][1])
+            if v >= 0.3:
+                expect[(docs[i][0], docs[j][0])] = int(
+                    np.floor(v * 1e6 + 0.5))
+    assert got == expect
+    assert got[(0, 1)] == 1_000_000  # exact dup
+    with _pytest.raises(ValueError):
+        jaccard_similarity_join(rd.from_arrow(t), max_rows=2)
