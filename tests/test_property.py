@@ -111,10 +111,20 @@ def where_clauses(draw):
     """Random WHERE over columns a (int), b (float), s (string)."""
     def atom():
         kind = draw(st.sampled_from(
-            ["cmp_a", "cmp_b", "in_a", "between_a", "like_s", "null_b"]))
+            ["cmp_a", "cmp_b", "in_a", "between_a", "like_s", "null_b",
+             "fn_abs", "fn_len", "fn_upper"]))
         if kind == "cmp_a":
             op = draw(st.sampled_from(["=", "<>", "<", ">", "<=", ">="]))
             return f"a {op} {draw(st.integers(0, 9))}"
+        if kind == "fn_abs":
+            # scalar functions are legal in WHERE position too
+            return f"ABS(a - {draw(st.integers(0, 9))}) " \
+                   f"{draw(st.sampled_from(['<', '>=']))} " \
+                   f"{draw(st.integers(0, 5))}"
+        if kind == "fn_len":
+            return f"LENGTH(s) = {draw(st.integers(2, 3))}"
+        if kind == "fn_upper":
+            return "UPPER(s) = 'XYZ'"
         if kind == "cmp_b":
             op = draw(st.sampled_from(["<", ">", "<=", ">="]))
             return f"b {op} {draw(st.integers(0, 9))}.5"
