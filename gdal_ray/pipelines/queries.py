@@ -2080,6 +2080,14 @@ QUERIES = {
     "grid_linear": q_grid_linear,
     "reproject_albers": q_reproject_albers,
     "reproject_stereo": q_reproject_stereo,
+    # round-3 flagships in the driver's 50-entry window; the entries
+    # they displaced (lineitem_* family) are archived driver-green in
+    # CORRECTNESS_r01/r02 and stay in the mini-driver gate
+    "tile_overviews_avg": q_tile_overviews_avg,
+    "tile_counts_geodetic": q_tile_counts_geodetic,
+    "tile_render_geodetic": q_tile_render_geodetic,
+    "geom_linearize": q_geom_linearize,
+    "docs_jaccard_exact": q_docs_jaccard_exact,
     "geom_buffer_area": q_geom_buffer_area,
     "zonal_weighted": q_zonal_weighted,
     "lineitem_summary": q_lineitem_summary,
@@ -2105,17 +2113,13 @@ QUERIES = {
     "zonal_stats": q_zonal_stats,
     "tile_assign_z8": q_tile_assign_z8,
     "tile_counts_tms_z6": q_tile_counts_tms_z6,
-    "tile_counts_geodetic": q_tile_counts_geodetic,
-    "tile_render_geodetic": q_tile_render_geodetic,
     "tile_pyramid": q_tile_pyramid,
-    "tile_overviews_avg": q_tile_overviews_avg,
     "reproject_3857": q_reproject_3857,
     "reproject_utm31_inzone": q_reproject_utm31_inzone,
     "knn_nearest_nation": q_knn_nearest_nation,
     "knn_radius_nodata": q_knn_radius_nodata,
     "knn_idw": q_knn_idw,
     "docs_dedup_exact": q_docs_dedup_exact,
-    "docs_jaccard_exact": q_docs_jaccard_exact,
     "docs_lang_id": q_docs_lang_id,
     "emb_cosine_topk": q_emb_cosine_topk,
     "docs_fingerprint": q_docs_fingerprint,
@@ -2126,7 +2130,6 @@ QUERIES = {
     "geom_zone_area": q_geom_zone_area,
     "geom_zone_centroid": q_geom_zone_centroid,
     "geom_convex_hull": q_geom_convex_hull,
-    "geom_linearize": q_geom_linearize,
     "string_funcs": q_string_funcs,
     "events_props_extract": q_events_props_extract,
     "limit_offset": q_limit_offset,
