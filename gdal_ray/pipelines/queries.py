@@ -547,6 +547,32 @@ def q_tile_render_geodetic(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_tile_overviews_geodetic(sf_dir: str):
+    """Pixel-averaged overview level in the GEODETIC profile: the
+    parent arithmetic (x>>1, y>>1, 2×2 quadrant average) is
+    profile-independent, so overview_level composes with geodetic
+    rendering unchanged — z=3 geodetic render → z=2 averaged level.
+    ORACLE: the geodetic pixel CTE + one round-half-up averaging
+    level."""
+    pts = event_points(sf_dir, columns=("event_id",))
+    base = _tiling.render_tiles(pts, zoom=3, profile="geodetic")
+    out = _tiling.overview_level(base, resampling="average")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        sums, nz = [], []
+        for blob in b["raster"].to_pylist():
+            g = np.frombuffer(_z.decompress(blob), dtype=">u2") \
+                .astype(np.int64)
+            sums.append(int(g.sum()))
+            nz.append(int((g > 0).sum()))
+        return pa.table({"z": b["z"], "x": b["x"], "y": b["y"],
+                         "pix_sum": pa.array(sums, pa.int64()),
+                         "nonzero": pa.array(nz, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_tile_pyramid(sf_dir: str):
     """Base z=8 counts + overview levels to z=5 (GenerateOverviewTile
     child-sum semantics); conservation tested per level."""
@@ -2086,6 +2112,7 @@ QUERIES = {
     "tile_overviews_avg": q_tile_overviews_avg,
     "tile_counts_geodetic": q_tile_counts_geodetic,
     "tile_render_geodetic": q_tile_render_geodetic,
+    "tile_overviews_geodetic": q_tile_overviews_geodetic,
     "geom_linearize": q_geom_linearize,
     "docs_jaccard_exact": q_docs_jaccard_exact,
     "geom_buffer_area": q_geom_buffer_area,
@@ -2494,6 +2521,28 @@ ORACLES = {
                CAST(sum(n) AS BIGINT) AS pix_sum,
                CAST(count(*) AS BIGINT) AS nonzero
         FROM mp GROUP BY 2, 3
+    """,
+    "tile_overviews_geodetic": f"""
+        WITH mp AS (
+          SELECT CAST(least(greatest(floor((lon+180.0)/180.0*2048.0),
+                            0), 4095) AS BIGINT) AS gx,
+                 CAST(least(greatest(floor((90.0-lat)/180.0*2048.0),
+                            0), 2047) AS BIGINT) AS gy,
+                 count(*) AS n
+          FROM ({_PTS_SQL}) GROUP BY 1, 2),
+        l2 AS (SELECT gx // 2 AS gx, gy // 2 AS gy,
+                      (sum(n) + 2) // 4 AS n
+               FROM mp GROUP BY 1, 2),
+        t2 AS (SELECT DISTINCT (gx // 256) // 2 AS x,
+                      (gy // 256) // 2 AS y FROM mp),
+        s2 AS (SELECT gx // 256 AS x, gy // 256 AS y,
+                      sum(n) AS pix_sum,
+                      count(*) FILTER (WHERE n > 0) AS nonzero
+               FROM l2 GROUP BY 1, 2)
+        SELECT CAST(2 AS INTEGER) AS z, t2.x, t2.y,
+               CAST(COALESCE(s2.pix_sum, 0) AS BIGINT) AS pix_sum,
+               CAST(COALESCE(s2.nonzero, 0) AS BIGINT) AS nonzero
+        FROM t2 LEFT JOIN s2 ON t2.x = s2.x AND t2.y = s2.y
     """,
     "tile_pyramid": f"""
         WITH t8 AS (
