@@ -830,7 +830,12 @@ def q_docs_minhash_pairs(sf_dir: str):
 def q_docs_near_dup_verified(sf_dir: str):
     """Full MinHash-LSH near-dedup: candidate pairs → exact k-shingle
     Jaccard verify ≥ 0.5 (rows-only: crc32 shingles have no SQL
-    analog; two-stage plan per the dedup survey)."""
+    analog; two-stage plan per the dedup survey).  Pair-completeness
+    caveat: LSH buckets above max_bucket emit star topology around the
+    bucket minimum, so a hot-bucket pair may reach verification only
+    via its representative — clusters are preserved (what
+    docs_near_dedup consumes) but the direct pair list is a subset in
+    hot buckets; the exact ground truth is docs_jaccard_exact."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     cands = _dedup.minhash_candidate_pairs(ds, "doc_id", "text",
