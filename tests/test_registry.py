@@ -185,3 +185,34 @@ def test_registry_sql_linearize_overviews_steps(ray_session):
                         dtype=">u2").reshape(256, 256)
     q = got[128:, :128]  # child (2,2) → quadrant (qx=0, qy=0)? check any
     assert got.max() == 8
+
+
+def test_registry_json_pipeline_with_sql(ray_session):
+    """End-to-end JSON pipeline: parquet read (predicate pushdown) →
+    SQL statement → sort — the §2.10 declarative surface over the new
+    executor."""
+    from gdal_ray.pipelines.registry import run_pipeline
+
+    spec = [
+        {"step": "read_parquet",
+         "paths": "/root/testdata/sf0.001/events.parquet",
+         "columns": ["event_id", "event_type", "value"],
+         "where": "value > 10.0"},
+        {"step": "sql",
+         "query": "SELECT event_type, COUNT(*) AS n, "
+                  "SUM(CAST(event_id % 10 AS BIGINT)) AS s "
+                  "FROM input GROUP BY event_type"},
+        {"step": "sort", "keys": "event_type"},
+    ]
+    out = run_pipeline(spec).to_pandas()
+    import duckdb
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT event_type, COUNT(*) AS n, "
+        "CAST(SUM(CAST(event_id % 10 AS BIGINT)) AS BIGINT) AS s "
+        "FROM read_parquet('/root/testdata/sf0.001/events.parquet') "
+        "WHERE value > 10.0 GROUP BY event_type ORDER BY event_type"
+    ).fetchdf()
+    assert list(out["event_type"]) == list(want["event_type"])
+    assert list(out["n"].astype(int)) == list(want["n"].astype(int))
+    assert list(out["s"].astype(int)) == list(want["s"].astype(int))
