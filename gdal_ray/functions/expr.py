@@ -294,7 +294,10 @@ class _Parser:
             return pc.abs(args[0])
         if name == "ROUND":
             nd = int(lit(1)) if len(args) == 2 else 0
-            return pc.round(args[0], ndigits=nd)
+            # OGR SQL / DuckDB round half AWAY from zero; pyarrow's
+            # default is banker's half-to-even (ADVICE r3)
+            return pc.round(args[0], ndigits=nd,
+                            round_mode="half_away_from_zero")
         if name == "FLOOR":
             return pc.floor(args[0])
         if name == "CEIL" or name == "CEILING":

@@ -34,6 +34,7 @@ from __future__ import annotations
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .expr import _tokenize, compile_select, compile_where, select_batch
 
@@ -116,6 +117,27 @@ _AGG_ITEM_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 
+def _balanced(s: str) -> bool:
+    """True iff parens in ``s`` are prefix-balanced (depth never goes
+    negative, ends at zero), ignoring quoted spans.  A paren-count
+    equality alone mis-reads ``SUM(a) + SUM(b)`` as one aggregate with
+    arg ``a) + SUM(b`` (ADVICE r3)."""
+    depth, in_str = 0, False
+    for ch in s:
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0 and not in_str
+
+
 def _parse_select_items(select: str):
     """Each item → ('agg', fn, arg_expr, alias) or ('expr', text)."""
     distinct = False
@@ -126,7 +148,11 @@ def _parse_select_items(select: str):
     items = []
     for raw in _split_top_commas(s):
         m = _AGG_ITEM_RE.match(raw)
-        if m and m.group(2).count("(") == m.group(2).count(")"):
+        if m and not _balanced(m.group(2)):
+            raise ValueError(
+                f"unsupported select item {raw!r}: expressions OVER "
+                "aggregates (e.g. SUM(a) + SUM(b)) are not supported")
+        if m:
             fn = m.group(1).upper()
             arg = m.group(2).strip()
             alias = m.group(3)
@@ -136,6 +162,38 @@ def _parse_select_items(select: str):
         else:
             items.append(("expr", raw))
     return distinct, items
+
+
+def _mask_strings(s: str) -> str:
+    """Copy of ``s`` with only quoted string literals blanked (parens
+    kept) — for rewrites that must reach inside function calls but
+    never inside literals."""
+    out, in_str = [], False
+    for ch in s:
+        if in_str:
+            out.append("_")
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            out.append("_")
+            in_str = True
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _sub_outside_strings(pattern: re.Pattern, repl: str, text: str) -> str:
+    """``pattern.sub(repl, text)`` applied only at positions that are
+    OUTSIDE string literals — a raw sub would rewrite 'orders.high'
+    → 'high' when table ``orders`` is in FROM (ADVICE r3)."""
+    masked = _mask_strings(text)
+    out, pos = [], 0
+    for m in pattern.finditer(masked):
+        out.append(text[pos:m.start()])
+        out.append(m.expand(repl) if repl else repl)
+        pos = m.end()
+    out.append(text[pos:])
+    return "".join(out)
 
 
 def _mask(s: str) -> str:
@@ -172,7 +230,8 @@ def execute_sql(sql: str, tables: dict):
 
     ``tables``: {name: Dataset}.  Returns a Dataset (or, after
     OFFSET, an Arrow table — OFFSET implies a driver-side slice of the
-    already-LIMITed head, which is small by construction).
+    already-LIMITed head, which is small by construction; an OFFSET
+    without a LIMIT is rejected rather than streamed, by contract).
 
     ``stmt UNION ALL stmt [...]`` concatenates the member results
     (``ogr_sql_dialect.rst`` UNION ALL layer concatenation); a trailing
@@ -218,7 +277,7 @@ def execute_sql(sql: str, tables: dict):
             r"\b(" + "|".join(map(re.escape, aliases)) + r")\.")
         for k in ("SELECT", "WHERE", "GROUP BY", "ORDER BY"):
             if k in cl:
-                cl[k] = qual.sub("", cl[k])
+                cl[k] = _sub_outside_strings(qual, "", cl[k])
 
     if "WHERE" in cl:
         pred = compile_where(cl["WHERE"])
@@ -300,22 +359,44 @@ def _strip_qual(col: str) -> str:
 
 def _resolve_from(body: str, tables: dict):
     """FROM clause → joined Dataset + the table/alias names seen.
-    Grammar: ``t1 [JOIN|LEFT JOIN t2 ON a = b]*`` (equality ON only,
-    the reference's secondary-table join shape,
-    doc/source/user/ogr_sql_dialect.rst:410-503).  Each join is
-    size-dispatched through stages/join.py:join_auto."""
+    Grammar: ``src [JOIN|LEFT JOIN t2 ON a = b]*`` where ``src`` is a
+    table name or a parenthesized subquery ``(SELECT ...) [AS] alias``
+    (equality ON only, the reference's secondary-table join shape,
+    doc/source/user/ogr_sql_dialect.rst:410-503).  Subqueries recurse
+    through ``execute_sql``; each join is size-dispatched through
+    stages/join.py:join_auto.  JOIN keywords are located on the masked
+    text so a JOIN inside a subquery never splits the outer clause."""
     from ..stages.join import join_auto
 
-    parts = _JOIN_SPLIT_RE.split(body)
-    base = parts[0].strip().strip('"')
-    if not re.fullmatch(r"[A-Za-z_][\w.]*", base):
-        raise ValueError(f"unsupported FROM {body!r}")
-    if base not in tables:
-        raise ValueError(f"unknown table {base!r}")
-    ds = tables[base]
-    aliases = [base]
-    for i in range(1, len(parts), 2):
-        kw, seg = parts[i].upper(), parts[i + 1]
+    masked = _mask(body)
+    hits = list(_JOIN_SPLIT_RE.finditer(masked))
+    segs, kws, pos = [], [], 0
+    for m in hits:
+        segs.append(body[pos:m.start()])
+        kws.append(re.sub(r"\s+", " ", m.group(1).upper()))
+        pos = m.end()
+    segs.append(body[pos:])
+
+    base = segs[0].strip()
+    sub = re.match(r"^\((.*)\)\s*(?:AS\s+)?([A-Za-z_]\w*)?\s*$", base,
+                   re.DOTALL | re.IGNORECASE)
+    if sub:
+        # derived table: FROM (SELECT ...) [AS] alias — recurse
+        inner = execute_sql(sub.group(1), tables)
+        if isinstance(inner, pa.Table):
+            import ray.data as _rd
+            inner = _rd.from_arrow(inner)
+        ds = inner
+        aliases = [sub.group(2)] if sub.group(2) else []
+    else:
+        base = base.strip('"')
+        if not re.fullmatch(r"[A-Za-z_][\w.]*", base):
+            raise ValueError(f"unsupported FROM {body!r}")
+        if base not in tables:
+            raise ValueError(f"unknown table {base!r}")
+        ds = tables[base]
+        aliases = [base]
+    for kw, seg in zip(kws, segs[1:]):
         m = _ON_RE.match(seg)
         if not m:
             raise ValueError(f"bad JOIN clause {seg!r} (need "
@@ -382,9 +463,14 @@ def _aggregate(ds, items, group_cols):
             col = f"__arg_{i}"
             proj_parts.append(f"{arg} AS {col}")
             aggs.append((col, {"AVG": "mean"}.get(fn, fn.lower()), alias))
-    sel = ", ".join(proj_parts)
-    projected = ds.map_batches(lambda b: select_batch(b, sel),
-                               batch_format="pyarrow")
+    if proj_parts:
+        sel = ", ".join(proj_parts)
+        projected = ds.map_batches(lambda b: select_batch(b, sel),
+                                   batch_format="pyarrow")
+    else:
+        # pure COUNT(*) with no GROUP BY: no argument columns at all —
+        # keep one narrow carrier column for the count exchange
+        projected = ds.select_columns([ds.schema().names[0]])
     gkeys = group_cols
     if not gkeys:
         projected = projected.map_batches(
@@ -392,19 +478,45 @@ def _aggregate(ds, items, group_cols):
                                                         pa.int8())),
             batch_format="pyarrow")
         gkeys = ["__all"]
-    if len(distinct_aggs) > 1 or (distinct_aggs and aggs):
+    if distinct_aggs:
         projected = projected.materialize()  # shared by several passes
     pieces = []
     if aggs or not distinct_aggs:
         pieces.append(partial_final_agg(projected, gkeys, aggs))
+    elif distinct_aggs:
+        # base piece: every group must survive even when a distinct
+        # argument is entirely NULL within it (its count is then 0)
+        pieces.append(partial_final_agg(
+            projected.select_columns(gkeys), gkeys,
+            [(None, "count", "__base")]))
     for col, alias in distinct_aggs:
-        pairs = partial_final_agg(projected.select_columns(gkeys + [col]),
+        # SQL COUNT(DISTINCT x) excludes NULLs; the grouped exchange
+        # would keep a NULL-key group and count it as one distinct
+        # value (ADVICE r3) — drop NULL rows of the argument first
+        src = projected.select_columns(gkeys + [col]).map_batches(
+            lambda b, c=col: b.filter(pc.is_valid(b.column(c))),
+            batch_format="pyarrow")
+        pairs = partial_final_agg(src,
                                   gkeys + [col], [(None, "count", "__n")])
         pieces.append(partial_final_agg(
             pairs.select_columns(gkeys), gkeys,
             [(None, "count", alias)]))
     out = pieces[0]
     for p in pieces[1:]:
-        out = join_auto(out, p, keys=gkeys)
+        # left join: a group absent from a distinct piece has 0
+        # distinct non-NULL values, not no row
+        out = join_auto(out, p, keys=gkeys, join_type="left")
+    if distinct_aggs:
+        dnames = [alias for _, alias in distinct_aggs]
+
+        def _fill_zero(b: pa.Table, cols=tuple(dnames)) -> pa.Table:
+            for c in cols:
+                i = b.column_names.index(c)
+                b = b.set_column(
+                    i, c, pc.fill_null(b.column(c),
+                                       pa.scalar(0, b.column(c).type)))
+            return b
+
+        out = out.map_batches(_fill_zero, batch_format="pyarrow")
     return out.map_batches(lambda b: b.select(keep),
                            batch_format="pyarrow")

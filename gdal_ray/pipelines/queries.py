@@ -311,6 +311,23 @@ def q_sql_distinct_having(sf_dir: str):
         {"events": rd.read_parquet(f"{sf_dir}/events.parquet")})
 
 
+def q_sql_subquery(sf_dir: str):
+    """Derived-table subquery: FROM (SELECT …) alias recurses through
+    execute_sql (functions/sql.py:_resolve_from) — the inner statement
+    projects expression columns, the outer aggregates over them.
+    ORACLE: DuckDB runs the same statement (modulo the SUM→BIGINT
+    cast normalizing DuckDB's HUGEINT sum)."""
+    from ..functions.sql import execute_sql
+
+    return execute_sql(
+        "SELECT bucket, COUNT(*) AS n, SUM(rc) AS src "
+        "FROM (SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket, "
+        "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS rc "
+        "FROM orders WHERE o_totalprice > 1000.0) q "
+        "GROUP BY bucket",
+        {"orders": rd.read_parquet(f"{sf_dir}/orders.parquet")})
+
+
 def q_events_filter_like(sf_dir: str):
     """LIKE + BETWEEN + IS NOT NULL through the WHERE compiler
     (swq grammar, ogr/ogr_swq.h:42-81)."""
@@ -2134,6 +2151,7 @@ QUERIES = {
     "sql_statement": q_sql_statement,
     "sql_join": q_sql_join,
     "sql_distinct_having": q_sql_distinct_having,
+    "sql_subquery": q_sql_subquery,
     "orders_lineitem_join": q_orders_lineitem_join,
     "events_count_distinct_users": q_events_count_distinct_users,
     "events_windowed_hourly": q_events_windowed_hourly,
@@ -2436,6 +2454,15 @@ ORACLES = {
                              AS BIGINT)) AS BIGINT) AS rev_c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+    """,
+    "sql_subquery": """
+        SELECT bucket, COUNT(*) AS n,
+               CAST(SUM(rc) AS BIGINT) AS src
+        FROM (SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket,
+                     CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                         AS rc
+              FROM orders WHERE o_totalprice > 1000.0) q
+        GROUP BY bucket
     """,
     "orders_lineitem_join": """
         SELECT o.o_orderpriority,

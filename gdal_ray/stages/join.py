@@ -81,10 +81,13 @@ def join_auto(ds, lookup_ds, keys, right_keys=None,
     if jt_pa is None:
         raise ValueError(f"unsupported join_type {join_type!r}")
     try:
-        est = lookup_ds.size_bytes() or 0
+        est = lookup_ds.size_bytes()
     except Exception:
-        est = 0
-    if est <= broadcast_max_bytes:
+        est = None
+    # unknown size (None / estimator failure) is NOT "small" — collecting
+    # an unbounded lookup side could OOM the driver; fall through to the
+    # distributed hash join instead (ADVICE r3)
+    if est is not None and est <= broadcast_max_bytes:
         # groupby outputs can contain schema-less empty blocks — drop
         parts = [t for t in ray.get(list(lookup_ds.to_arrow_refs()))
                  if t.num_columns]
@@ -102,7 +105,7 @@ def join_auto(ds, lookup_ds, keys, right_keys=None,
         left_est = ds.size_bytes() or 0
     except Exception:
         left_est = 0
-    nparts = int(min(max(16, (left_est + est) // (128 << 20)),
+    nparts = int(min(max(16, (left_est + (est or 0)) // (128 << 20)),
                      16 * cluster_cpus()))
     return ds.join(lookup_ds, join_type=jt_ray,
                    num_partitions=nparts,

@@ -791,6 +791,50 @@ def test_execute_sql_union_all(ray_session):
     assert sorted(dup["k"]) == [1, 1, 3, 3]
 
 
+def test_execute_sql_advice_fixes(ray_session):
+    """Round-3 ADVICE regressions: NULL-excluding COUNT(DISTINCT),
+    qualifier stripping skips string literals, SUM(a)+SUM(b) gets an
+    explicit error, FROM (SELECT ...) subqueries recurse."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+    from gdal_ray.functions.sql import execute_sql
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "b", "b"]),
+        "u": pa.array([1, None, None, None], pa.int64()),
+        "tag": pa.array(["t.high", "low", "t.high", "low"]),
+        "v": pa.array([10, 20, 30, 40], pa.int64()),
+    })
+    tables = {"t": rd.from_arrow(t).repartition(2)}
+
+    # COUNT(DISTINCT u) must NOT count the NULL group ('b' has only
+    # NULLs → 0, like SQL)
+    out = execute_sql("SELECT g, COUNT(DISTINCT u) AS nu FROM t "
+                      "GROUP BY g ORDER BY g", tables).to_pandas()
+    assert list(out["nu"]) == [1, 0]
+
+    # 't.' inside a string literal must survive qualifier stripping
+    lit = execute_sql("SELECT t.v FROM t WHERE t.tag = 't.high' "
+                      "ORDER BY v", tables).to_pandas()
+    assert list(lit["v"]) == [10, 30]
+
+    # expression over aggregates → explicit unsupported error
+    with _pytest.raises(ValueError, match="aggregate"):
+        execute_sql("SELECT SUM(v) + SUM(u) AS s FROM t", tables)
+
+    # derived table: aggregate over a subquery's projection
+    sub = execute_sql(
+        "SELECT g, SUM(dv) AS s FROM "
+        "(SELECT g, v * CAST(2 AS BIGINT) AS dv FROM t WHERE v > 10) q "
+        "GROUP BY g ORDER BY g", tables).to_pandas()
+    assert list(sub["g"]) == ["a", "b"] and list(sub["s"]) == [40, 140]
+    # subquery containing a JOIN keyword inside (must not split outer)
+    j = execute_sql("SELECT COUNT(*) AS n FROM "
+                    "(SELECT v FROM t WHERE tag = 'low') q", tables)
+    assert int(j.to_pandas()["n"][0]) == 2
+
+
 def test_jaccard_similarity_join_exact(ray_session):
     """Inverted-index exact Jaccard join vs a brute-force recompute;
     fence raises beyond max_rows."""
