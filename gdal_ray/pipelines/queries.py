@@ -1395,6 +1395,86 @@ def q_reclassify_tiles(sf_dir: str):
     return counts.map_batches(reclass, batch_format="pyarrow")
 
 
+# --- rasterize (scanline burn) ---------------------------------------------
+
+# 2.5-degree world raster: px = (lon+180)/2.5, py = (90-lat)/2.5 —
+# fixture offsets (.0025) keep every crossing and edge well away from
+# pixel centers and grid lines (the reference's own robustness caveat,
+# alg/llrasterize.cpp:40-45)
+_RASTERIZE_GT = (-180.0, 2.5, 90.0, -2.5)
+_RASTERIZE_W, _RASTERIZE_H = 144, 72
+
+_RASTERIZE_PIX_SQL = f"""
+    ring(poly_id, seq, gx, gy) AS (VALUES {{values}}),
+    pr AS (SELECT poly_id, seq,
+                  (gx - (-180.0)) / 2.5 AS x,
+                  (gy - 90.0) / (-2.5) AS y
+           FROM ring),
+    seg AS (SELECT poly_id, x AS x1, y AS y1,
+                   lead(x) OVER w AS x2, lead(y) OVER w AS y2
+            FROM pr WINDOW w AS (PARTITION BY poly_id ORDER BY seq)),
+    e AS (SELECT poly_id,
+                 CASE WHEN y1 < y2 THEN y1 ELSE y2 END AS ly,
+                 CASE WHEN y1 < y2 THEN y2 ELSE y1 END AS hy,
+                 CASE WHEN y1 < y2 THEN x1 ELSE x2 END AS lx,
+                 CASE WHEN y1 < y2 THEN x2 ELSE x1 END AS hx
+          FROM seg WHERE x2 IS NOT NULL AND y1 <> y2),
+    cr AS (SELECT e.poly_id, r.y,
+                  CAST(floor((r.y + 0.5 - e.ly) * (e.hx - e.lx)
+                             / (e.hy - e.ly) + e.lx + 0.5) AS BIGINT)
+                      AS cx
+           FROM e, generate_series(0, {_RASTERIZE_H - 1}) r(y)
+           WHERE (r.y + 0.5) >= e.ly AND (r.y + 0.5) < e.hy),
+    rk AS (SELECT poly_id, y, cx,
+                  row_number() OVER (PARTITION BY poly_id, y
+                                     ORDER BY cx) AS rn
+           FROM cr),
+    sp AS (SELECT a.poly_id, a.y, a.cx AS c0, b.cx AS c1
+           FROM rk a JOIN rk b ON a.poly_id = b.poly_id AND a.y = b.y
+                              AND b.rn = a.rn + 1
+           WHERE a.rn % 2 = 1),
+    fillpix AS (SELECT poly_id, y AS py,
+                       unnest(generate_series(GREATEST(c0, 0),
+                              LEAST(c1 - 1, {_RASTERIZE_W - 1}))) AS px
+                FROM sp)
+""".replace("{values}", _zone_ring_values())
+
+
+def _rasterize_zone_input() -> pa.Table:
+    t = zone_table()
+    return t.append_column(
+        "burn", pa.array(10.0 + np.arange(5, dtype=np.float64)))
+
+
+def q_rasterize_burn(sf_dir: str):
+    """gdal_rasterize polygon scanline burn, MERGE_ALG=REPLACE
+    (alg/gdalrasterize.cpp:565-790 via alg/llrasterize.cpp:58-228):
+    the 5 zone polygons burn 10+poly_id into a 144x72 world raster;
+    overlaps resolve to the LAST feature in layer order.  ORACLE: the
+    same scanline rule — center-height half-open edge crossings
+    snapped at floor(x+0.5), sorted, paired into spans — restated in
+    SQL, with arg_max(burn, poly_id) as the last-writer rule."""
+    from ..stages.rasterize import rasterize
+
+    return rasterize(_rasterize_zone_input(), gt=_RASTERIZE_GT,
+                     width=_RASTERIZE_W, height=_RASTERIZE_H)
+
+
+def q_rasterize_add_touched(sf_dir: str):
+    """gdal_rasterize ALL_TOUCHED + MERGE_ALG=ADD: interior fill plus
+    every pixel whose open square the ring boundary crosses
+    (GDALdllImageLineAllTouched with bIntersectOnly,
+    alg/llrasterize.cpp:405-747), each feature adding its burn once
+    per pixel (the poSetVisitedPoints rule, gdalrasterize.cpp:84-115).
+    ORACLE: per-feature DISTINCT union of the SQL fill pixels and the
+    open-square segment/pixel overlap test, then SUM."""
+    from ..stages.rasterize import rasterize
+
+    return rasterize(_rasterize_zone_input(), gt=_RASTERIZE_GT,
+                     width=_RASTERIZE_W, height=_RASTERIZE_H,
+                     all_touched=True, merge_alg="add")
+
+
 def q_grid_idw(sf_dir: str):
     """gdal_grid invdistnn semantics over an output grid: 24x20 nodes,
     IDW power 2 from the nation reference points, radius 60, min 1
@@ -2152,6 +2232,8 @@ QUERIES = {
     "sql_join": q_sql_join,
     "sql_distinct_having": q_sql_distinct_having,
     "sql_subquery": q_sql_subquery,
+    "rasterize_burn": q_rasterize_burn,
+    "rasterize_add_touched": q_rasterize_add_touched,
     "orders_lineitem_join": q_orders_lineitem_join,
     "events_count_distinct_users": q_events_count_distinct_users,
     "events_windowed_hourly": q_events_windowed_hourly,
@@ -2454,6 +2536,63 @@ ORACLES = {
                              AS BIGINT)) AS BIGINT) AS rev_c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+    """,
+    "rasterize_burn": f"""
+        WITH {_RASTERIZE_PIX_SQL}
+        SELECT py, px, arg_max(10.0 + poly_id, poly_id) AS val
+        FROM fillpix GROUP BY py, px
+    """,
+    "rasterize_add_touched": f"""
+        WITH {_RASTERIZE_PIX_SQL},
+        seg2 AS (SELECT poly_id, x1, y1, x2, y2 FROM seg
+                 WHERE x2 IS NOT NULL
+                   AND NOT (x1 = x2 AND y1 = y2)
+                   AND NOT (x1 = x2 AND x1 = floor(x1))
+                   AND NOT (y1 = y2 AND y1 = floor(y1))),
+        colspan AS (SELECT poly_id, x1, y1, x2, y2,
+                           unnest(generate_series(
+                               CAST(floor(LEAST(x1, x2)) AS BIGINT),
+                               CAST(floor(GREATEST(x1, x2)) AS BIGINT)))
+                               AS cx
+                    FROM seg2),
+        ysub AS (SELECT poly_id, cx,
+                        CASE WHEN x1 = x2 THEN LEAST(y1, y2)
+                             ELSE LEAST(
+                                 y1 + (GREATEST(LEAST(x1, x2),
+                                       CAST(cx AS DOUBLE)) - x1)
+                                     * (y2 - y1) / (x2 - x1),
+                                 y1 + (LEAST(GREATEST(x1, x2),
+                                       CAST(cx AS DOUBLE) + 1.0) - x1)
+                                     * (y2 - y1) / (x2 - x1))
+                        END AS ylo,
+                        CASE WHEN x1 = x2 THEN GREATEST(y1, y2)
+                             ELSE GREATEST(
+                                 y1 + (GREATEST(LEAST(x1, x2),
+                                       CAST(cx AS DOUBLE)) - x1)
+                                     * (y2 - y1) / (x2 - x1),
+                                 y1 + (LEAST(GREATEST(x1, x2),
+                                       CAST(cx AS DOUBLE) + 1.0) - x1)
+                                     * (y2 - y1) / (x2 - x1))
+                        END AS yhi
+                 FROM colspan
+                 WHERE x1 = x2
+                    OR GREATEST(LEAST(x1, x2), CAST(cx AS DOUBLE))
+                       < LEAST(GREATEST(x1, x2),
+                               CAST(cx AS DOUBLE) + 1.0)),
+        tpix AS (SELECT poly_id, px, py FROM (
+                     SELECT poly_id, cx AS px, ylo, yhi,
+                            unnest(generate_series(
+                                CAST(floor(ylo) AS BIGINT),
+                                CAST(floor(yhi) AS BIGINT))) AS py
+                     FROM ysub) q
+                 WHERE yhi > py AND ylo < py + 1
+                   AND px BETWEEN 0 AND {_RASTERIZE_W - 1}
+                   AND py BETWEEN 0 AND {_RASTERIZE_H - 1}),
+        allpix AS (SELECT DISTINCT poly_id, py, px FROM
+                   (SELECT poly_id, py, px FROM fillpix
+                    UNION ALL SELECT poly_id, py, px FROM tpix))
+        SELECT py, px, SUM(10.0 + poly_id) AS val
+        FROM allpix GROUP BY py, px
     """,
     "sql_subquery": """
         SELECT bucket, COUNT(*) AS n,

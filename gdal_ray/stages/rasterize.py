@@ -1,0 +1,418 @@
+"""Polygon / line scanline rasterization (gdal_rasterize semantics).
+
+Re-expresses GDALRasterizeGeometries (alg/gdalrasterize.cpp:565-790)
+and the low-level burners (alg/llrasterize.cpp) Ray-Data-first:
+
+- **Interior fill** replicates ``GDALdllImageFilledPolygon``
+  (llrasterize.cpp:58-247): per scanline row y the polygon edges are
+  intersected at center height ``dy = y + 0.5`` with the half-open rule
+  ``dy >= y_lo && dy < y_hi``; each crossing snaps to
+  ``floor(intersect + 0.5)``; sorted crossings pair into spans
+  ``[c[2k], c[2k+1]-1]``.  Bottom horizontal segments exactly at a
+  center height fill separately (llrasterize.cpp:155-185).
+- **ALL_TOUCHED** replicates ``GDALdllImageLineAllTouched``
+  (llrasterize.cpp:405-747) with ``bIntersectOnly=true`` (the polygon
+  path, gdalrasterize.cpp:735-767): a pixel is burned iff the ring
+  segment intersects the OPEN pixel square — which is exactly the
+  reference behavior minus its 0.01 / 1e-4 alignment epsilons (a
+  grid-line-aligned segment burns nothing, matching the
+  EPSILON_INTERSECT_ONLY skip; geometry *within* those epsilons of
+  alignment may differ — callers of the reference hit the same
+  instability, see the comment at llrasterize.cpp:40-45).
+- **Lines** (non-all-touched) replicate ``GDALdllImageLine``
+  (llrasterize.cpp:256-391): the integer Bresenham walk including the
+  do-not-burn-intermediate-endpoints rule, vectorized via the closed
+  form of the error recurrence.
+- **MERGE_ALG** (gdalrasterize.cpp:819-829): ``replace`` burns
+  features in ascending ``seq`` order (last writer wins — the
+  reference's feature iteration order); ``add`` sums the burn value
+  once per (feature, pixel), the poSetVisitedPoints dedup semantics
+  (gvBurnScanlineBasic, gdalrasterize.cpp:84-115).
+- **BURN_VALUE_FROM=Z** (gdalrasterize.cpp:796-812): a per-feature
+  ``z`` column is added to the burn value — the reference reverts
+  polygon variants to the first vertex's Z (gdalrasterize.cpp:752-760),
+  i.e. one constant per feature, which is what a column expresses.
+
+Distribution shape (the cross-tile raster-op house pattern): features
+flat-map to the raster tiles their bbox covers with rings carried in
+pixel space → hash-bucketed groupby → one vectorized kernel burns all
+features of a tile (numpy scanline fill is an edges×rows broadcast) →
+(py, px, val) pixel rows.  Feature rings are replicated only to the
+tiles they overlap; no stage sees the whole raster or the whole layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import wkb as _wkb
+
+_INT_MIN = -2147483648.0
+_INT_MAX = 2147483647.0
+
+# packed tile key: ty * 2^22 + tx → rasters up to 2^22 tiles (≈10^9 px
+# at the default 256-px tile) per axis
+_TX_BITS = 22
+
+
+def _ranges(lengths: np.ndarray) -> np.ndarray:
+    """Concatenated [0..L_i) ranges (the span→pixel expansion trick)."""
+    if len(lengths) == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(lengths)
+    return np.arange(ends[-1], dtype=np.int64) - np.repeat(ends - lengths,
+                                                           lengths)
+
+
+def _edges(xs: np.ndarray, ys: np.ndarray, sizes: np.ndarray):
+    """Ring vertex lists → edge endpoint arrays (edge i of a ring runs
+    prev→curr with wraparound, llrasterize.cpp:118-130)."""
+    ex1, ey1, ex2, ey2 = [], [], [], []
+    off = 0
+    for n in sizes:
+        rx, ry = xs[off:off + n], ys[off:off + n]
+        ex1.append(np.roll(rx, 1))
+        ey1.append(np.roll(ry, 1))
+        ex2.append(rx)
+        ey2.append(ry)
+        off += n
+    return (np.concatenate(ex1), np.concatenate(ey1),
+            np.concatenate(ex2), np.concatenate(ey2))
+
+
+def fill_pixels(xs, ys, sizes, y_lo, y_hi, x_lo, x_hi, height):
+    """GDAL scanline interior fill, clipped to the tile window
+    [y_lo..y_hi] × [x_lo..x_hi] (inclusive).  Returns (py, px) int64
+    arrays.  Exact rule: llrasterize.cpp:98-228."""
+    if len(xs) == 0:
+        return (np.empty(0, np.int64),) * 2
+    miny = int(max(0.0, ys.min()))
+    maxy = int(min(ys.max(), height - 1.0))
+    lo, hi = max(y_lo, miny), min(y_hi, maxy)
+    if lo > hi:
+        return (np.empty(0, np.int64),) * 2
+    rows = np.arange(lo, hi + 1, dtype=np.int64)
+    dy = rows + 0.5
+
+    ex1, ey1, ex2, ey2 = _edges(xs, ys, sizes)
+    swap = ey1 > ey2
+    lo_y = np.where(swap, ey2, ey1)
+    hi_y = np.where(swap, ey1, ey2)
+    lo_x = np.where(swap, ex2, ex1)
+    hi_x = np.where(swap, ex1, ex2)
+
+    m = (dy[None, :] >= lo_y[:, None]) & (dy[None, :] < hi_y[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((dy[None, :] - lo_y[:, None]) * (hi_x - lo_x)[:, None]
+             / (hi_y - lo_y)[:, None] + lo_x[:, None])
+    cx = np.where(m, np.floor(np.clip(t, _INT_MIN, _INT_MAX) + 0.5), np.inf)
+    s = np.sort(cx, axis=0)
+    ends = s[1::2, :]
+    starts = s[0::2, :][:ends.shape[0]]  # odd edge counts pad with inf
+    ok = np.isfinite(ends)
+    a = np.maximum(starts, float(x_lo))
+    b = np.minimum(ends - 1.0, float(x_hi))
+    ok &= a <= b
+
+    span_a = [a[ok].astype(np.int64)]
+    span_b = [b[ok].astype(np.int64)]
+    _, cols = np.nonzero(ok)
+    span_y = [rows[cols]]
+
+    # bottom horizontal segments exactly at a pixel-center height
+    # (llrasterize.cpp:152-185: only right-to-left segments fill)
+    hmask = (ey1 == ey2) & (ex1 > ex2)
+    if hmask.any():
+        hy, hx_s, hx_e = ey1[hmask], ex2[hmask], ex1[hmask]
+        on = hy[:, None] == dy[None, :]
+        if on.any():
+            ei, ci = np.nonzero(on)
+            ha = np.maximum(np.floor(hx_s[ei] + 0.5), float(x_lo))
+            hb = np.minimum(np.floor(hx_e[ei] + 0.5) - 1.0, float(x_hi))
+            hok = ha <= hb
+            span_a.append(ha[hok].astype(np.int64))
+            span_b.append(hb[hok].astype(np.int64))
+            span_y.append(rows[ci[hok]])
+
+    sa = np.concatenate(span_a)
+    sb = np.concatenate(span_b)
+    sy = np.concatenate(span_y)
+    ln = sb - sa + 1
+    px = np.repeat(sa, ln) + _ranges(ln)
+    py = np.repeat(sy, ln)
+    return py, px
+
+
+def touched_pixels(xs, ys, sizes, y_lo, y_hi, x_lo, x_hi):
+    """ALL_TOUCHED boundary pixels within the tile window: every pixel
+    whose OPEN unit square the segment passes through
+    (GDALdllImageLineAllTouched with bIntersectOnly, minus the
+    alignment epsilons — see module docstring).  Walks each segment's
+    integer-grid crossings and samples interval midpoints."""
+    pys, pxs = [], []
+    off = 0
+    for n in sizes:
+        rx, ry = xs[off:off + n], ys[off:off + n]
+        off += n
+        for j in range(1, n):
+            x1, y1, x2, y2 = rx[j - 1], ry[j - 1], rx[j], ry[j]
+            if x1 == x2 and y1 == y2:
+                continue
+            if x1 == x2 and x1 == np.floor(x1):
+                continue  # grid-aligned vertical: intersect-only skip
+            if y1 == y2 and y1 == np.floor(y1):
+                continue  # grid-aligned horizontal: intersect-only skip
+            ts = [np.array([0.0, 1.0])]
+            if x1 != x2:
+                k0, k1 = np.ceil(min(x1, x2)), np.floor(max(x1, x2))
+                if k1 >= k0:
+                    ts.append((np.arange(k0, k1 + 1.0) - x1) / (x2 - x1))
+            if y1 != y2:
+                k0, k1 = np.ceil(min(y1, y2)), np.floor(max(y1, y2))
+                if k1 >= k0:
+                    ts.append((np.arange(k0, k1 + 1.0) - y1) / (y2 - y1))
+            t = np.unique(np.clip(np.concatenate(ts), 0.0, 1.0))
+            if len(t) < 2:
+                continue
+            tm = (t[:-1] + t[1:]) * 0.5
+            keep = t[1:] > t[:-1]  # drop zero-length intervals
+            tm = tm[keep]
+            px = np.floor(x1 + tm * (x2 - x1)).astype(np.int64)
+            py = np.floor(y1 + tm * (y2 - y1)).astype(np.int64)
+            inb = ((py >= y_lo) & (py <= y_hi)
+                   & (px >= x_lo) & (px <= x_hi))
+            pys.append(py[inb])
+            pxs.append(px[inb])
+    if not pys:
+        return (np.empty(0, np.int64),) * 2
+    return np.concatenate(pys), np.concatenate(pxs)
+
+
+def line_pixels(xs, ys, sizes, y_lo, y_hi, x_lo, x_hi):
+    """GDALdllImageLine integer Bresenham walk (llrasterize.cpp:
+    256-391), vectorized: the error-accumulator recurrence
+    ``e += 2·minor`` / ``e += 2·minor − 2·major`` has the closed form
+    ``steps_k = (2·minor·k + major − 1) // (2·major)``.  Intermediate
+    segment endpoints are skipped except on a part's last segment
+    (the Add-mode double-burn rule, llrasterize.cpp:327-333)."""
+    pys, pxs = [], []
+    off = 0
+    for n in sizes:
+        rx, ry = xs[off:off + n], ys[off:off + n]
+        off += n
+        for j in range(1, n):
+            ix = int(np.floor(rx[j - 1]))
+            iy = int(np.floor(ry[j - 1]))
+            ix1 = int(np.floor(rx[j]))
+            iy1 = int(np.floor(ry[j]))
+            ndx, ndy = abs(ix1 - ix), abs(iy1 - iy)
+            sx = -1 if ix > ix1 else 1
+            sy = -1 if iy > iy1 else 1
+            last = j == n - 1
+            if ndx >= ndy:
+                nsteps = ndx + 1 if last else ndx
+                if nsteps <= 0:
+                    continue
+                k = np.arange(nsteps, dtype=np.int64)
+                px = ix + sx * k
+                my = ((2 * ndy * k + ndx - 1) // (2 * ndx)
+                      if ndx else np.zeros_like(k))
+                py = iy + sy * my
+            else:
+                nsteps = ndy + 1 if last else ndy
+                if nsteps <= 0:
+                    continue
+                k = np.arange(nsteps, dtype=np.int64)
+                py = iy + sy * k
+                mx = (2 * ndx * k + ndy - 1) // (2 * ndy)
+                px = ix + sx * mx
+            inb = ((py >= y_lo) & (py <= y_hi)
+                   & (px >= x_lo) & (px <= x_hi))
+            pys.append(py[inb])
+            pxs.append(px[inb])
+    if not pys:
+        return (np.empty(0, np.int64),) * 2
+    return np.concatenate(pys), np.concatenate(pxs)
+
+
+def _geom_parts(g: dict) -> list[list[np.ndarray]]:
+    """Decoded geometry → list of parts, each a list of rings/paths."""
+    t = g["type"]
+    if t == "Polygon":
+        return [g["coordinates"]]
+    if t == "MultiPolygon":
+        return list(g["coordinates"])
+    if t == "LineString":
+        return [[g["coordinates"]]]
+    if t == "MultiLineString":
+        return [[c] for c in g["coordinates"]]
+    raise ValueError(f"rasterize: unsupported geometry {t}")
+
+
+def _scatter_to_tiles(batch: pa.Table, *, gt, width, height, burn_col,
+                      z_col, tile, n_buckets, geometry_col) -> pa.Table:
+    """Stage A: WKB feature → one row per raster tile its bbox covers,
+    rings carried in pixel space (georef→pixel: px=(X−x0)/dx,
+    py=(Y−y0)/dy — the inverse geotransform, gdal_rasterize's
+    ``InvGeoTransform`` path)."""
+    x0, dx, y0, dy = gt
+    geoms = batch[geometry_col].to_pylist()
+    burns = (batch[burn_col].to_numpy(zero_copy_only=False)
+             .astype(np.float64))
+    if z_col is not None:
+        burns = burns + batch[z_col].to_numpy(
+            zero_copy_only=False).astype(np.float64)
+    seqs = batch["__seq"].to_numpy(zero_copy_only=False)
+
+    o_bucket, o_tile, o_seq, o_burn = [], [], [], []
+    o_xs, o_ys, o_sz = [], [], []
+    ntx = (width + tile - 1) // tile
+    nty = (height + tile - 1) // tile
+    for gi, blob in enumerate(geoms):
+        g = _wkb.decode(bytes(blob))
+        for part in _geom_parts(g):
+            xs = np.concatenate([(r[:, 0] - x0) / dx for r in part])
+            ys = np.concatenate([(r[:, 1] - y0) / dy for r in part])
+            sizes = np.array([len(r) for r in part], np.int32)
+            tx0 = max(0, int(np.floor(xs.min() / tile)))
+            tx1 = min(ntx - 1, int(np.floor(xs.max() / tile)))
+            ty0 = max(0, int(np.floor(ys.min() / tile)))
+            ty1 = min(nty - 1, int(np.floor(ys.max() / tile)))
+            if tx1 < tx0 or ty1 < ty0:
+                continue
+            for ty in range(ty0, ty1 + 1):
+                for tx in range(tx0, tx1 + 1):
+                    key = (ty << _TX_BITS) | tx
+                    o_bucket.append(key % n_buckets)
+                    o_tile.append(key)
+                    o_seq.append(int(seqs[gi]))
+                    o_burn.append(float(burns[gi]))
+                    o_xs.append(xs)
+                    o_ys.append(ys)
+                    o_sz.append(sizes)
+    return pa.table({
+        "bucket": pa.array(o_bucket, pa.int64()),
+        "tile": pa.array(o_tile, pa.int64()),
+        "seq": pa.array(o_seq, pa.int64()),
+        "burn": pa.array(o_burn, pa.float64()),
+        "xs": pa.array([a.tolist() for a in o_xs],
+                       pa.list_(pa.float64())),
+        "ys": pa.array([a.tolist() for a in o_ys],
+                       pa.list_(pa.float64())),
+        "sizes": pa.array([a.tolist() for a in o_sz],
+                          pa.list_(pa.int32())),
+    })
+
+
+def rasterize(features_ds, *, gt, width, height, burn_col="burn",
+              geometry_col="geometry", all_touched=False,
+              merge_alg="replace", z_col=None, lines=False,
+              tile: int = 256, n_buckets: int = 64):
+    """Burn vector features into raster pixels; returns a Dataset of
+    (py:int32, px:int32, val:float64) — burned pixels only (the
+    as-features view of the burned band).
+
+    ``gt`` = (x0, dx, y0, dy) north-up geotransform.  ``merge_alg``:
+    'replace' (last feature in ``seq`` order wins) or 'add' (sum,
+    once per feature per pixel).  ``z_col`` implements
+    BURN_VALUE_FROM=Z (added to burn).  ``lines=True`` burns
+    LineString paths (Bresenham or all-touched) instead of polygon
+    interiors.  Deterministic feature order: rows are sequenced by
+    position in the input dataset (the reference burns in layer
+    feature order, gdalrasterize.cpp:1248)."""
+    if merge_alg not in ("replace", "add"):
+        raise ValueError(f"unsupported merge_alg {merge_alg!r}")
+
+    # global feature sequence numbers (layer order); per-block offsets
+    # would collide across blocks, so derive seq from a stable column
+    # if present — otherwise enumerate via a driver-side count of
+    # block lengths. For the common case the caller passes a table.
+    if isinstance(features_ds, pa.Table):
+        import ray.data as rd
+        features_ds = features_ds.append_column(
+            "__seq", pa.array(np.arange(features_ds.num_rows,
+                                        dtype=np.int64)))
+        features_ds = rd.from_arrow(features_ds)
+    else:
+        if "__seq" not in features_ds.schema().names:
+            raise ValueError(
+                "rasterize over a Dataset needs an explicit __seq column "
+                "(int64 feature order) — Datasets have no stable implicit "
+                "row order to burn in")
+
+    scattered = features_ds.map_batches(
+        _scatter_to_tiles,
+        fn_kwargs=dict(gt=gt, width=width, height=height,
+                       burn_col=burn_col, z_col=z_col, tile=tile,
+                       n_buckets=n_buckets, geometry_col=geometry_col),
+        batch_format="pyarrow")
+
+    add = merge_alg == "add"
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        tiles = g["tile"].to_numpy(zero_copy_only=False)
+        seqs = g["seq"].to_numpy(zero_copy_only=False)
+        burns = g["burn"].to_numpy(zero_copy_only=False)
+        xs_l, ys_l, sz_l = g["xs"], g["ys"], g["sizes"]
+        out_py, out_px, out_val = [], [], []
+        for tkey in np.unique(tiles):
+            ty, tx = int(tkey) >> _TX_BITS, int(tkey) & ((1 << _TX_BITS) - 1)
+            y_lo, y_hi = ty * tile, min((ty + 1) * tile, height) - 1
+            x_lo, x_hi = tx * tile, min((tx + 1) * tile, width) - 1
+            idx = np.nonzero(tiles == tkey)[0]
+            keys, fseq, fburn = [], [], []
+            for i in idx:
+                xs = np.asarray(xs_l[i].as_py(), np.float64)
+                ys = np.asarray(ys_l[i].as_py(), np.float64)
+                sz = np.asarray(sz_l[i].as_py(), np.int64)
+                if lines:
+                    if all_touched:
+                        py, px = touched_pixels(xs, ys, sz, y_lo, y_hi,
+                                                x_lo, x_hi)
+                    else:
+                        py, px = line_pixels(xs, ys, sz, y_lo, y_hi,
+                                             x_lo, x_hi)
+                else:
+                    py, px = fill_pixels(xs, ys, sz, y_lo, y_hi,
+                                         x_lo, x_hi, height)
+                    if all_touched:
+                        ty_, tx_ = touched_pixels(xs, ys, sz, y_lo, y_hi,
+                                                  x_lo, x_hi)
+                        py = np.concatenate([py, ty_])
+                        px = np.concatenate([px, tx_])
+                k = np.unique(py * np.int64(width) + px)  # once per feature
+                keys.append(k)
+                fseq.append(np.full(len(k), seqs[i], np.int64))
+                fburn.append(np.full(len(k), burns[i], np.float64))
+            if not keys:
+                continue
+            k = np.concatenate(keys)
+            if len(k) == 0:
+                continue
+            sq = np.concatenate(fseq)
+            bv = np.concatenate(fburn)
+            if add:
+                uk, inv = np.unique(k, return_inverse=True)
+                val = np.zeros(len(uk), np.float64)
+                np.add.at(val, inv, bv)
+            else:
+                order = np.lexsort((sq, k))
+                k, sq, bv = k[order], sq[order], bv[order]
+                lastmask = np.r_[k[1:] != k[:-1], True]
+                uk, val = k[lastmask], bv[lastmask]
+            out_py.append(uk // width)
+            out_px.append(uk % width)
+            out_val.append(val)
+        if not out_py:
+            return pa.table({"py": pa.array([], pa.int32()),
+                             "px": pa.array([], pa.int32()),
+                             "val": pa.array([], pa.float64())})
+        return pa.table({
+            "py": pa.array(np.concatenate(out_py).astype(np.int32)),
+            "px": pa.array(np.concatenate(out_px).astype(np.int32)),
+            "val": pa.array(np.concatenate(out_val)),
+        })
+
+    return scattered.groupby("bucket").map_groups(
+        per_bucket, batch_format="pyarrow")
