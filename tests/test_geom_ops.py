@@ -107,9 +107,41 @@ def test_point_buffer_area_converges():
     assert (cx, cy) == pytest.approx((5.0, -3.0), abs=1e-9)
 
 
-def test_buffer_polygon_raises():
+def test_buffer_polygon_convex():
+    # unit square, d=1, quadsegs=30: Minkowski identity
+    # A + P·d + 4 fans of 30 segs over 90°
+    blob = ops.wkb_buffer(wkb.box_polygon(0, 0, 1, 1), 1.0, quadsegs=30)
+    exp = 1.0 + 4.0 + 4 * 30 * 0.5 * np.sin((np.pi / 2) / 30)
+    assert ops.wkb_area(blob) == pytest.approx(exp, rel=1e-12)
+    ring = wkb.decode(blob)["coordinates"][0]
+    assert len(ring) == 4 + 4 * 30 + 1  # E + Σn + closing vertex
+    # orientation-insensitive: CW input gives the same buffer
+    cw = wkb.encode_polygon([[(0, 0), (0, 1), (1, 1), (1, 0), (0, 0)]])
+    assert ops.wkb_area(ops.wkb_buffer(cw, 1.0, 30)) == \
+        pytest.approx(exp, rel=1e-12)
+
+
+def test_buffer_polygon_reflex_and_fences():
+    # L-shape: reflex vertex trims to the offset intersection; the
+    # closed form is A + P·d + 5 convex fans − d² (the 90° reflex
+    # overlap)
+    L = wkb.encode_polygon([[(0, 0), (4, 0), (4, 4), (2, 4), (2, 2),
+                             (0, 2), (0, 0)]])
+    d = 0.3
+    got = ops.wkb_area(ops.wkb_buffer(L, d, quadsegs=30))
+    exp = 12.0 + 16.0 * d + 5 * 30 * 0.5 * d * d * \
+        np.sin((np.pi / 2) / 30) - d * d
+    assert got == pytest.approx(exp, rel=1e-10)
+    # distance too large for the concavity → simplicity fence
     with pytest.raises(NotImplementedError):
-        ops.wkb_buffer(wkb.box_polygon(0, 0, 1, 1), 1.0)
+        ops.wkb_buffer(L, 3.0)
+    # holes and negative distances are fenced
+    holed = wkb.encode_polygon([[(0, 0), (9, 0), (9, 9), (0, 9), (0, 0)],
+                                [(4, 4), (4, 5), (5, 5), (5, 4), (4, 4)]])
+    with pytest.raises(NotImplementedError):
+        ops.wkb_buffer(holed, 1.0)
+    with pytest.raises(NotImplementedError):
+        ops.wkb_buffer(wkb.box_polygon(0, 0, 1, 1), -0.5)
 
 
 def test_explode_parts():
