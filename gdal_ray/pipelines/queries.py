@@ -1758,6 +1758,41 @@ def q_raster_warp_lanczos(sf_dir: str):
     return _warp_f32_summary(sf_dir, "lanczos")
 
 
+# EPSG:3413 destination grid for the CRS-general warp: 2×2 tiles of
+# 256 px (512² px, 18.75 km/px) centered on the north pole — reaches
+# ~lat 48°N at the corners, well inside the event fixture's coverage
+_WARP_STEREO_GRID = (-4800000.0, 18750.0, 4800000.0, -18750.0, 512, 512)
+
+
+def q_raster_warp_stereo(sf_dir: str):
+    """CRS-general warp (ChunkAndWarpImage generality,
+    alg/gdalwarpoperation.cpp:1043 — the transformer is a parameter):
+    the z2 mercator count mosaic resamples bilinearly onto an
+    EPSG:3413 polar-stereographic grid.  Source tiles route to dest
+    tiles via a driver-built, ray.put-broadcast coverage map
+    (stages/warp.py:build_routing_map).  ORACLE: SQL enumerates every
+    dest pixel, inverts the polar stereographic projection with the
+    SAME fixed 8-iteration Snyder 7-9 loop (unrolled as CTEs), maps
+    through the slippy formula and replays the 4-tap lerp; f32-grid
+    half-up quantization as in raster_warp_bilinear."""
+    from ..stages.warp import warp_to_crs
+
+    out = warp_to_crs(_rendered_tiles(sf_dir, 2), 2, "EPSG:3413",
+                      _WARP_STEREO_GRID, resampling="bilinear")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        qs = []
+        for blob in b["raster_f32"].to_pylist():
+            g = np.frombuffer(_z.decompress(blob), dtype="<f4") \
+                .astype(np.float64)
+            qs.append(int(np.floor(g * 256.0 + 0.5).sum()))
+        return pa.table({"tx": b["tx"], "ty": b["ty"],
+                         "val_q_sum": pa.array(qs, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_raster_proximity(sf_dir: str):
     """GDALComputeProximity over the z3 count raster (maxdist 16 px):
     per-tile distance-grid sums.  ORACLE: enumerate the ≤(2·16+1)²
@@ -2266,6 +2301,7 @@ QUERIES = {
     "rasterize_burn": q_rasterize_burn,
     "rasterize_add_touched": q_rasterize_add_touched,
     "geom_buffer_poly": q_geom_buffer_poly,
+    "raster_warp_stereo": q_raster_warp_stereo,
     "orders_lineitem_join": q_orders_lineitem_join,
     "events_count_distinct_users": q_events_count_distinct_users,
     "events_windowed_hourly": q_events_windowed_hourly,
@@ -3815,6 +3851,92 @@ ORACLES["raster_warp_lanczos"] = f"""
            CAST(sum(CAST(floor(CAST(val AS REAL) * 256.0 + 0.5)
                          AS BIGINT)) AS BIGINT) AS val_q_sum
     FROM sampled GROUP BY xo, yo
+"""
+
+# CRS-general warp oracle: invert EPSG:3413 polar stereographic in SQL
+# with the same fixed 8-iteration Snyder 7-9 loop the engine runs
+# (geom/crs.py:_PolarStereo.inverse), unrolled as a CTE chain; then the
+# slippy map + 4-tap lerp + f32 quantization of raster_warp_bilinear.
+def _stereo_inverse_cte_chain(n_iters: int = 8) -> str:
+    upd = ("pi()/2.0 - 2.0*atan(t * pow((1.0 - e*sin(phi))"
+           "/(1.0 + e*sin(phi)), e/2.0)) AS phi")
+    parts = ["it0 AS (SELECT *, pi()/2.0 - 2.0*atan(t) AS phi "
+             "FROM base)"]
+    for i in range(1, n_iters + 1):
+        parts.append(f"it{i} AS (SELECT * EXCLUDE (phi), {upd} "
+                     f"FROM it{i - 1})")
+    return ",\n    ".join(parts)
+
+
+ORACLES["raster_warp_stereo"] = f"""
+    WITH pts AS ({_PTS_SQL}),
+    mp AS (SELECT
+             CAST(least(greatest(floor((lon+180.0)/360.0*1024.0), 0),
+                        1023) AS BIGINT) AS gx,
+             CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                  + 1.0/cos(radians(lat)))/pi())/2.0*1024.0), 0), 1023)
+                  AS BIGINT) AS gy,
+             count(*) AS n
+           FROM pts GROUP BY 1, 2),
+    const AS (SELECT
+        sqrt((1.0/298.257223563)*(2.0 - 1.0/298.257223563)) AS e,
+        (1.0/298.257223563)*(2.0 - 1.0/298.257223563) AS e2,
+        radians(70.0) AS pc),
+    kc AS (SELECT e, e2,
+                  6378137.0 * (cos(pc)/sqrt(1.0 - e2*sin(pc)*sin(pc)))
+                  / (tan(pi()/4.0 - pc/2.0)
+                     / pow((1.0 - e*sin(pc))/(1.0 + e*sin(pc)),
+                           e/2.0)) AS kk
+           FROM const),
+    dt AS (SELECT unnest(generate_series(0, 1)) AS v),
+    pxs AS (SELECT unnest(generate_series(0, 255)) AS i),
+    base AS (SELECT tx.v AS tx, ty.v AS ty, k.e, k.kk,
+                    sqrt(xx.X * xx.X + yy.Y * yy.Y) / k.kk AS t,
+                    atan2(xx.X, -yy.Y) AS lam
+             FROM dt tx, dt ty, kc k, pxs px, pxs py,
+                  LATERAL (SELECT {_WARP_STEREO_GRID[0]!r}
+                           + (tx.v*256 + px.i + 0.5)
+                             * {_WARP_STEREO_GRID[1]!r} AS X) xx,
+                  LATERAL (SELECT {_WARP_STEREO_GRID[2]!r}
+                           + (ty.v*256 + py.i + 0.5)
+                             * {_WARP_STEREO_GRID[3]!r} AS Y) yy),
+    {_stereo_inverse_cte_chain(8)},
+    ll AS (SELECT tx, ty,
+                  -45.0 + degrees(lam) AS lon,
+                  degrees(phi) AS lat
+           FROM it8),
+    pix AS (SELECT tx, ty,
+               (lon+180.0)/360.0*1024.0 - 0.5 AS fx,
+               CASE WHEN abs(lat) <= 85.05112877980659 THEN
+                 (1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))
+                    /pi())/2.0*1024.0 - 0.5
+               END AS fy
+            FROM ll),
+    pix2 AS (SELECT tx, ty,
+                CAST(floor(fx) AS BIGINT) AS x0r,
+                CAST(floor(fy) AS BIGINT) AS y0r,
+                fx - floor(fx) AS wx,
+                fy - floor(fy) AS wy
+             FROM pix),
+    pix3 AS (SELECT tx, ty, wx, wy,
+                greatest(x0r, 0) AS x0, least(x0r + 1, 1023) AS x1,
+                greatest(y0r, 0) AS y0, least(y0r + 1, 1023) AS y1
+             FROM pix2),
+    sampled AS (SELECT p.tx, p.ty,
+          CASE WHEN p.y0 IS NULL THEN 0.0 ELSE
+            (1.0-p.wx)*(1.0-p.wy)*COALESCE(m00.n, 0)
+            + p.wx*(1.0-p.wy)*COALESCE(m10.n, 0)
+            + (1.0-p.wx)*p.wy*COALESCE(m01.n, 0)
+            + p.wx*p.wy*COALESCE(m11.n, 0) END AS val
+       FROM pix3 p
+       LEFT JOIN mp m00 ON m00.gx = p.x0 AND m00.gy = p.y0
+       LEFT JOIN mp m10 ON m10.gx = p.x1 AND m10.gy = p.y0
+       LEFT JOIN mp m01 ON m01.gx = p.x0 AND m01.gy = p.y1
+       LEFT JOIN mp m11 ON m11.gx = p.x1 AND m11.gy = p.y1)
+    SELECT tx, ty,
+           CAST(sum(CAST(floor(CAST(val AS REAL) * 256.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS val_q_sum
+    FROM sampled GROUP BY tx, ty
 """
 
 # media blob = 'media-{id}-' + 'y'*(id%257); window 64 hop 32 → count

@@ -294,6 +294,225 @@ _RESAMPLERS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# CRS-general warp: mercator mosaic → any registered destination CRS
+# (the ChunkAndWarpImage generality, alg/gdalwarpoperation.cpp:1043 —
+# the transformer is a parameter, not baked into the kernel)
+# ---------------------------------------------------------------------------
+
+
+def _resample2d(lon2, lat2, valid, z: int, grids: dict,
+                resampling: str) -> np.ndarray:
+    """Resample the mercator mosaic at arbitrary (lon, lat) sample
+    positions — full 2-D kernels (unlike the plate-carrée fast paths
+    above, a general destination grid has wx ≠ 0).  ``valid`` masks
+    positions whose inverse transform failed; those and |lat| beyond
+    the mercator square read 0 (gdalwarp's dfDstNoDataReal default)."""
+    npix = (1 << z) * TILE
+    inside = valid & np.isfinite(lat2) & \
+        (np.abs(lat2) <= _tiles.MAX_LATITUDE)
+    out = np.zeros(lon2.shape, dtype=np.float64)
+    if not inside.any():
+        return out
+    li, ai = lon2[inside], lat2[inside]
+    if resampling == "nearest":
+        gx, gy = _tiles.global_pixel(li, ai, z)
+        out[inside] = _gather(grids, gx, gy)
+        return out
+    gpx = (li + 180.0) / 360.0 * npix
+    r = np.radians(ai)
+    gpy = (1.0 - np.log(np.tan(r) + 1.0 / np.cos(r)) / np.pi) / 2.0 * npix
+    fx = gpx - 0.5
+    fy = gpy - 0.5
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    wx = fx - x0
+    wy = fy - y0
+    if resampling == "bilinear":
+        x1 = np.minimum(x0 + 1, npix - 1)
+        y1 = np.minimum(y0 + 1, npix - 1)
+        x0c = np.maximum(x0, 0)
+        y0c = np.maximum(y0, 0)
+        val = ((1.0 - wx) * (1.0 - wy) * _gather(grids, x0c, y0c)
+               + wx * (1.0 - wy) * _gather(grids, x1, y0c)
+               + (1.0 - wx) * wy * _gather(grids, x0c, y1)
+               + wx * wy * _gather(grids, x1, y1))
+    elif resampling == "cubic":
+        wxs = (_cubic_w_far(1.0 + wx), _cubic_w_near(wx),
+               _cubic_w_near(1.0 - wx), _cubic_w_far(2.0 - wx))
+        wys = (_cubic_w_far(1.0 + wy), _cubic_w_near(wy),
+               _cubic_w_near(1.0 - wy), _cubic_w_far(2.0 - wy))
+        val = np.zeros(li.shape, dtype=np.float64)
+        for jy in range(4):
+            yj = np.clip(y0 - 1 + jy, 0, npix - 1)
+            for jx in range(4):
+                xj = np.clip(x0 - 1 + jx, 0, npix - 1)
+                val = val + wys[jy] * wxs[jx] * _gather(grids, xj, yj)
+    elif resampling == "lanczos":
+        val = np.zeros(li.shape, dtype=np.float64)
+        wsum = np.zeros(li.shape, dtype=np.float64)
+        for jy in range(6):
+            wyj = _lanczos_w(np.abs(wy + (2.0 - jy)))
+            yj = np.clip(y0 - 2 + jy, 0, npix - 1)
+            for jx in range(6):
+                w = wyj * _lanczos_w(np.abs(wx + (2.0 - jx)))
+                xj = np.clip(x0 - 2 + jx, 0, npix - 1)
+                val = val + w * _gather(grids, xj, yj)
+                wsum = wsum + w
+        val = val / wsum
+    else:
+        raise ValueError(f"unsupported resampling {resampling!r}")
+    out[inside] = val
+    return out
+
+
+_HALO2D = {"nearest": 0.0, "bilinear": 1.0, "cubic": 2.0, "lanczos": 3.0}
+
+
+def build_routing_map(z: int, dst_crs, grid, resampling: str,
+                      samples: int = 17) -> dict:
+    """Driver-side dest→source coverage map: {(sx, sy): [dest keys]}.
+    Each destination tile samples a ``samples×samples`` lattice of its
+    pixel centers, inverse-projects to lon/lat, and takes the global
+    mercator pixel bbox padded by the kernel halo plus one full source
+    tile (lattice-curvature safety).  O(dest tiles · samples²) driver
+    work, built once and broadcast — the same once-per-job pattern as
+    the spatial-join index.  Over-shipping a border tile is benign
+    (extra bytes); the SQL oracle catches any under-shipping as a
+    value mismatch."""
+    from ..geom.crs import Transformer
+
+    x0, dx, y0, dy, width, height = grid
+    if width % TILE or height % TILE:
+        raise ValueError("dest grid width/height must be multiples of "
+                         f"{TILE}")
+    tr = Transformer.from_crs(dst_crs, 4326)
+    npix = (1 << z) * TILE
+    hp = _HALO2D[resampling] + 1.0
+    offs = np.linspace(0.5, TILE - 0.5, samples)
+    src2dest: dict = {}
+    for tyo in range(height // TILE):
+        for txo in range(width // TILE):
+            X = x0 + (txo * TILE + offs) * dx
+            Y = y0 + (tyo * TILE + offs) * dy
+            XX, YY = np.meshgrid(X, Y)
+            lon, lat, ok = tr.transform_with_errors(XX.ravel(),
+                                                    YY.ravel())
+            ok = ok & (np.abs(lat) <= _tiles.MAX_LATITUDE)
+            if not ok.any():
+                continue
+            li, ai = lon[ok], lat[ok]
+            gpx = (li + 180.0) / 360.0 * npix
+            rr = np.radians(ai)
+            gpy = (1.0 - np.log(np.tan(rr) + 1.0 / np.cos(rr))
+                   / np.pi) / 2.0 * npix
+            sx0 = max(0, int(np.floor(gpx.min() - hp)) // TILE - 1)
+            sx1 = min((1 << z) - 1,
+                      int(np.floor(gpx.max() + hp)) // TILE + 1)
+            sy0 = max(0, int(np.floor(gpy.min() - hp)) // TILE - 1)
+            sy1 = min((1 << z) - 1,
+                      int(np.floor(gpy.max() + hp)) // TILE + 1)
+            key = int(_dest_key(txo, tyo))
+            for sy in range(sy0, sy1 + 1):
+                for sx in range(sx0, sx1 + 1):
+                    src2dest.setdefault((sx, sy), []).append(key)
+    return src2dest
+
+
+def warp_to_crs(tiles_ds, z: int, dst_crs, grid,
+                resampling: str = "nearest", n_buckets: int | None = None):
+    """Warp the zoom-``z`` mercator tile mosaic onto an arbitrary
+    destination grid in any registered CRS (EPSG:4326/3857/UTM/Albers/
+    LCC/polar stereographic or a PROJ-style dict — geom/crs.py).
+
+    ``grid`` = (x0, dx, y0, dy, width, height) in destination CRS
+    units, north-up (dy < 0), width/height multiples of 256.  Output:
+    (tx, ty, raster|raster_f32) destination tiles — nearest keeps the
+    uint16 payload, the float kernels emit float32, matching
+    warp_to_platecarree's conventions."""
+    import ray
+
+    from ._pool import cluster_cpus
+
+    B = n_buckets or max(16, cluster_cpus() * 2)
+    if resampling not in _HALO2D:
+        raise ValueError(f"unsupported resampling {resampling!r}")
+    float_kernel = resampling != "nearest"
+    x0, dx, y0, dy, width, height = grid
+
+    routing = build_routing_map(z, dst_crs, grid, resampling)
+    ref = ray.put(routing)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)  # broadcast map, local object-store fetch
+        bx = batch["x"].to_numpy(zero_copy_only=False)
+        by = batch["y"].to_numpy(zero_copy_only=False)
+        blobs = batch["raster"].to_pylist()
+        counts = [len(m.get((int(a), int(b)), ()))
+                  for a, b in zip(bx, by)]
+        keys = [key for a, b in zip(bx, by)
+                for key in m.get((int(a), int(b)), ())]
+        k = np.asarray(keys, np.int64)
+        return pa.table({
+            "dest": pa.array(k),
+            "bucket": pa.array((k % B).astype(np.int32)),
+            "sx": pa.array(np.repeat(bx, counts).astype(np.int64)),
+            "sy": pa.array(np.repeat(by, counts).astype(np.int64)),
+            "raster": pa.array(
+                [b for b, c in zip(blobs, counts) for _ in range(c)],
+                pa.binary()),
+        })
+
+    emitted = tiles_ds.map_batches(emit, batch_format="pyarrow")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        from ..geom.crs import Transformer
+        tr = Transformer.from_crs(dst_crs, 4326)
+        dest = g["dest"].to_numpy(zero_copy_only=False)
+        order = np.argsort(dest, kind="stable")
+        sx = g["sx"].to_numpy(zero_copy_only=False)
+        sy = g["sy"].to_numpy(zero_copy_only=False)
+        blobs = g["raster"].to_pylist()
+        ds_ = dest[order]
+        starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+        ends = np.r_[starts[1:], len(ds_)]
+        cols = np.arange(TILE)
+        out = {"tx": [], "ty": [], "raster": []}
+        for s, e in zip(starts, ends):
+            rows = order[s:e]
+            key = int(ds_[s])
+            txo, tyo = key >> 28, key & ((1 << 28) - 1)
+            grids = {}
+            for r in rows:
+                grids[(int(sx[r]), int(sy[r]))] = np.frombuffer(
+                    zlib.decompress(blobs[r]), dtype=">u2") \
+                    .reshape(TILE, TILE).astype(np.int64)
+            X = x0 + (txo * TILE + cols + 0.5) * dx
+            Y = y0 + (tyo * TILE + cols + 0.5) * dy
+            X2 = np.repeat(X[None, :], TILE, axis=0).ravel()
+            Y2 = np.repeat(Y[:, None], TILE, axis=1).ravel()
+            lon, lat, ok = tr.transform_with_errors(X2, Y2)
+            res = _resample2d(lon, lat, ok, z, grids, resampling) \
+                .reshape(TILE, TILE)
+            if float_kernel:
+                blob = zlib.compress(res.astype("<f4").tobytes(), 6)
+            else:
+                blob = zlib.compress(
+                    np.clip(res, 0, 65535).astype(">u2").tobytes(), 6)
+            out["tx"].append(txo)
+            out["ty"].append(tyo)
+            out["raster"].append(blob)
+        name = "raster_f32" if float_kernel else "raster"
+        return pa.table({
+            "tx": pa.array(out["tx"], pa.int64()),
+            "ty": pa.array(out["ty"], pa.int64()),
+            name: pa.array(out["raster"], pa.binary()),
+        })
+
+    return emitted.groupby("bucket").map_groups(per_bucket,
+                                                batch_format="pyarrow")
+
+
 def warp_to_platecarree(tiles_ds, n_buckets: int | None = None,
                         resampling: str = "nearest"):
     """Mercator tile table → plate-carrée tile table; output y rows run

@@ -212,3 +212,88 @@ def test_warp_lanczos_constant_field(ray_session):
         vals.append(g[m])
     inter = np.concatenate([a.ravel() for a in vals])
     np.testing.assert_allclose(inter, 40.0, rtol=1e-6)
+
+
+def test_warp_to_crs_matches_direct(ray_session):
+    """CRS-general warp == single-process direct recomputation, for a
+    UTM and a polar-stereo destination grid and all four kernels."""
+    import ray.data as rd
+
+    from gdal_ray.geom.crs import Transformer
+    from gdal_ray.stages.warp import _resample2d, warp_to_crs
+
+    z = 2
+    rs = np.random.RandomState(9)
+    src = {}
+    rows = []
+    for x in range(4):
+        for y in range(4):
+            g = rs.randint(0, 500, (TILE, TILE))
+            src[(x, y)] = g
+            rows.append(_tile_row(z, x, y, g))
+
+    cases = [
+        # UTM zone 31N: 512x512 px over ~Europe
+        ("EPSG:32631", (-300000.0, 4000.0, 6500000.0, -4000.0, 512, 512),
+         "bilinear"),
+        ("EPSG:32631", (-300000.0, 4000.0, 6500000.0, -4000.0, 512, 512),
+         "nearest"),
+        # polar stereographic north around the pole (mercator-square
+        # mask exercises the invalid/outside path)
+        ("EPSG:3413", (-4800000.0, 18750.0, 4800000.0, -18750.0,
+                       512, 512), "cubic"),
+        ("EPSG:3413", (-4800000.0, 18750.0, 4800000.0, -18750.0,
+                       512, 512), "lanczos"),
+    ]
+    for crs, grid, mode in cases:
+        out = warp_to_crs(rd.from_items(rows), z, crs, grid,
+                          resampling=mode).to_pandas()
+        assert len(out) == 4, (crs, mode, len(out))
+        tr = Transformer.from_crs(crs, 4326)
+        x0, dx, y0, dy, W, H = grid
+        for _, r in out.iterrows():
+            txo, tyo = int(r["tx"]), int(r["ty"])
+            col = "raster" if mode == "nearest" else "raster_f32"
+            dt = ">u2" if mode == "nearest" else "<f4"
+            got = np.frombuffer(zlib.decompress(r[col]), dtype=dt) \
+                .reshape(TILE, TILE).astype(np.float64)
+            cols = np.arange(TILE)
+            X = x0 + (txo * TILE + cols + 0.5) * dx
+            Y = y0 + (tyo * TILE + cols + 0.5) * dy
+            X2 = np.repeat(X[None, :], TILE, axis=0).ravel()
+            Y2 = np.repeat(Y[:, None], TILE, axis=1).ravel()
+            lon, lat, ok = tr.transform_with_errors(X2, Y2)
+            exp = _resample2d(lon, lat, ok, z, src, mode) \
+                .reshape(TILE, TILE)
+            if mode == "nearest":
+                exp = np.clip(exp, 0, 65535).astype(">u2") \
+                    .astype(np.float64)
+            else:
+                exp = exp.astype("<f4").astype(np.float64)
+            np.testing.assert_array_equal(got, exp,
+                                          err_msg=f"{crs} {mode}")
+
+
+def test_warp_to_crs_identity_platecarree(ray_session):
+    """EPSG:4326 dest grid at the plate-carrée tiling reproduces
+    warp_to_platecarree's nearest output (two independent paths)."""
+    import ray.data as rd
+
+    from gdal_ray.stages.warp import warp_to_crs
+
+    z = 1
+    rs = np.random.RandomState(3)
+    rows = []
+    for x in range(2):
+        for y in range(2):
+            rows.append(_tile_row(z, x, y,
+                                  rs.randint(0, 90, (TILE, TILE))))
+    a = warp_to_platecarree(rd.from_items(rows)).to_pandas()
+    grid = (-180.0, 360.0 / 512, 90.0, -180.0 / 512, 512, 512)
+    b = warp_to_crs(rd.from_items(rows), z, "EPSG:4326", grid).to_pandas()
+    am = {(int(r["x"]), int(r["y"])): _decode(r["raster"])
+          for _, r in a.iterrows()}
+    bm = {(int(r["tx"]), int(r["ty"])): _decode(r["raster"])
+          for _, r in b.iterrows()}
+    for k in am:
+        np.testing.assert_array_equal(am[k], bm[k])
