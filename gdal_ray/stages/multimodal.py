@@ -36,14 +36,37 @@ from ._pool import autoscale as _autoscale
 IMAGE_SHAPE = (32, 32, 3)  # deterministic-fake decode target (H, W, C)
 
 
-def fake_image_decoder(blob: bytes, shape=IMAGE_SHAPE) -> np.ndarray:
-    """Deterministic stand-in for an image decode+resize: expands the
-    blob's digest into a float32 HxWxC tensor in [0, 1).  Replace with a
-    real codec via ``decoder=`` when PIL/libvips is available."""
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public PRNG, Steele et al.)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30)))
+         * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(27)))
+         * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return x ^ (x >> np.uint64(31))
+
+
+def fake_decode_batch(blobs: list, shape=IMAGE_SHAPE) -> np.ndarray:
+    """Vectorized deterministic stand-in for a batched image
+    decode+resize: one sha256 per blob seeds a counter-based splitmix64
+    stream expanded into float32 tensors in [0, 1) — a single numpy
+    pass over the whole batch (the per-row RandomState loop this
+    replaces dominated media_decode_embed's wall time)."""
     n = int(np.prod(shape))
-    seed = int.from_bytes(hashlib.sha256(blob).digest()[:8], "little")
-    rs = np.random.RandomState(seed % (2**32))
-    return rs.random_sample(n).astype(np.float32).reshape(shape)
+    seeds = np.array(
+        [int.from_bytes(hashlib.sha256(b or b"").digest()[:8], "little")
+         for b in blobs], dtype=np.uint64)
+    ctr = seeds[:, None] + np.arange(n, dtype=np.uint64)[None, :]
+    bits = _splitmix64(ctr)
+    vals = (bits >> np.uint64(40)).astype(np.float32) \
+        * np.float32(1.0 / (1 << 24))
+    return vals.reshape((len(blobs),) + tuple(shape))
+
+
+def fake_image_decoder(blob: bytes, shape=IMAGE_SHAPE) -> np.ndarray:
+    """Single-item view of ``fake_decode_batch`` (the per-row decoder
+    slot a real codec plugs into; real codecs are per-image)."""
+    return fake_decode_batch([blob], shape)[0]
 
 
 def real_image_decoder(blob: bytes, shape=IMAGE_SHAPE) -> np.ndarray:
@@ -67,13 +90,19 @@ class MediaDecoder:
         self.media_col, self.out = media_col, out
         self.shape = tuple(shape)
         self.n = int(np.prod(shape))
-        self.decoder = decoder or fake_image_decoder
+        self.decoder = decoder  # None → vectorized fake batch decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch[self.media_col].to_pylist()
-        flat = np.empty((len(blobs), self.n), dtype=np.float32)
-        for i, b in enumerate(blobs):
-            flat[i] = self.decoder(b or b"", self.shape).ravel()
+        if self.decoder is None:
+            # vectorized fake: one numpy pass over the whole batch
+            flat = fake_decode_batch(blobs, self.shape) \
+                .reshape(len(blobs), self.n)
+        else:
+            # real codec slot: per-image APIs force the row loop
+            flat = np.empty((len(blobs), self.n), dtype=np.float32)
+            for i, b in enumerate(blobs):
+                flat[i] = self.decoder(b or b"", self.shape).ravel()
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(flat.ravel(), pa.float32()), self.n)
         out = batch.drop_columns([self.media_col])
