@@ -513,6 +513,44 @@ def q_zonal_extended(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_zonal_frac(sf_dir: str):
+    """Fractional-coverage zonal statistics (alg/zonal.cpp FRACTIONAL
+    pixels mode): every grid cell weighs by the EXACT fraction of its
+    area each zone covers — the engine clips each candidate cell
+    against the zone ring (Sutherland–Hodgman, stages/zonal.py:
+    cell_coverage) over a 2.5° world grid of event counts.  ORACLE:
+    coverage restated by independent closed forms — interval products
+    for the axis-aligned boxes, and for the diamond |x|+|y|≤r the
+    per-quadrant corner integral G(r−u0−v0)−G(r−u0−v1)−G(r−u1−v0)
+    +G(r−u1−v1) with G(t)=max(t,0)²/2."""
+    from ..stages.zonal import zonal_fractional
+
+    pts = event_points(sf_dir, columns=("event_id",))
+
+    def to_cells(b: pa.Table) -> pa.Table:
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        px = np.floor((lon + 180.0) / 2.5).astype(np.int64)
+        py = np.floor((90.0 - lat) / 2.5).astype(np.int64)
+        return pa.table({"key": pa.array(py * 144 + px)})
+
+    vals = partial_final_agg(
+        pts.map_batches(to_cells, batch_format="pyarrow"),
+        ["key"], [(None, "count", "v")])
+    out = zonal_fractional(zone_table(), vals,
+                           (-180.0, 2.5, 90.0, -2.5), 144, 72,
+                           value_col="v")
+    return out.map_batches(
+        lambda b: pa.table({
+            "poly_id": b["poly_id"],
+            "n_cells": b["n_cells"],
+            "cov_q6": pc.cast(pc.floor(pc.add(pc.multiply(
+                b["cov_sum"], 1e6), 0.5)), pa.int64()),
+            "wv_q6": pc.cast(pc.floor(pc.add(pc.multiply(
+                b["wv_sum"], 1e6), 0.5)), pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def q_tile_assign_z8(sf_dir: str):
     """Per-point XYZ tile ids at z=8 (gdal2tiles tile math)."""
     pts = event_points(sf_dir, columns=("event_id",))
@@ -2302,6 +2340,7 @@ QUERIES = {
     "rasterize_add_touched": q_rasterize_add_touched,
     "geom_buffer_poly": q_geom_buffer_poly,
     "raster_warp_stereo": q_raster_warp_stereo,
+    "zonal_frac": q_zonal_frac,
     "orders_lineitem_join": q_orders_lineitem_join,
     "events_count_distinct_users": q_events_count_distinct_users,
     "events_windowed_hourly": q_events_windowed_hourly,
@@ -2604,6 +2643,91 @@ ORACLES = {
                              AS BIGINT)) AS BIGINT) AS rev_c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+    """,
+    "zonal_frac": f"""
+        WITH pts AS ({_PTS_SQL}),
+        vals AS (SELECT CAST(floor((90.0 - lat) / 2.5) AS BIGINT) * 144
+                        + CAST(floor((lon + 180.0) / 2.5) AS BIGINT)
+                            AS key,
+                        count(*) AS v
+                 FROM pts GROUP BY 1),
+        boxes(poly_id, minx, miny, maxx, maxy) AS (VALUES
+            (0, -180.0025, -60.0025, -90.0025, 0.0025),
+            (1, -90.0025, 0.0025, 0.0025, 60.0025),
+            (2, 0.0025, -30.0025, 90.0025, 30.0025),
+            (3, 90.0025, 30.0025, 180.0025, 69.0025)),
+        bpx AS (SELECT b.*, unnest(generate_series(
+                    GREATEST(CAST(floor((minx + 180.0) / 2.5) AS BIGINT),
+                             0),
+                    LEAST(CAST(floor((maxx + 180.0) / 2.5) AS BIGINT),
+                          143))) AS px
+                FROM boxes b),
+        bcell AS (SELECT poly_id, px, unnest(generate_series(
+                      GREATEST(CAST(floor((90.0 - maxy) / 2.5)
+                               AS BIGINT), 0),
+                      LEAST(CAST(floor((90.0 - miny) / 2.5) AS BIGINT),
+                            71))) AS py,
+                      minx, miny, maxx, maxy
+                  FROM bpx),
+        boxc AS (SELECT poly_id, py, px,
+                        (LEAST(maxx, -180.0 + (px + 1) * 2.5)
+                         - GREATEST(minx, -180.0 + px * 2.5))
+                      * (LEAST(maxy, 90.0 - py * 2.5)
+                         - GREATEST(miny, 90.0 - (py + 1) * 2.5))
+                      / 6.25 AS frac
+                 FROM bcell),
+        quad(sx, sy) AS (VALUES (1, 1), (1, -1), (-1, 1), (-1, -1)),
+        dgrid AS (SELECT tx.px, ty.py,
+                         -180.0 + tx.px * 2.5 AS xlo,
+                         -180.0 + (tx.px + 1) * 2.5 AS xhi,
+                         90.0 - (ty.py + 1) * 2.5 AS ylo,
+                         90.0 - ty.py * 2.5 AS yhi
+                  FROM (SELECT unnest(generate_series(
+                           CAST(floor((-40.0025 + 180.0) / 2.5)
+                                AS BIGINT),
+                           CAST(floor((40.0025 + 180.0) / 2.5)
+                                AS BIGINT))) AS px) tx,
+                       (SELECT unnest(generate_series(
+                           CAST(floor((90.0 - 40.0025) / 2.5)
+                                AS BIGINT),
+                           CAST(floor((90.0 + 40.0025) / 2.5)
+                                AS BIGINT))) AS py) ty),
+        dsub AS (SELECT py, px,
+                        GREATEST(CASE WHEN q.sx > 0 THEN xlo
+                                      ELSE -xhi END, 0.0) AS u0,
+                        CASE WHEN q.sx > 0 THEN xhi ELSE -xlo END AS u1,
+                        GREATEST(CASE WHEN q.sy > 0 THEN ylo
+                                      ELSE -yhi END, 0.0) AS v0,
+                        CASE WHEN q.sy > 0 THEN yhi ELSE -ylo END AS v1
+                 FROM dgrid, quad q),
+        darea AS (SELECT py, px,
+              CASE WHEN u1 > u0 AND v1 > v0 THEN
+                  (CASE WHEN 40.0025 - u0 - v0 > 0 THEN
+                      (40.0025 - u0 - v0) * (40.0025 - u0 - v0) / 2.0
+                   ELSE 0.0 END)
+                - (CASE WHEN 40.0025 - u0 - v1 > 0 THEN
+                      (40.0025 - u0 - v1) * (40.0025 - u0 - v1) / 2.0
+                   ELSE 0.0 END)
+                - (CASE WHEN 40.0025 - u1 - v0 > 0 THEN
+                      (40.0025 - u1 - v0) * (40.0025 - u1 - v0) / 2.0
+                   ELSE 0.0 END)
+                + (CASE WHEN 40.0025 - u1 - v1 > 0 THEN
+                      (40.0025 - u1 - v1) * (40.0025 - u1 - v1) / 2.0
+                   ELSE 0.0 END)
+              ELSE 0.0 END AS a
+           FROM dsub),
+        dcell AS (SELECT 4 AS poly_id, py, px, SUM(a) / 6.25 AS frac
+                  FROM darea GROUP BY py, px),
+        cov AS (SELECT poly_id, py * 144 + px AS key, frac
+                FROM (SELECT * FROM boxc UNION ALL SELECT * FROM dcell)
+                WHERE frac > 0)
+        SELECT poly_id,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(floor(SUM(frac) * 1e6 + 0.5) AS BIGINT) AS cov_q6,
+               CAST(floor(SUM(frac * COALESCE(v, 0)) * 1e6 + 0.5)
+                    AS BIGINT) AS wv_q6
+        FROM cov LEFT JOIN vals USING (key)
+        GROUP BY poly_id
     """,
     "geom_buffer_poly": f"""
         WITH ring(poly_id, seq, x, y) AS (VALUES {_zone_ring_values()}),

@@ -875,3 +875,31 @@ def test_jaccard_similarity_join_exact(ray_session):
     assert got[(0, 1)] == 1_000_000  # exact dup
     with _pytest.raises(ValueError):
         jaccard_similarity_join(rd.from_arrow(t), max_rows=2)
+
+
+def test_cell_coverage_exact():
+    """Fractional coverage: clipped-cell areas reproduce closed-form
+    polygon areas exactly (boxes, diamond, holes)."""
+    import numpy as np
+    from gdal_ray.stages.zonal import cell_coverage
+
+    gt = (-180.0, 2.5, 90.0, -2.5)
+    r = 40.0025
+    diamond = np.array([(r, 0.0), (0.0, r), (-r, 0.0), (0.0, -r),
+                        (r, 0.0)])
+    py, px, fr = cell_coverage([(1.0, diamond)], gt, 144, 72)
+    assert abs(fr.sum() * 6.25 - 2 * r * r) < 1e-9
+    assert fr.max() <= 1.0 + 1e-12 and fr.min() > 0.0
+
+    box = np.array([(-10.0, -5.0), (7.5, -5.0), (7.5, 5.0),
+                    (-10.0, 5.0), (-10.0, -5.0)])
+    hole = np.array([(-5.0, -2.5), (-5.0, 2.5), (0.0, 2.5),
+                     (0.0, -2.5), (-5.0, -2.5)])
+    _, _, fr2 = cell_coverage([(1.0, box), (-1.0, hole)], gt, 144, 72)
+    assert abs(fr2.sum() * 6.25 - (175.0 - 25.0)) < 1e-9
+    # clipping at the grid edge: west-overhanging box only counts the
+    # on-grid part
+    over = np.array([(-185.0, 0.0), (-177.5, 0.0), (-177.5, 2.5),
+                     (-185.0, 2.5), (-185.0, 0.0)])
+    _, pxs, fr3 = cell_coverage([(1.0, over)], gt, 144, 72)
+    assert pxs.min() == 0 and abs(fr3.sum() * 6.25 - 2.5 * 2.5) < 1e-12
