@@ -683,9 +683,14 @@ def q_reproject_3857(sf_dir: str):
 
 
 def q_reproject_utm31(sf_dir: str):
-    """EPSG:4326 → EPSG:32631 (Krüger series TM; no SQL equivalent →
-    rows-only check).  Out-of-zone longitudes still transform (TM is
-    defined globally); |lat|>90 would flag errors."""
+    """EPSG:4326 → EPSG:32631 GLOBAL (out-of-zone) transform: every
+    point with |lon − lon0| ≤ 87° — far beyond the ±3° zone and the
+    inzone query's ±45° — hash-verified against the SQL Krüger series.
+    The excluded 6° band at the transverse-Mercator antimeridian is
+    outside the projection's domain of validity (the 6th-order series
+    diverges there and eastings exceed 10^13 m, where the shared-libm
+    agreement no longer survives centimeter quantization — PROJ's
+    etmerc degrades in the same band)."""
     from ..geom.crs import Transformer
 
     t = Transformer.from_crs("EPSG:4326", "EPSG:32631")
@@ -694,12 +699,13 @@ def q_reproject_utm31(sf_dir: str):
     def proj(b: pa.Table) -> pa.Table:
         lon = b["lon"].to_numpy(zero_copy_only=False)
         lat = b["lat"].to_numpy(zero_copy_only=False)
-        E, N, ok = t.transform_with_errors(lon, lat)
+        dlon = ((lon - 3.0 + 180.0) % 360.0) - 180.0
+        m = np.abs(dlon) <= 87.0
+        E, N, _ = t.transform_with_errors(lon[m], lat[m])
         return pa.table({
-            "event_id": b["event_id"],
-            "easting": pa.array(np.round(E, 6), pa.float64()),
-            "northing": pa.array(np.round(N, 6), pa.float64()),
-            "ok": pa.array(ok, pa.bool_()),
+            "event_id": b["event_id"].filter(pa.array(m)),
+            "easting_cm": pa.array(np.round(E * 100.0).astype(np.int64)),
+            "northing_cm": pa.array(np.round(N * 100.0).astype(np.int64)),
         })
 
     return pts.map_batches(proj, batch_format="pyarrow")
@@ -3336,7 +3342,7 @@ ORACLES["raster_sieve"] = f"""
 """
 
 
-def _utm31_oracle() -> str:
+def _utm31_oracle(thresh: float = 45.0) -> str:
     """SQL restatement of tm_forward (geom/crs.py): the Krüger 6th-order
     series with alpha coefficients inlined as repr'd doubles;
     atanh(x)=0.5*ln((1+x)/(1-x)), asinh(x)=ln(x+sqrt(x*x+1)),
@@ -3361,7 +3367,7 @@ def _utm31_oracle() -> str:
                             % 360.0) - 180.0) AS dlon
             FROM pts
             WHERE abs((((lon - 3.0 + 180.0) % 360.0 + 360.0) % 360.0)
-                      - 180.0) <= 45.0),
+                      - 180.0) <= {thresh!r}),
     tp AS (SELECT event_id, dlon, tan(radians(lat)) AS tau FROM inz),
     s1 AS (SELECT *,
                   {e} * tau / sqrt(1.0 + tau*tau) AS inner_x
@@ -3396,6 +3402,10 @@ def _utm31_oracle() -> str:
 
 ORACLES["reproject_utm31_inzone"] = \
     _utm31_oracle().replace("{PTS}", _PTS_SQL)
+
+# global (out-of-zone) variant: same series, domain |dlon| <= 87°
+ORACLES["reproject_utm31"] = \
+    _utm31_oracle(87.0).replace("{PTS}", _PTS_SQL)
 
 
 def _albers_oracle() -> str:
