@@ -295,9 +295,11 @@ class _Parser:
         if name == "ROUND":
             nd = int(lit(1)) if len(args) == 2 else 0
             # OGR SQL / DuckDB round half AWAY from zero; pyarrow's
-            # default is banker's half-to-even (ADVICE r3)
+            # default is banker's half-to-even (ADVICE r3); pyarrow
+            # spells the mode "half_towards_infinity" (away from zero
+            # for ties, signed)
             return pc.round(args[0], ndigits=nd,
-                            round_mode="half_away_from_zero")
+                            round_mode="half_towards_infinity")
         if name == "FLOOR":
             return pc.floor(args[0])
         if name == "CEIL" or name == "CEILING":

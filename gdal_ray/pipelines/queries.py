@@ -1147,17 +1147,43 @@ def q_contour_segments(sf_dir: str):
 def q_contour_polylines(sf_dir: str):
     """Contour polylines: seam-complete segments merged into ordered
     lines per (z, level) — the reference's line-merge step
-    (alg/contour.cpp appenders).  Rows-only; gap-free seam goldens in
-    tests/test_contour.py."""
+    (alg/contour.cpp appenders).  ORACLE (new r4): with levels not in
+    the raster's value set, interpolation parameters stay strictly
+    inside (0,1), so no endpoint lands on a cell corner — the segment
+    graph has no junctions and each polyline IS a connected component.
+    Both sides therefore emit walk-order-independent component
+    invariants: segment count, closed flag (no odd-degree node),
+    lexicographic-min quantized node, and the direction-invariant
+    endpoint sums Σ(qx0+qx1)/Σ(qy0+qy1); SQL rebuilds the components
+    from its marching-squares segments with the polygonize-style
+    recursive label flood.  Point ORDER within a line is covered by
+    the gap-free seam goldens in tests/test_contour.py."""
+    from ..geom import wkb as _gwkb
     from ..stages.contour import assemble_polylines, contour_segments
 
     segs = contour_segments(_rendered_tiles(sf_dir, 4), levels=[0.5, 2.5])
     out = assemble_polylines(segs)
-    return out.map_batches(
-        lambda b: pa.table({
+
+    def canon(b: pa.Table) -> pa.Table:
+        n_segs, mink, sx, sy = [], [], [], []
+        for w in b["wkb"].to_pylist():
+            c = np.asarray(_gwkb.decode(w)["coordinates"], np.float64)
+            q = np.floor(c * 10000.0 + 0.5).astype(np.int64)
+            nk = q[:, 0] * 67108864 + q[:, 1]
+            n_segs.append(len(c) - 1)
+            mink.append(int(nk.min()))
+            sx.append(int(q[:-1, 0].sum() + q[1:, 0].sum()))
+            sy.append(int(q[:-1, 1].sum() + q[1:, 1].sum()))
+        return pa.table({
             "z": b["z"], "level": b["level"],
-            "n_pts": b["n_pts"], "closed": b["closed"],
-        }), batch_format="pyarrow")
+            "n_segs": pa.array(n_segs, pa.int64()),
+            "closed": b["closed"],
+            "min_node": pa.array(mink, pa.int64()),
+            "sx": pa.array(sx, pa.int64()),
+            "sy": pa.array(sy, pa.int64()),
+        })
+
+    return out.map_batches(canon, batch_format="pyarrow")
 
 
 def q_raster_pixels(sf_dir: str):
@@ -2290,66 +2316,35 @@ def q_poly_update(sf_dir: str):
 # Ordered: the driver's correctness gate records only the FIRST 50
 # entries — keep every slot in the first 50 oracle-backed, flagship
 # operators first; rows-only (no-oracle) queries stay at the tail.
+# Ordering contract: the driver records the FIRST 50 entries each
+# round.  Round-4 window = the new r4 flagships (rasterize, polygon
+# buffer, CRS-general warp, fractional zonal, SQL subquery, contour
+# polyline components, global UTM) + every query never driver-recorded
+# before (raster_value_at_point, media_frame_sample, media_decode_
+# embed, the LSH/simhash rows-only family) + the r01-recorded families
+# whose green rows are oldest.  Everything displaced is archived
+# driver-green in CORRECTNESS_r01-r03 and still runs in the full
+# mini-driver gate (scripts/mini_driver.py).
 QUERIES = {
-    "poly_intersection": q_poly_intersection,
-    "poly_union": q_poly_union,
-    "poly_identity": q_poly_identity,
-    "poly_symdiff": q_poly_symdiff,
-    "poly_clip": q_poly_clip,
-    "poly_erase": q_poly_erase,
-    "poly_update": q_poly_update,
-    "poly_dissolve": q_poly_dissolve,
-    "poly_union_holes": q_poly_union_holes,
-    "poly_symdiff_holes": q_poly_symdiff_holes,
-    "poly_concave": q_poly_concave,
-    "raster_warp": q_raster_warp,
-    "raster_warp_bilinear": q_raster_warp_bilinear,
-    "raster_warp_cubic": q_raster_warp_cubic,
-    "raster_warp_lanczos": q_raster_warp_lanczos,
-    "raster_proximity": q_raster_proximity,
-    "raster_fillnodata": q_raster_fillnodata,
-    "raster_sieve": q_raster_sieve,
-    "polygonize_regions": q_polygonize_regions,
-    "contour_segments": q_contour_segments,
-    "band_stats": q_band_stats,
-    "band_histogram": q_band_histogram,
-    "tile_checksum": q_tile_checksum,
-    "grid_metrics": q_grid_metrics,
-    "grid_linear": q_grid_linear,
-    "reproject_albers": q_reproject_albers,
-    "reproject_stereo": q_reproject_stereo,
-    # round-3 flagships in the driver's 50-entry window; the entries
-    # they displaced (lineitem_* family) are archived driver-green in
-    # CORRECTNESS_r01/r02 and stay in the mini-driver gate
-    "tile_overviews_avg": q_tile_overviews_avg,
-    "tile_counts_geodetic": q_tile_counts_geodetic,
-    "tile_render_geodetic": q_tile_render_geodetic,
-    "tile_overviews_geodetic": q_tile_overviews_geodetic,
-    "geom_linearize": q_geom_linearize,
-    "docs_jaccard_exact": q_docs_jaccard_exact,
-    "geom_buffer_area": q_geom_buffer_area,
-    "zonal_weighted": q_zonal_weighted,
-    "lineitem_summary": q_lineitem_summary,
-    "lineitem_groupby": q_lineitem_groupby,
-    "lineitem_stddev": q_lineitem_stddev,
-    "distinct_mktsegment": q_distinct_mktsegment,
-    "topk_orders": q_topk_orders,
-    "orders_customer_revenue": q_orders_customer_revenue,
-    "events_filter_where": q_events_filter_where,
-    "events_filter_like": q_events_filter_like,
-    "events_select_expr": q_events_select_expr,
-    "sql_statement": q_sql_statement,
-    "sql_join": q_sql_join,
-    "sql_distinct_having": q_sql_distinct_having,
-    "sql_subquery": q_sql_subquery,
     "rasterize_burn": q_rasterize_burn,
     "rasterize_add_touched": q_rasterize_add_touched,
     "geom_buffer_poly": q_geom_buffer_poly,
     "raster_warp_stereo": q_raster_warp_stereo,
     "zonal_frac": q_zonal_frac,
-    "orders_lineitem_join": q_orders_lineitem_join,
-    "events_count_distinct_users": q_events_count_distinct_users,
-    "events_windowed_hourly": q_events_windowed_hourly,
+    "sql_subquery": q_sql_subquery,
+    "contour_polylines": q_contour_polylines,
+    "reproject_utm31": q_reproject_utm31,
+    "raster_value_at_point": q_raster_value_at_point,
+    "media_frame_sample": q_media_frame_sample,
+    "media_decode_embed": q_media_decode_embed,
+    "geom_buffer_simplify": q_geom_buffer_simplify,
+    "docs_minhash_pairs": q_docs_minhash_pairs,
+    "docs_near_dup_verified": q_docs_near_dup_verified,
+    "docs_near_dedup": q_docs_near_dedup,
+    "docs_simhash": q_docs_simhash,
+    "docs_simhash_pairs": q_docs_simhash_pairs,
+    "emb_ivf_topk": q_emb_ivf_topk,
+    "emb_near_dup": q_emb_near_dup,
     "geotag_points": q_geotag_points,
     "pip_zones_join": q_pip_zones_join,
     "pip_zones_semi": q_pip_zones_semi,
@@ -2381,22 +2376,60 @@ QUERIES = {
     "union_concat": q_union_concat,
     "reclassify_tiles": q_reclassify_tiles,
     "grid_idw": q_grid_idw,
+    # ---- end of the round-4 driver window (50 entries) ----
     "checkpoint_partitioned": q_checkpoint_partitioned,
     "zonal_extended": q_zonal_extended,
     "raster_pixels": q_raster_pixels,
-    "raster_value_at_point": q_raster_value_at_point,
-    "media_frame_sample": q_media_frame_sample,
-    "reproject_utm31": q_reproject_utm31,
-    "docs_minhash_pairs": q_docs_minhash_pairs,
-    "docs_near_dup_verified": q_docs_near_dup_verified,
-    "docs_near_dedup": q_docs_near_dedup,
-    "docs_simhash": q_docs_simhash,
-    "docs_simhash_pairs": q_docs_simhash_pairs,
-    "emb_ivf_topk": q_emb_ivf_topk,
-    "emb_near_dup": q_emb_near_dup,
-    "geom_buffer_simplify": q_geom_buffer_simplify,
-    "contour_polylines": q_contour_polylines,
-    "media_decode_embed": q_media_decode_embed,
+    "poly_intersection": q_poly_intersection,
+    "poly_union": q_poly_union,
+    "poly_identity": q_poly_identity,
+    "poly_symdiff": q_poly_symdiff,
+    "poly_clip": q_poly_clip,
+    "poly_erase": q_poly_erase,
+    "poly_update": q_poly_update,
+    "poly_dissolve": q_poly_dissolve,
+    "poly_union_holes": q_poly_union_holes,
+    "poly_symdiff_holes": q_poly_symdiff_holes,
+    "poly_concave": q_poly_concave,
+    "raster_warp": q_raster_warp,
+    "raster_warp_bilinear": q_raster_warp_bilinear,
+    "raster_warp_cubic": q_raster_warp_cubic,
+    "raster_warp_lanczos": q_raster_warp_lanczos,
+    "raster_proximity": q_raster_proximity,
+    "raster_fillnodata": q_raster_fillnodata,
+    "raster_sieve": q_raster_sieve,
+    "polygonize_regions": q_polygonize_regions,
+    "contour_segments": q_contour_segments,
+    "band_stats": q_band_stats,
+    "band_histogram": q_band_histogram,
+    "tile_checksum": q_tile_checksum,
+    "grid_metrics": q_grid_metrics,
+    "grid_linear": q_grid_linear,
+    "reproject_albers": q_reproject_albers,
+    "reproject_stereo": q_reproject_stereo,
+    "tile_overviews_avg": q_tile_overviews_avg,
+    "tile_counts_geodetic": q_tile_counts_geodetic,
+    "tile_render_geodetic": q_tile_render_geodetic,
+    "tile_overviews_geodetic": q_tile_overviews_geodetic,
+    "geom_linearize": q_geom_linearize,
+    "docs_jaccard_exact": q_docs_jaccard_exact,
+    "geom_buffer_area": q_geom_buffer_area,
+    "zonal_weighted": q_zonal_weighted,
+    "lineitem_summary": q_lineitem_summary,
+    "lineitem_groupby": q_lineitem_groupby,
+    "lineitem_stddev": q_lineitem_stddev,
+    "distinct_mktsegment": q_distinct_mktsegment,
+    "topk_orders": q_topk_orders,
+    "orders_customer_revenue": q_orders_customer_revenue,
+    "events_filter_where": q_events_filter_where,
+    "events_filter_like": q_events_filter_like,
+    "events_select_expr": q_events_select_expr,
+    "sql_statement": q_sql_statement,
+    "sql_join": q_sql_join,
+    "sql_distinct_having": q_sql_distinct_having,
+    "orders_lineitem_join": q_orders_lineitem_join,
+    "events_count_distinct_users": q_events_count_distinct_users,
+    "events_windowed_hourly": q_events_windowed_hourly,
 }
 
 
@@ -3576,6 +3609,109 @@ ORACLES["contour_segments"] = """
 """
 ORACLES["contour_segments"] = \
     ORACLES["contour_segments"].replace("{PTS}", _PTS_SQL)
+
+# contour polylines: same marching-squares segment soup (FULL
+# precision), quantized at floor(x*1e4+0.5), connected components via
+# the polygonize-style recursive label flood — junction-free for
+# levels outside the value set, so component == polyline; compare the
+# walk-order-independent invariants q_contour_polylines emits.
+ORACLES["contour_polylines"] = """
+    WITH RECURSIVE
+    pts AS ({PTS}),
+    cnt AS (SELECT
+              CAST(least(greatest(floor((lon+180.0)/360.0*4096.0), 0),
+                         4095) AS BIGINT) AS gx,
+              CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                   + 1.0/cos(radians(lat)))/pi())/2.0*4096.0), 0), 4095)
+                   AS BIGINT) AS gy,
+              CAST(count(*) AS DOUBLE) AS n
+            FROM pts GROUP BY 1, 2),
+    offs AS (SELECT unnest(generate_series(-1, 0)) AS o),
+    cells AS (SELECT DISTINCT c.gx + ox.o AS cx, c.gy + oy.o AS cy
+              FROM cnt c, offs ox, offs oy
+              WHERE c.gx + ox.o BETWEEN 0 AND 4094
+                AND c.gy + oy.o BETWEEN 0 AND 4094),
+    corner AS (SELECT cells.cx, cells.cy,
+                      COALESCE(tl.n, 0) AS tl, COALESCE(tr.n, 0) AS tr,
+                      COALESCE(bl.n, 0) AS bl, COALESCE(br.n, 0) AS br
+               FROM cells
+               LEFT JOIN cnt tl ON tl.gx = cx AND tl.gy = cy
+               LEFT JOIN cnt tr ON tr.gx = cx + 1 AND tr.gy = cy
+               LEFT JOIN cnt bl ON bl.gx = cx AND bl.gy = cy + 1
+               LEFT JOIN cnt br ON br.gx = cx + 1 AND br.gy = cy + 1),
+    lv(l) AS (VALUES (0.5), (2.5)),
+    cased AS (SELECT corner.*, lv.l,
+                     (CASE WHEN tl > l THEN 1 ELSE 0 END
+                      + CASE WHEN tr > l THEN 2 ELSE 0 END
+                      + CASE WHEN br > l THEN 4 ELSE 0 END
+                      + CASE WHEN bl > l THEN 8 ELSE 0 END) AS cs
+              FROM corner, lv),
+    segmap(cs, ea, eb) AS (VALUES
+        (1,3,0),(14,3,0),(2,0,1),(13,0,1),(4,1,2),(11,1,2),
+        (8,2,3),(7,2,3),(3,3,1),(12,3,1),(6,0,2),(9,0,2),
+        (5,3,0),(5,1,2),(10,0,1),(10,2,3)),
+    segs AS (SELECT c.cx + 0.5 AS x, c.cy + 0.5 AS y,
+                    c.tl, c.tr, c.bl, c.br, c.l, m.ea, m.eb
+             FROM cased c JOIN segmap m ON c.cs = m.cs),
+    fullseg AS (SELECT l AS level,
+           CASE ea WHEN 0 THEN x + (l-tl)/(tr-tl)
+                   WHEN 1 THEN x + 1.0
+                   WHEN 2 THEN x + (l-bl)/(br-bl)
+                   ELSE x END AS x0,
+           CASE ea WHEN 0 THEN y
+                   WHEN 1 THEN y + (l-tr)/(br-tr)
+                   WHEN 2 THEN y + 1.0
+                   ELSE y + (l-tl)/(bl-tl) END AS y0,
+           CASE eb WHEN 0 THEN x + (l-tl)/(tr-tl)
+                   WHEN 1 THEN x + 1.0
+                   WHEN 2 THEN x + (l-bl)/(br-bl)
+                   ELSE x END AS x1,
+           CASE eb WHEN 0 THEN y
+                   WHEN 1 THEN y + (l-tr)/(br-tr)
+                   WHEN 2 THEN y + 1.0
+                   ELSE y + (l-tl)/(bl-tl) END AS y1
+        FROM segs),
+    qq AS (SELECT level,
+           CAST(floor(x0*10000.0 + 0.5) AS BIGINT) AS qx0,
+           CAST(floor(y0*10000.0 + 0.5) AS BIGINT) AS qy0,
+           CAST(floor(x1*10000.0 + 0.5) AS BIGINT) AS qx1,
+           CAST(floor(y1*10000.0 + 0.5) AS BIGINT) AS qy1
+           FROM fullseg),
+    q AS (SELECT level, qx0*67108864 + qy0 AS nk0,
+                 qx1*67108864 + qy1 AS nk1,
+                 qx0 + qx1 AS sxx, qy0 + qy1 AS syy
+          FROM qq),
+    nodes AS (SELECT DISTINCT level, nk0 AS nk FROM q
+              UNION SELECT DISTINCT level, nk1 FROM q),
+    bidir AS (SELECT level, nk0 AS a, nk1 AS b FROM q
+              UNION ALL SELECT level, nk1, nk0 FROM q),
+    comp(level, nk, lbl) AS (
+      SELECT level, nk, nk FROM nodes
+      UNION
+      SELECT e.level, e.b, c.lbl
+      FROM comp c JOIN bidir e ON e.level = c.level AND e.a = c.nk),
+    lab AS (SELECT level, nk, MIN(lbl) AS lab FROM comp GROUP BY 1, 2),
+    deg AS (SELECT level, nk, count(*) AS d FROM
+            (SELECT level, nk0 AS nk FROM q
+             UNION ALL SELECT level, nk1 FROM q)
+            GROUP BY 1, 2),
+    oddc AS (SELECT DISTINCT l.level, l.lab
+             FROM deg d JOIN lab l ON l.level = d.level AND l.nk = d.nk
+             WHERE d.d % 2 = 1),
+    segl AS (SELECT q.level, l.lab, q.sxx, q.syy, q.nk0, q.nk1
+             FROM q JOIN lab l ON l.level = q.level AND l.nk = q.nk0)
+    SELECT CAST(4 AS INTEGER) AS z, s.level,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           (max(CASE WHEN o.lab IS NULL THEN 0 ELSE 1 END) = 0)
+               AS closed,
+           LEAST(MIN(s.nk0), MIN(s.nk1)) AS min_node,
+           CAST(SUM(s.sxx) AS BIGINT) AS sx,
+           CAST(SUM(s.syy) AS BIGINT) AS sy
+    FROM segl s LEFT JOIN oddc o ON o.level = s.level AND o.lab = s.lab
+    GROUP BY s.level, s.lab
+"""
+ORACLES["contour_polylines"] = \
+    ORACLES["contour_polylines"].replace("{PTS}", _PTS_SQL)
 
 # fillnodata oracle: rays from every valid pixel along the 8 compass
 # directions (≤8 steps); nearest hit per (pixel, direction); zero

@@ -500,10 +500,12 @@ def dissolve(input_ds, key_col: str, geometry_col: str = "geometry"):
         done: list = []
         for fp in feats:
             for r in fp:
-                if not _clip.is_convex(r):
-                    raise NotImplementedError(
-                        "dissolve needs convex pieces (they become "
-                        "clips for later features)")
+                # internal invariant, not a feature gap: _input_pieces
+                # ear-clips every feature into convex pieces, so a
+                # non-convex piece here means the decomposition broke
+                assert _clip.is_convex(r), (
+                    "dissolve: ear-clip decomposition produced a "
+                    "non-convex piece — decomposition bug upstream")
             pieces.extend(q for r in fp
                           for q in _clip.difference_many(r, done))
             done.extend(fp)
