@@ -38,6 +38,84 @@ _KEYWORDS = {"AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "ILIKE", "IS",
              "NULL", "TRUE", "FALSE", "ESCAPE"}
 
 
+# --- ST_* geometry scalar functions (the SQLite-dialect tier,
+# doc/source/user/sql_sqlite_dialect.rst) — registered as pyarrow
+# scalar UDFs so they compose into dataset expressions next to the
+# vectorized kernels.  Registration is process-local and runs at
+# module import, which every Ray worker performs when it unpickles a
+# compiled expression's surrounding closure. ------------------------
+
+
+def _st_kernels():
+    from ..geom import ops as _gops
+    from ..geom import wkb as _gwkb
+
+    def area(b):
+        return _gops.wkb_area(b)
+
+    def xcoord(b):
+        g = _gwkb.decode(b)
+        if g["type"] != "Point":
+            raise ValueError("ST_X needs Point geometry")
+        return float(g["coordinates"][0])
+
+    def ycoord(b):
+        g = _gwkb.decode(b)
+        if g["type"] != "Point":
+            raise ValueError("ST_Y needs Point geometry")
+        return float(g["coordinates"][1])
+
+    def npoints(b):
+        g = _gwkb.decode(b)
+        t = g["type"]
+        if t == "Point":
+            return 1
+        if t == "LineString":
+            return len(g["coordinates"])
+        if t == "Polygon":
+            return sum(len(r) for r in g["coordinates"])
+        if t == "MultiPolygon":
+            return sum(len(r) for rings in g["coordinates"]
+                       for r in rings)
+        raise ValueError(f"ST_NPOINTS: unsupported {t}")
+
+    def isvalid(b):
+        return bool(_gops.wkb_is_valid(b))
+
+    return {
+        "gdal_ray_st_area": (area, pa.float64()),
+        "gdal_ray_st_x": (xcoord, pa.float64()),
+        "gdal_ray_st_y": (ycoord, pa.float64()),
+        "gdal_ray_st_npoints": (npoints, pa.int64()),
+        "gdal_ray_st_isvalid": (isvalid, pa.bool_()),
+    }
+
+
+def _register_st_udfs():
+    for name, (kernel, out_type) in _st_kernels().items():
+        def fn(ctx, arr, _k=kernel, _t=out_type):
+            vals = [None if v is None else _k(v)
+                    for v in arr.to_pylist()]
+            return pa.array(vals, _t)
+        try:
+            pc.register_scalar_function(
+                fn, name, {"summary": name, "description": name},
+                {"g": pa.binary()}, out_type)
+        except pa.lib.ArrowKeyError:
+            pass  # already registered in this process
+
+
+_register_st_udfs()
+
+_ST_FUNCS = {
+    "ST_AREA": "gdal_ray_st_area",
+    "ST_X": "gdal_ray_st_x",
+    "ST_Y": "gdal_ray_st_y",
+    "ST_NPOINTS": "gdal_ray_st_npoints",
+    "ST_ISVALID": "gdal_ray_st_isvalid",
+}
+
+
 def _tokenize(s: str) -> list[tuple[str, str]]:
     toks, pos = [], 0
     while pos < len(s):
@@ -276,6 +354,10 @@ class _Parser:
                 return float(v) if "." in v else int(v)
             raise ValueError(f"{name} arg {i + 1} must be a literal")
 
+        if name in _ST_FUNCS:
+            if len(args) != 1:
+                raise ValueError(f"{name} takes one geometry argument")
+            return args[0]._call(_ST_FUNCS[name], [args[0]])
         if name == "CONCAT":
             return pc.binary_join_element_wise(*args, "")
         if name == "SUBSTR" or name == "SUBSTRING":

@@ -328,6 +328,21 @@ def q_sql_subquery(sf_dir: str):
         {"orders": rd.read_parquet(f"{sf_dir}/orders.parquet")})
 
 
+def q_sql_st_area(sf_dir: str):
+    """ST_* geometry scalar functions inside the SQL executor (the
+    SQLite-dialect tier, doc/source/user/sql_sqlite_dialect.rst):
+    ST_AREA / ST_NPOINTS / ST_ISVALID run as pyarrow scalar UDFs
+    composed into the same dataset-expression projection as the
+    vectorized kernels (functions/expr.py).  ORACLE: shoelace area and
+    vertex counts recomputed from the zone ring VALUES."""
+    from ..functions.sql import execute_sql
+
+    return execute_sql(
+        "SELECT poly_id, ROUND(ST_AREA(geometry), 9) AS area_r, "
+        "ST_NPOINTS(geometry) AS n_pts, ST_ISVALID(geometry) AS ok "
+        "FROM zones", {"zones": rd.from_arrow(zone_table())})
+
+
 def q_events_filter_like(sf_dir: str):
     """LIKE + BETWEEN + IS NOT NULL through the WHERE compiler
     (swq grammar, ogr/ogr_swq.h:42-81)."""
@@ -2332,6 +2347,7 @@ QUERIES = {
     "raster_warp_stereo": q_raster_warp_stereo,
     "zonal_frac": q_zonal_frac,
     "sql_subquery": q_sql_subquery,
+    "sql_st_area": q_sql_st_area,
     "contour_polylines": q_contour_polylines,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,
@@ -2682,6 +2698,18 @@ ORACLES = {
                              AS BIGINT)) AS BIGINT) AS rev_c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+    """,
+    "sql_st_area": f"""
+        WITH ring(poly_id, seq, x, y) AS (VALUES {_zone_ring_values()}),
+        seg AS (SELECT poly_id, x, y,
+                       lead(x) OVER w AS x2, lead(y) OVER w AS y2
+                FROM ring WINDOW w AS (PARTITION BY poly_id
+                                       ORDER BY seq))
+        SELECT poly_id,
+               round(abs(SUM(x * y2 - x2 * y)) / 2.0, 9) AS area_r,
+               CAST(count(*) AS BIGINT) AS n_pts,
+               TRUE AS ok
+        FROM seg GROUP BY poly_id
     """,
     "zonal_frac": f"""
         WITH pts AS ({_PTS_SQL}),

@@ -903,3 +903,40 @@ def test_cell_coverage_exact():
                      (-185.0, 2.5), (-185.0, 0.0)])
     _, pxs, fr3 = cell_coverage([(1.0, over)], gt, 144, 72)
     assert pxs.min() == 0 and abs(fr3.sum() * 6.25 - 2.5 * 2.5) < 1e-12
+
+
+def test_st_functions_in_expressions(ray_session):
+    """ST_* geometry scalar UDFs compose into dataset-expression
+    projections and the SQL executor (SQLite-dialect tier)."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+    from gdal_ray.functions.expr import select_batch
+    from gdal_ray.functions.sql import execute_sql
+    from gdal_ray.geom import wkb as _wkb
+
+    t = pa.table({
+        "gid": pa.array([1, 2], pa.int64()),
+        "geometry": pa.array([_wkb.encode_point(3.5, -2.0),
+                              _wkb.encode_point(-10.0, 45.0)],
+                             pa.binary()),
+    })
+    out = select_batch(t, "gid, ST_X(geometry) AS x, "
+                          "ST_Y(geometry) AS y")
+    assert out["x"].to_pylist() == [3.5, -10.0]
+    assert out["y"].to_pylist() == [-2.0, 45.0]
+
+    zt = pa.table({
+        "gid": pa.array([1], pa.int64()),
+        "geometry": pa.array([_wkb.box_polygon(0, 0, 4, 3)],
+                             pa.binary()),
+    })
+    res = execute_sql(
+        "SELECT gid, ST_AREA(geometry) AS a, "
+        "ST_NPOINTS(geometry) AS n, ST_ISVALID(geometry) AS ok "
+        "FROM t WHERE ST_AREA(geometry) > 10.0",
+        {"t": rd.from_arrow(zt)}).to_pandas()
+    assert list(res["a"]) == [12.0] and list(res["n"]) == [5]
+    assert bool(res["ok"][0])
+    with _pytest.raises(ValueError):
+        select_batch(t, "ST_AREA(geometry, 2)")
