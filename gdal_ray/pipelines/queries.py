@@ -1591,6 +1591,29 @@ def q_rasterize_add_touched(sf_dir: str):
                      all_touched=True, merge_alg="add")
 
 
+def q_rasterize_lines(sf_dir: str):
+    """gdal_rasterize LINE burn (GDALdllImageLine integer Bresenham,
+    alg/llrasterize.cpp:256-391): the zone ring boundaries burn as
+    LineStrings into the 2.5° world raster, MERGE_ALG=REPLACE.
+    ORACLE: SQL replays the walk via the closed form of the error
+    recurrence — steps_k = (2·minor·k + major − 1) // (2·major) —
+    including the do-not-burn-intermediate-endpoints rule."""
+    from ..geom import wkb as _gwkb
+    from ..stages.rasterize import rasterize
+
+    zt = zone_table()
+    lines, burns = [], []
+    for pid, blob in zip(zt["poly_id"].to_pylist(),
+                         zt["geometry"].to_pylist()):
+        ring = _gwkb.decode(bytes(blob))["coordinates"][0]
+        lines.append(_gwkb.encode_linestring(ring))
+        burns.append(10.0 + pid)
+    t = pa.table({"burn": pa.array(burns, pa.float64()),
+                  "geometry": pa.array(lines, pa.binary())})
+    return rasterize(t, gt=_RASTERIZE_GT, width=_RASTERIZE_W,
+                     height=_RASTERIZE_H, lines=True)
+
+
 def q_grid_idw(sf_dir: str):
     """gdal_grid invdistnn semantics over an output grid: 24x20 nodes,
     IDW power 2 from the nation reference points, radius 60, min 1
@@ -2343,6 +2366,7 @@ def q_poly_update(sf_dir: str):
 QUERIES = {
     "rasterize_burn": q_rasterize_burn,
     "rasterize_add_touched": q_rasterize_add_touched,
+    "rasterize_lines": q_rasterize_lines,
     "geom_buffer_poly": q_geom_buffer_poly,
     "raster_warp_stereo": q_raster_warp_stereo,
     "zonal_frac": q_zonal_frac,
@@ -2698,6 +2722,56 @@ ORACLES = {
                              AS BIGINT)) AS BIGINT) AS rev_c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+    """,
+    "rasterize_lines": f"""
+        WITH ring(poly_id, seq, gx, gy) AS (VALUES {_zone_ring_values()}),
+        pr AS (SELECT poly_id, seq,
+                      (gx - (-180.0)) / 2.5 AS x,
+                      (gy - 90.0) / (-2.5) AS y,
+                      max(seq) OVER (PARTITION BY poly_id) AS maxseq
+               FROM ring),
+        seg AS (SELECT poly_id, seq, x AS x1, y AS y1,
+                       lead(x) OVER w AS x2, lead(y) OVER w AS y2,
+                       maxseq
+                FROM pr WINDOW w AS (PARTITION BY poly_id
+                                     ORDER BY seq)),
+        ib AS (SELECT poly_id,
+                      CAST(floor(x1) AS BIGINT) AS ix,
+                      CAST(floor(y1) AS BIGINT) AS iy,
+                      CAST(floor(x2) AS BIGINT) AS ix1,
+                      CAST(floor(y2) AS BIGINT) AS iy1,
+                      (seq + 1 = maxseq) AS is_last
+               FROM seg WHERE x2 IS NOT NULL),
+        par AS (SELECT poly_id, ix, iy, ix1, iy1, is_last,
+                       abs(ix1 - ix) AS ndx, abs(iy1 - iy) AS ndy,
+                       CASE WHEN ix > ix1 THEN -1 ELSE 1 END AS sx,
+                       CASE WHEN iy > iy1 THEN -1 ELSE 1 END AS sy
+                FROM ib),
+        walk AS (
+          SELECT poly_id, ix + sx * t.k AS px,
+                 iy + sy * (CASE WHEN ndx = 0 THEN 0
+                            ELSE (2 * ndy * t.k + ndx - 1) // (2 * ndx)
+                            END) AS py
+          FROM par, LATERAL (
+              SELECT unnest(generate_series(
+                  0, (CASE WHEN is_last THEN ndx ELSE ndx - 1 END)))
+                  AS k) t
+          WHERE ndx >= ndy
+          UNION ALL
+          SELECT poly_id,
+                 ix + sx * ((2 * ndx * t.k + ndy - 1) // (2 * ndy))
+                     AS px,
+                 iy + sy * t.k AS py
+          FROM par, LATERAL (
+              SELECT unnest(generate_series(
+                  0, (CASE WHEN is_last THEN ndy ELSE ndy - 1 END)))
+                  AS k) t
+          WHERE ndx < ndy),
+        pix AS (SELECT DISTINCT poly_id, py, px FROM walk
+                WHERE px BETWEEN 0 AND {_RASTERIZE_W - 1}
+                  AND py BETWEEN 0 AND {_RASTERIZE_H - 1})
+        SELECT py, px, arg_max(10.0 + poly_id, poly_id) AS val
+        FROM pix GROUP BY py, px
     """,
     "sql_st_area": f"""
         WITH ring(poly_id, seq, x, y) AS (VALUES {_zone_ring_values()}),
