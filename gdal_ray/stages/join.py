@@ -84,9 +84,19 @@ def join_auto(ds, lookup_ds, keys, right_keys=None,
         est = lookup_ds.size_bytes()
     except Exception:
         est = None
-    # unknown size (None / estimator failure) is NOT "small" — collecting
-    # an unbounded lookup side could OOM the driver; fall through to the
-    # distributed hash join instead (ADVICE r3)
+    if est is None:
+        # unknown size (e.g. an un-executed groupby output) is NOT
+        # "small" — collecting an unbounded lookup side could OOM the
+        # driver (ADVICE r3).  Materialize to the OBJECT STORE to learn
+        # the real size instead of guessing: tiny aggregate outputs
+        # (the common case) then broadcast as before, and a genuinely
+        # large side stays distributed without ever touching the
+        # driver heap.
+        lookup_ds = lookup_ds.materialize()
+        try:
+            est = lookup_ds.size_bytes()
+        except Exception:
+            est = None
     if est is not None and est <= broadcast_max_bytes:
         # groupby outputs can contain schema-less empty blocks — drop
         parts = [t for t in ray.get(list(lookup_ds.to_arrow_refs()))
