@@ -108,10 +108,17 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as entrymod
 
     out = {}
+    import gc
+
     for name, fn in entrymod.queries().items():
         t0 = time.monotonic()
         _consume(fn(sf_dir))
         out[name] = round(time.monotonic() - t0, 3)
+        # drop dataset refs so completed queries' actor pools and
+        # object-store blocks release before the next measurement —
+        # without this, suites that front-load actor-heavy queries
+        # inflate every later query by 1-3 s (measured same-host)
+        gc.collect()
     return out
 
 

@@ -571,6 +571,38 @@ def _sql(ds, args):
     return rd.from_arrow(out) if isinstance(out, pa.Table) else out
 
 
+@register("duckdb_batch")
+def _duckdb_batch(ds, args):
+    """Custom-SQL-dialect escape hatch (the OGR custom-dialect slot,
+    doc/source/user/vector_data_model.rst ExecuteSQL dialects): run an
+    arbitrary DuckDB SQL statement over EACH Arrow batch (table name
+    ``batch``).  Semantics are explicitly PER-BATCH — row-local
+    expressions, filters and enrichments of any DuckDB shape; global
+    aggregates/joins belong in the engine's distributed steps (use the
+    ``sql`` step).  The connection opens once per actor."""
+    query = args["query"]
+    batch_size = int(args.get("batch_size", 65536))
+
+    class _DuckBatch:
+        def __init__(self):
+            import duckdb
+
+            self.con = duckdb.connect()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            self.con.register("batch", batch)
+            out = self.con.execute(query).arrow()
+            self.con.unregister("batch")
+            return out if isinstance(out, pa.Table) \
+                else pa.table(out)
+
+    from ..stages._pool import autoscale
+
+    return ds.map_batches(_DuckBatch, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=autoscale(args.get("concurrency")))
+
+
 @register("linearize")
 def _linearize(ds, args):
     """Stroke curve geometries (CircularString/CompoundCurve/

@@ -216,3 +216,20 @@ def test_registry_json_pipeline_with_sql(ray_session):
     assert list(out["event_type"]) == list(want["event_type"])
     assert list(out["n"].astype(int)) == list(want["n"].astype(int))
     assert list(out["s"].astype(int)) == list(want["s"].astype(int))
+
+
+def test_duckdb_batch_step(ray_session):
+    """Custom-SQL escape hatch: arbitrary DuckDB SQL per batch."""
+    import ray.data as rd
+
+    ds = rd.range(100).map_batches(
+        lambda b: b.rename_columns(["v"]), batch_format="pyarrow") \
+        .repartition(4)
+    out = REGISTRY["duckdb_batch"](ds, {
+        "query": "SELECT v, v * v AS sq, "
+                 "CASE WHEN v % 2 = 0 THEN 'even' ELSE 'odd' END AS p "
+                 "FROM batch WHERE v >= 10"}).to_pandas()
+    assert len(out) == 90
+    assert set(out.columns) == {"v", "sq", "p"}
+    assert (out["sq"] == out["v"] ** 2).all()
+    assert (out.loc[out["v"] % 2 == 0, "p"] == "even").all()
