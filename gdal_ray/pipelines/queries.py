@@ -1180,22 +1180,48 @@ def q_contour_polylines(sf_dir: str):
     out = assemble_polylines(segs)
 
     def canon(b: pa.Table) -> pa.Table:
-        n_segs, mink, sx, sy = [], [], [], []
-        for w in b["wkb"].to_pylist():
-            c = np.asarray(_gwkb.decode(w)["coordinates"], np.float64)
-            q = np.floor(c * 10000.0 + 0.5).astype(np.int64)
-            nk = q[:, 0] * 67108864 + q[:, 1]
-            n_segs.append(len(c) - 1)
-            mink.append(int(nk.min()))
-            sx.append(int(q[:-1, 0].sum() + q[1:, 0].sum()))
-            sy.append(int(q[:-1, 1].sum() + q[1:, 1].sum()))
+        # one vectorized pass over all lines of the batch: lean WKB
+        # parse (fixed little-endian LineString layout, see
+        # geom/wkb.py:encode_linestring) + reduceat per-line
+        # reductions.  Σ over segments of (q_i + q_{i+1}) rewrites to
+        # 2·Σq − q_first − q_last, so no per-line slicing is needed.
+        import struct as _struct
+        blobs = b["wkb"].to_pylist()
+        if not blobs:
+            return pa.table({
+                "z": b["z"], "level": b["level"],
+                "n_segs": pa.array([], pa.int64()),
+                "closed": b["closed"],
+                "min_node": pa.array([], pa.int64()),
+                "sx": pa.array([], pa.int64()),
+                "sy": pa.array([], pa.int64()),
+            })
+        ns = np.empty(len(blobs), np.int64)
+        for i, w in enumerate(blobs):
+            assert w[0] == 1, "expected little-endian WKB"
+            ns[i] = _struct.unpack_from("<I", w, 5)[0]
+        flat = np.empty((int(ns.sum()), 2), np.float64)
+        off = 0
+        for w, n in zip(blobs, ns):
+            flat[off:off + n] = np.frombuffer(
+                w, "<f8", int(2 * n), 9).reshape(-1, 2)
+            off += int(n)
+        q = np.floor(flat * 10000.0 + 0.5).astype(np.int64)
+        nk = q[:, 0] * 67108864 + q[:, 1]
+        starts = np.r_[0, np.cumsum(ns)[:-1]].astype(np.int64)
+        ends = starts + ns - 1
+        mink = np.minimum.reduceat(nk, starts)
+        sumx = np.add.reduceat(q[:, 0], starts)
+        sumy = np.add.reduceat(q[:, 1], starts)
+        sx = 2 * sumx - q[starts, 0] - q[ends, 0]
+        sy = 2 * sumy - q[starts, 1] - q[ends, 1]
         return pa.table({
             "z": b["z"], "level": b["level"],
-            "n_segs": pa.array(n_segs, pa.int64()),
+            "n_segs": pa.array(ns - 1),
             "closed": b["closed"],
-            "min_node": pa.array(mink, pa.int64()),
-            "sx": pa.array(sx, pa.int64()),
-            "sy": pa.array(sy, pa.int64()),
+            "min_node": pa.array(mink),
+            "sx": pa.array(sx),
+            "sy": pa.array(sy),
         })
 
     return out.map_batches(canon, batch_format="pyarrow")
