@@ -342,22 +342,70 @@ def polygon_buffer_ring(ring: np.ndarray, dist: float,
     return out
 
 
+def polygon_erode_ring(ring: np.ndarray, dist: float) -> np.ndarray:
+    """Negative buffer (erosion) of a CONVEX ring by ``dist`` > 0:
+    every edge line shifts inward by ``dist`` and consecutive offset
+    lines intersect into the new vertices — for a convex polygon the
+    erosion is exactly the intersection of the inward-offset
+    half-planes, no arcs (Minkowski difference with a disk).  Raises
+    when an edge collapses (a straight-skeleton event: the result
+    would lose edges, which needs the full skeleton — out of scope),
+    when the result degenerates, or when the input is concave."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) >= 2 and np.allclose(r[0], r[-1]):
+        r = r[:-1]
+    if ring_signed_area(np.vstack([r, r[:1]])) < 0:
+        r = r[::-1].copy()
+    e = np.roll(r, -1, axis=0) - r
+    ln = np.hypot(e[:, 0], e[:, 1])
+    if np.any(ln == 0.0):
+        raise ValueError("erode: repeated consecutive vertices")
+    cross = e[:, 0] * np.roll(e[:, 1], -1) - e[:, 1] * np.roll(e[:, 0], -1)
+    if np.any(cross <= 0.0):
+        raise NotImplementedError(
+            "erode: concave polygons need the straight skeleton; "
+            "out of scope")
+    nx, ny = e[:, 1] / ln, -e[:, 0] / ln  # outward normal (CCW)
+    # inward-shifted anchor point per edge
+    ax = r[:, 0] - dist * nx
+    ay = r[:, 1] - dist * ny
+    out = np.empty_like(r)
+    E = len(r)
+    for i in range(E):
+        p = (i - 1) % E
+        den = e[p, 0] * e[i, 1] - e[p, 1] * e[i, 0]
+        t = ((ax[i] - ax[p]) * e[i, 1] - (ay[i] - ay[p]) * e[i, 0]) / den
+        out[i, 0] = ax[p] + t * e[p, 0]
+        out[i, 1] = ay[p] + t * e[p, 1]
+    e2 = np.roll(out, -1, axis=0) - out
+    if (np.any(np.einsum("ij,ij->i", e2, e) <= 0.0)
+            or ring_signed_area(np.vstack([out, out[:1]])) <= 0.0):
+        raise NotImplementedError(
+            "erode: distance reaches a straight-skeleton event (an "
+            "edge collapses); out of scope")
+    return out
+
+
 def wkb_buffer(blob: bytes, dist: float, quadsegs: int = 30) -> bytes:
     """Buffer point / polygon geometries.  Polygons: positive
-    distances, outer ring only (interior-ring erosion — hole shrink /
-    vanish — needs the arrangement and is out of scope, as are
-    negative distances)."""
+    distances dilate (outer ring only — interior-ring offsetting needs
+    the arrangement); negative distances erode CONVEX polygons exactly
+    (inward half-plane intersection), fenced at straight-skeleton
+    events."""
     g = _wkb.decode(blob)
     if g["type"] == "Point":
         return point_buffer(*g["coordinates"], dist, quadsegs)
     if g["type"] == "Polygon":
-        if dist <= 0:
-            raise NotImplementedError("buffer: negative polygon "
-                                      "distances are out of scope")
         if len(g["coordinates"]) > 1:
             raise NotImplementedError("buffer: polygons with holes are "
                                       "out of scope")
-        ring = polygon_buffer_ring(g["coordinates"][0], dist, quadsegs)
+        if dist == 0:
+            return blob
+        if dist < 0:
+            ring = polygon_erode_ring(g["coordinates"][0], -dist)
+        else:
+            ring = polygon_buffer_ring(g["coordinates"][0], dist,
+                                       quadsegs)
         return _wkb.encode_polygon([np.vstack([ring, ring[:1]])])
     raise NotImplementedError(
         f"buffer: unsupported geometry {g['type']}")

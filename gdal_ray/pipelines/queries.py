@@ -1455,6 +1455,35 @@ def q_geom_buffer_poly(sf_dir: str):
     return ds.map_batches(bufstats, batch_format="pyarrow")
 
 
+def q_geom_buffer_erode(sf_dir: str):
+    """Negative polygon buffer (erosion): each convex zone shrinks by
+    3 degrees — exactly the intersection of the inward-offset
+    half-planes (no arcs; Minkowski difference with a disk), fenced at
+    straight-skeleton events (geom/ops.py:polygon_erode_ring).
+    ORACLE: the closed form A − P·d + d²·Σ tan(θ/2) over the ring
+    VALUES, and the unchanged vertex count E + 1."""
+    from ..geom import ops as _gops
+    from ..geom import wkb as _gwkb
+
+    ds = rd.from_arrow(zone_table())
+
+    def erode(b: pa.Table) -> pa.Table:
+        areas, npts = [], []
+        for blob in b["geometry"].to_pylist():
+            out = _gops.wkb_buffer(bytes(blob), -3.0)
+            ring = _gwkb.decode(out)["coordinates"][0]
+            npts.append(len(ring))
+            areas.append(_gops.ring_signed_area(ring))
+        return pa.table({
+            "poly_id": b["poly_id"],
+            "area_q4": pa.array(
+                np.floor(np.asarray(areas) * 1e4 + 0.5).astype(np.int64)),
+            "n_points": pa.array(npts, pa.int64()),
+        })
+
+    return ds.map_batches(erode, batch_format="pyarrow")
+
+
 # --- scalar functions / SQL surface -----------------------------------------
 
 
@@ -2394,6 +2423,7 @@ QUERIES = {
     "rasterize_add_touched": q_rasterize_add_touched,
     "rasterize_lines": q_rasterize_lines,
     "geom_buffer_poly": q_geom_buffer_poly,
+    "geom_buffer_erode": q_geom_buffer_erode,
     "raster_warp_stereo": q_raster_warp_stereo,
     "zonal_frac": q_zonal_frac,
     "sql_subquery": q_sql_subquery,
@@ -2895,6 +2925,37 @@ ORACLES = {
                     AS BIGINT) AS wv_q6
         FROM cov LEFT JOIN vals USING (key)
         GROUP BY poly_id
+    """,
+    "geom_buffer_erode": f"""
+        WITH ring(poly_id, seq, x, y) AS (VALUES {_zone_ring_values()}),
+        seg AS (SELECT poly_id, seq, x, y,
+                       lead(x) OVER w AS x2, lead(y) OVER w AS y2
+                FROM ring WINDOW w AS (PARTITION BY poly_id
+                                       ORDER BY seq)),
+        e AS (SELECT poly_id, x2 - x AS dx, y2 - y AS dy,
+                     x * y2 - x2 * y AS crossterm,
+                     sqrt((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y))
+                         AS elen,
+                     row_number() OVER (PARTITION BY poly_id
+                                        ORDER BY seq) - 1 AS j,
+                     count(*) OVER (PARTITION BY poly_id) AS ne
+              FROM seg WHERE x2 IS NOT NULL),
+        turns AS (SELECT a.poly_id,
+                         atan2(a.dx * b.dy - a.dy * b.dx,
+                               a.dx * b.dx + a.dy * b.dy) AS theta
+                  FROM e a JOIN e b ON a.poly_id = b.poly_id
+                                   AND b.j = (a.j + 1) % a.ne),
+        fans AS (SELECT poly_id,
+                        SUM(tan(theta / 2.0)) AS sumtan
+                 FROM turns GROUP BY poly_id),
+        base AS (SELECT poly_id, SUM(crossterm) / 2 AS a0,
+                        SUM(elen) AS per, count(*) AS ne
+                 FROM e GROUP BY poly_id)
+        SELECT b.poly_id,
+               CAST(floor((b.a0 - b.per * 3.0 + 3.0 * 3.0 * f.sumtan)
+                          * 1e4 + 0.5) AS BIGINT) AS area_q4,
+               b.ne + 1 AS n_points
+        FROM base b JOIN fans f USING (poly_id)
     """,
     "geom_buffer_poly": f"""
         WITH ring(poly_id, seq, x, y) AS (VALUES {_zone_ring_values()}),

@@ -135,13 +135,13 @@ def test_buffer_polygon_reflex_and_fences():
     # distance too large for the concavity → simplicity fence
     with pytest.raises(NotImplementedError):
         ops.wkb_buffer(L, 3.0)
-    # holes and negative distances are fenced
+    # holes and over-eroding negative distances are fenced
     holed = wkb.encode_polygon([[(0, 0), (9, 0), (9, 9), (0, 9), (0, 0)],
                                 [(4, 4), (4, 5), (5, 5), (5, 4), (4, 4)]])
     with pytest.raises(NotImplementedError):
         ops.wkb_buffer(holed, 1.0)
     with pytest.raises(NotImplementedError):
-        ops.wkb_buffer(wkb.box_polygon(0, 0, 1, 1), -0.5)
+        ops.wkb_buffer(wkb.box_polygon(0, 0, 1, 1), -2.0)
 
 
 def test_explode_parts():
@@ -208,3 +208,26 @@ def test_concave_hull_alpha_shape():
     # alpha → ∞ degenerates to the convex hull
     big = concave_hull_points(pts, alpha=1e9)
     assert abs(area(big) - area(convex)) < 1e-6
+
+
+def test_buffer_polygon_erosion():
+    # convex erosion: exact inward half-plane intersection
+    out = ops.wkb_buffer(wkb.box_polygon(0, 0, 10, 6), -1.0)
+    assert ops.wkb_area(out) == pytest.approx(32.0, abs=1e-12)
+    assert len(wkb.decode(out)["coordinates"][0]) == 5
+    r, d = 5.0, 1.0
+    dia = wkb.encode_polygon([[(r, 0), (0, r), (-r, 0), (0, -r),
+                               (r, 0)]])
+    exp = 2 * r * r - 4 * np.sqrt(2) * r * d + 4 * d * d
+    assert ops.wkb_area(ops.wkb_buffer(dia, -d)) == \
+        pytest.approx(exp, rel=1e-12)
+    # straight-skeleton event (edge collapse) and concavity are fenced
+    with pytest.raises(NotImplementedError):
+        ops.wkb_buffer(wkb.box_polygon(0, 0, 10, 6), -3.5)
+    L = wkb.encode_polygon([[(0, 0), (4, 0), (4, 4), (2, 4), (2, 2),
+                             (0, 2), (0, 0)]])
+    with pytest.raises(NotImplementedError):
+        ops.wkb_buffer(L, -0.2)
+    # zero distance is the identity
+    b = wkb.box_polygon(0, 0, 2, 2)
+    assert ops.wkb_buffer(b, 0.0) == b
