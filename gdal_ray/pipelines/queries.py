@@ -2472,7 +2472,9 @@ QUERIES = {
     "union_concat": q_union_concat,
     "reclassify_tiles": q_reclassify_tiles,
     "grid_idw": q_grid_idw,
-    # ---- end of the round-4 driver window (50 entries) ----
+    # ---- the driver window is the FIRST 50 entries above (late-r4
+    # additions rasterize_lines / sql_st_area / geom_buffer_erode
+    # slot in near their families, pushing the tail entries here) ----
     "checkpoint_partitioned": q_checkpoint_partitioned,
     "zonal_extended": q_zonal_extended,
     "raster_pixels": q_raster_pixels,

@@ -144,12 +144,17 @@ def fill_pixels(xs, ys, sizes, y_lo, y_hi, x_lo, x_hi, height):
     return py, px
 
 
-def touched_pixels(xs, ys, sizes, y_lo, y_hi, x_lo, x_hi):
+def touched_pixels(xs, ys, sizes, y_lo, y_hi, x_lo, x_hi,
+                   intersect_only: bool = True):
     """ALL_TOUCHED boundary pixels within the tile window: every pixel
-    whose OPEN unit square the segment passes through
-    (GDALdllImageLineAllTouched with bIntersectOnly, minus the
-    alignment epsilons — see module docstring).  Walks each segment's
-    integer-grid crossings and samples interval midpoints."""
+    whose OPEN unit square the segment passes through (closed square
+    when ``intersect_only`` is False — the reference burns polygons
+    with bIntersectOnly=true and lines with false,
+    gdalrasterize.cpp:717,748; alignment epsilons aside, see module
+    docstring).  Walks each segment's integer-grid crossings and
+    samples interval midpoints; a grid-aligned segment then burns the
+    pixel on its floor side, exactly the vertical/horizontal special
+    cases of llrasterize.cpp:478-525,560-625."""
     pys, pxs = [], []
     off = 0
     for n in sizes:
@@ -159,10 +164,11 @@ def touched_pixels(xs, ys, sizes, y_lo, y_hi, x_lo, x_hi):
             x1, y1, x2, y2 = rx[j - 1], ry[j - 1], rx[j], ry[j]
             if x1 == x2 and y1 == y2:
                 continue
-            if x1 == x2 and x1 == np.floor(x1):
-                continue  # grid-aligned vertical: intersect-only skip
-            if y1 == y2 and y1 == np.floor(y1):
-                continue  # grid-aligned horizontal: intersect-only skip
+            if intersect_only:
+                if x1 == x2 and x1 == np.floor(x1):
+                    continue  # grid-aligned vertical: polygon skip
+                if y1 == y2 and y1 == np.floor(y1):
+                    continue  # grid-aligned horizontal: polygon skip
             ts = [np.array([0.0, 1.0])]
             if x1 != x2:
                 k0, k1 = np.ceil(min(x1, x2)), np.floor(max(x1, x2))
@@ -368,8 +374,11 @@ def rasterize(features_ds, *, gt, width, height, burn_col="burn",
                 sz = np.asarray(sz_l[i].as_py(), np.int64)
                 if lines:
                     if all_touched:
+                        # lines run with bIntersectOnly=false
+                        # (gdalrasterize.cpp:717-722)
                         py, px = touched_pixels(xs, ys, sz, y_lo, y_hi,
-                                                x_lo, x_hi)
+                                                x_lo, x_hi,
+                                                intersect_only=False)
                     else:
                         py, px = line_pixels(xs, ys, sz, y_lo, y_hi,
                                              x_lo, x_hi)

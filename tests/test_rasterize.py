@@ -268,3 +268,19 @@ def test_rasterize_burn_from_z_and_lines(ray_session):
     assert set(out["val"]) == {7.5}
     exp = ref_image_line([np.array([[0.3, 0.7], [6.7, 5.2]])], 8, 8)
     assert sorted(zip(out["py"], out["px"])) == sorted(exp)
+
+
+def test_touched_lines_keep_grid_aligned():
+    # lines use bIntersectOnly=false: a vertical segment exactly on a
+    # grid line burns the column on its floor side (the reference's
+    # vertical special case with iX = floor(dfXEnd))
+    path = np.array([[3.0, 1.2], [3.0, 4.7]])
+    py, px = touched_pixels(path[:, 0], path[:, 1],
+                            np.array([2], np.int64), 0, 9, 0, 9,
+                            intersect_only=False)
+    got = set(zip(py.tolist(), px.tolist()))
+    assert got == {(1, 3), (2, 3), (3, 3), (4, 3)}
+    # the same segment is skipped under polygon (intersect-only) rules
+    py2, _ = touched_pixels(path[:, 0], path[:, 1],
+                            np.array([2], np.int64), 0, 9, 0, 9)
+    assert len(py2) == 0
