@@ -1381,9 +1381,14 @@ def q_geom_convex_hull(sf_dir: str):
 
 
 def q_geom_buffer_simplify(sf_dir: str):
-    """Buffer(point) → simplify roundtrip: area of a 120-gon point
-    buffer, then of its 8-gon simplification (rows-only; hand-computed
-    closed forms asserted in tests)."""
+    """Buffer(point) → simplify roundtrip, ORACLE-backed (new r4):
+    Douglas-Peucker on the 120-gon point buffer subdivides binarily
+    (0→60→30→15) and stops when the arc sagitta r·(1−cos(π·m/120))
+    drops under the 0.05 tolerance (m=15 → 0.076 splits; m=7/8 →
+    0.017/0.022 stop), selecting the FIXED index set {0,7,15,22,…} —
+    a 16-gon whose area SQL recomputes by shoelace over
+    (cos, sin)(2π·idx/120).  Translation moves the per-row float area
+    by ~5e-13, far inside the 1e-6 quantum."""
     from ..functions.geotag import make_point_batch
     from ..stages import geometry as _geom
 
@@ -1395,9 +1400,21 @@ def q_geom_buffer_simplify(sf_dir: str):
     simp = buf.map_batches(
         lambda b: _geom.simplify_batch(b, tolerance=0.05),
         batch_format="pyarrow")
-    return simp.map_batches(
-        lambda b: _geom.area_batch(b, out="area"), batch_format="pyarrow") \
-        .select_columns(["event_id", "area"])
+    out = simp.map_batches(
+        lambda b: _geom.area_batch(b, out="area"), batch_format="pyarrow")
+
+    def quant(b: pa.Table) -> pa.Table:
+        from ..geom import wkb as _gwkb
+        npts = pa.array([len(_gwkb.decode(w)["coordinates"][0])
+                         for w in b["geometry"].to_pylist()], pa.int64())
+        return pa.table({
+            "event_id": b["event_id"],
+            "area_q6": pc.cast(pc.round(pc.multiply(
+                b["area"], 1e6), 0), pa.int64()),
+            "n_pts": npts,
+        })
+
+    return out.map_batches(quant, batch_format="pyarrow")
 
 
 def q_geom_buffer_area(sf_dir: str):
@@ -4478,6 +4495,23 @@ ORACLES["geom_linearize"] = f"""
 """
 
 # buffer area: regular 120-gon closed form (n/2)·r²·sin(2π/n)
+_SIMPLIFY_IDX = ",".join(
+    f"({j},{k})" for j, k in enumerate(
+        [0, 7, 15, 22, 30, 38, 45, 53, 60, 67, 75, 82, 90, 98, 105, 113]))
+ORACLES["geom_buffer_simplify"] = f"""
+    WITH pts AS ({_PTS_SQL}),
+    sel(j, k) AS (VALUES {_SIMPLIFY_IDX}),
+    v AS (SELECT j, cos(2.0 * pi() * k / 120.0) AS x,
+                 sin(2.0 * pi() * k / 120.0) AS y
+          FROM sel),
+    ar AS (SELECT abs(SUM(a.x * b.y - b.x * a.y)) / 2.0 AS a0
+           FROM v a JOIN v b ON b.j = (a.j + 1) % 16)
+    SELECT event_id,
+           CAST(round(ar.a0 * 1e6, 0) AS BIGINT) AS area_q6,
+           CAST(17 AS BIGINT) AS n_pts
+    FROM pts, ar ORDER BY event_id LIMIT 100
+"""
+
 ORACLES["geom_buffer_area"] = f"""
     WITH pts AS ({_PTS_SQL})
     SELECT event_id,
