@@ -311,6 +311,21 @@ def q_sql_distinct_having(sf_dir: str):
         {"events": rd.read_parquet(f"{sf_dir}/events.parquet")})
 
 
+def q_events_sessionize(sf_dir: str):
+    """Gap-based sessionization (session windows over user event
+    streams — the training-data windowing primitive; fixed windows are
+    events_windowed_hourly): per user, a >30-minute gap starts a new
+    session; one row per session with count and epoch-second bounds.
+    Hash-bucket exchange + one vectorized lexsort/diff/cumsum kernel
+    per bucket (stages/sessionize.py).  ORACLE: DuckDB lag()/window
+    cumulative-sum sessionization of the same events."""
+    from ..stages.sessionize import sessionize
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    return sessionize(ds, "user_id", "ts", gap_s=1800.0)
+
+
 def q_sql_subquery(sf_dir: str):
     """Derived-table subquery: FROM (SELECT …) alias recurses through
     execute_sql (functions/sql.py:_resolve_from) — the inner statement
@@ -2445,6 +2460,7 @@ QUERIES = {
     "zonal_frac": q_zonal_frac,
     "sql_subquery": q_sql_subquery,
     "sql_st_area": q_sql_st_area,
+    "events_sessionize": q_events_sessionize,
     "contour_polylines": q_contour_polylines,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,
@@ -2797,6 +2813,24 @@ ORACLES = {
                              AS BIGINT)) AS BIGINT) AS rev_c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+    """,
+    "events_sessionize": """
+        WITH e AS (SELECT user_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS t
+                   FROM events),
+        m AS (SELECT user_id, t,
+                     CASE WHEN lag(t) OVER w IS NULL
+                               OR t - lag(t) OVER w > 1800
+                          THEN 1 ELSE 0 END AS is_start
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        s AS (SELECT user_id, t,
+                     SUM(is_start) OVER (PARTITION BY user_id ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) - 1 AS sid
+              FROM m)
+        SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+               CAST(count(*) AS BIGINT) AS n_events,
+               MIN(t) AS t_start, MAX(t) AS t_end
+        FROM s GROUP BY user_id, sid
     """,
     "rasterize_lines": f"""
         WITH ring(poly_id, seq, gx, gy) AS (VALUES {_zone_ring_values()}),

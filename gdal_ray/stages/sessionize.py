@@ -1,0 +1,78 @@
+"""Gap-based event sessionization — the training-data-pipeline
+windowing primitive the reference's SQL layer lacks (session windows
+over user event streams; the fixed-window analog is
+events_windowed_hourly).
+
+Semantics: events of one key, ordered by timestamp, split into a new
+session wherever the gap since the PREVIOUS event exceeds ``gap``
+seconds (strict >).  Equal timestamps are order-insensitive: a zero
+gap never splits, so session membership, counts and bounds are
+well-defined without a tie rule.
+
+Distribution shape: the hash-bucket exchange of stages/dedup.py —
+keys hash into ``n_buckets`` groups, one ``groupby(bucket)`` moves
+each key's narrow (key, t) rows together, and a single vectorized
+kernel (lexsort + diff + cumsum + reduceat) sessionizes every key of
+the bucket at once.  No driver state; skewed users salt across rows
+of one bucket but stay vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_BUCKET = "__sess_bucket"
+
+
+def sessionize(ds, key_col: str, ts_col: str, gap_s: float,
+               n_buckets: int = 64):
+    """Dataset of (key, session_idx, n_events, t_start, t_end) — one
+    row per session; ``session_idx`` counts a key's sessions in time
+    order from 0; t_* are epoch seconds (int64, floor)."""
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        t = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        nb = pa.table({
+            key_col: b[key_col],
+            "__t": pa.array(t.to_numpy(zero_copy_only=False)
+                            // 1_000_000),
+        })
+        h = pd.util.hash_pandas_object(nb[key_col].to_pandas(),
+                                       index=False,
+                                       hash_key="gdal_ray_sess_0")
+        return nb.append_column(
+            _BUCKET, pa.array((h.values % np.uint64(n_buckets))
+                              .astype(np.int32)))
+
+    narrow = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        t = g["__t"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, keys))
+        k, tt = keys[order], t[order]
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        dt = np.r_[0, tt[1:] - tt[:-1]]
+        start = new_key | (dt > gap_s)
+        sid = np.cumsum(start) - 1  # global session ordinal in bucket
+        starts = np.flatnonzero(start)
+        ends = np.r_[starts[1:], len(k)]
+        n_ev = ends - starts
+        # per-key 0-based session index: ordinal minus the ordinal of
+        # the key's first session
+        key_first = np.flatnonzero(new_key)
+        first_sid_per_run = sid[key_first]
+        run_of_start = np.searchsorted(key_first, starts, side="right") - 1
+        sess_idx = sid[starts] - first_sid_per_run[run_of_start]
+        return pa.table({
+            key_col: pa.array(k[starts]),
+            "session_idx": pa.array(sess_idx.astype(np.int64)),
+            "n_events": pa.array(n_ev.astype(np.int64)),
+            "t_start": pa.array(tt[starts]),
+            "t_end": pa.array(tt[ends - 1]),
+        })
+
+    return narrow.groupby(_BUCKET).map_groups(per_bucket,
+                                              batch_format="pyarrow")

@@ -940,3 +940,39 @@ def test_st_functions_in_expressions(ray_session):
     assert bool(res["ok"][0])
     with _pytest.raises(ValueError):
         select_batch(t, "ST_AREA(geometry, 2)")
+
+
+def test_sessionize_gap_semantics(ray_session):
+    """Gap sessionization: strict > gap splits, exact gap and ties do
+    not; per-key session_idx counts from 0 in time order."""
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.stages.sessionize import sessionize
+
+    base = 1_700_000_000
+    rows = [
+        # user 1: [0, 5, 5, 15] gap10 -> one session (dt 10 == gap)
+        (1, 0), (1, 5), (1, 5), (1, 15),
+        # then 26 -> new session (dt 11 > 10)
+        (1, 26), (1, 30),
+        # user 2: single event
+        (2, 100),
+        # user 3: three sessions
+        (3, 0), (3, 50), (3, 200),
+    ]
+    t = pa.table({
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([(base + s) * 1_000_000 for _, s in rows],
+                       pa.timestamp("us")),
+    })
+    out = sessionize(rd.from_arrow(t).repartition(3), "user_id", "ts",
+                     gap_s=10.0, n_buckets=4).to_pandas() \
+        .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    got = [(r.user_id, r.session_idx, r.n_events,
+            r.t_start - base, r.t_end - base)
+           for r in out.itertuples()]
+    assert got == [
+        (1, 0, 4, 0, 15), (1, 1, 2, 26, 30),
+        (2, 0, 1, 100, 100),
+        (3, 0, 1, 0, 0), (3, 1, 1, 50, 50), (3, 2, 1, 200, 200),
+    ]
