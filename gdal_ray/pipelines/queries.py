@@ -326,6 +326,44 @@ def q_events_sessionize(sf_dir: str):
     return sessionize(ds, "user_id", "ts", gap_s=1800.0)
 
 
+def q_events_asof_rates(sf_dir: str):
+    """Backward AS-OF join (the time-series lookup the reference's SQL
+    layer lacks; pandas merge_asof / DuckDB ASOF JOIN semantics): each
+    event picks the latest daily rate at-or-before its timestamp
+    within its group.  The small rate stream broadcasts via ray.put
+    and each batch resolves with one searchsorted per group — no
+    shuffle touches the event stream (stages/join.py:
+    asof_join_broadcast).  ORACLE: DuckDB's native ASOF LEFT JOIN."""
+    from ..stages.join import asof_join_broadcast
+
+    day0 = int(np.datetime64("2024-01-01").astype("datetime64[s]")
+               .astype(np.int64))
+    g_, d_ = np.meshgrid(np.arange(4), np.arange(60), indexing="ij")
+    rates = pa.table({
+        "g": pa.array(g_.ravel().astype(np.int64)),
+        "rt": pa.array((day0 + d_.ravel() * 86400).astype(np.int64)),
+        "rate": pa.array((g_.ravel() * 100000 + d_.ravel())
+                         .astype(np.float64)),
+    })
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // 1_000_000
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"],
+            "g": pa.array(u % 4),
+            "t": pa.array(t),
+        })
+
+    out = asof_join_broadcast(ev.map_batches(prep,
+                                             batch_format="pyarrow"),
+                              rates, on="t", by="g", right_on="rt")
+    return out.select_columns(["event_id", "rate"])
+
+
 def q_sql_subquery(sf_dir: str):
     """Derived-table subquery: FROM (SELECT …) alias recurses through
     execute_sql (functions/sql.py:_resolve_from) — the inner statement
@@ -2461,6 +2499,7 @@ QUERIES = {
     "sql_subquery": q_sql_subquery,
     "sql_st_area": q_sql_st_area,
     "events_sessionize": q_events_sessionize,
+    "events_asof_rates": q_events_asof_rates,
     "contour_polylines": q_contour_polylines,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,
@@ -2813,6 +2852,21 @@ ORACLES = {
                              AS BIGINT)) AS BIGINT) AS rev_c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+    """,
+    "events_asof_rates": """
+        WITH rates AS (
+          SELECT gg.g,
+                 CAST(epoch(TIMESTAMP '2024-01-01') AS BIGINT)
+                     + dd.d * 86400 AS rt,
+                 CAST(gg.g * 100000 + dd.d AS DOUBLE) AS rate
+          FROM (SELECT unnest(generate_series(0, 3)) AS g) gg,
+               (SELECT unnest(generate_series(0, 59)) AS d) dd),
+        e AS (SELECT event_id, user_id % 4 AS g,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS t
+              FROM events)
+        SELECT e.event_id, r.rate
+        FROM e ASOF LEFT JOIN rates r
+          ON e.g = r.g AND e.t >= r.rt
     """,
     "events_sessionize": """
         WITH e AS (SELECT user_id,

@@ -120,3 +120,80 @@ def join_auto(ds, lookup_ds, keys, right_keys=None,
     return ds.join(lookup_ds, join_type=jt_ray,
                    num_partitions=nparts,
                    on=tuple(keys), right_on=tuple(rk))
+
+
+class AsofJoiner:
+    """Actor callable: per-batch backward as-of lookup against the
+    broadcast right side.  The right table sorts once per actor into
+    {group: (times, value columns)}; each batch then resolves with one
+    searchsorted per group present (vectorized, no row loop)."""
+
+    def __init__(self, right_ref, on: str, by: str, right_on: str,
+                 right_by: str):
+        import numpy as np
+
+        right = ray.get(right_ref) if isinstance(right_ref,
+                                                 ray.ObjectRef) \
+            else right_ref
+        self.on, self.by = on, by
+        self.value_cols = [c for c in right.column_names
+                           if c not in (right_on, right_by)]
+        g = right[right_by].to_numpy(zero_copy_only=False)
+        t = right[right_on].to_numpy(zero_copy_only=False)
+        vals = {c: right[c].to_numpy(zero_copy_only=False)
+                for c in self.value_cols}
+        order = np.lexsort((t, g))
+        g, t = g[order], t[order]
+        self.groups = {}
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        for s, e in zip(starts, ends):
+            self.groups[g[s]] = (
+                t[s:e], {c: v[order][s:e] for c, v in vals.items()})
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        bg = batch[self.by].to_numpy(zero_copy_only=False)
+        bt = batch[self.on].to_numpy(zero_copy_only=False)
+        n = len(batch)
+        out = {c: np.zeros(n, dtype=np.float64) for c in self.value_cols}
+        valid = np.zeros(n, dtype=bool)
+        for gv in np.unique(bg):
+            m = bg == gv
+            grp = self.groups.get(gv)
+            if grp is None:
+                continue
+            rt, vals = grp
+            idx = np.searchsorted(rt, bt[m], side="right") - 1
+            ok = idx >= 0
+            mi = np.flatnonzero(m)
+            valid[mi[ok]] = True
+            for c in self.value_cols:
+                out[c][mi[ok]] = vals[c][idx[ok]]
+        res = batch
+        for c in self.value_cols:
+            res = res.append_column(
+                c, pa.array(out[c], pa.float64(),
+                            mask=~valid))
+        return res
+
+
+def asof_join_broadcast(ds, right_table: pa.Table, *, on: str, by: str,
+                        right_on: str | None = None,
+                        right_by: str | None = None,
+                        concurrency=None, batch_size: int = 65536):
+    """Backward as-of join: each left row picks the right row with the
+    greatest ``right_on`` <= its ``on`` within the same ``by`` group
+    (LEFT semantics — no candidate → null).  The right side broadcasts
+    via ray.put; at scale the right side is the small reference stream
+    (rates, checkpoints, model versions) so no shuffle touches the
+    event stream.  Matches DuckDB's ``ASOF LEFT JOIN`` semantics."""
+    ref = ray.put(right_table)
+    return ds.map_batches(
+        AsofJoiner,
+        fn_constructor_kwargs=dict(right_ref=ref, on=on, by=by,
+                                   right_on=right_on or on,
+                                   right_by=right_by or by),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=_autoscale(concurrency))

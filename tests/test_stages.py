@@ -976,3 +976,31 @@ def test_sessionize_gap_semantics(ray_session):
         (2, 0, 1, 100, 100),
         (3, 0, 1, 0, 0), (3, 1, 1, 50, 50), (3, 2, 1, 200, 200),
     ]
+
+
+def test_asof_join_broadcast(ray_session):
+    """Backward as-of: latest right row at-or-before, per group; no
+    candidate or unknown group → null (DuckDB ASOF LEFT semantics)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.stages.join import asof_join_broadcast
+
+    left = pa.table({
+        "id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "g": pa.array([0, 0, 0, 1, 9], pa.int64()),
+        "t": pa.array([5, 50, 90, 100, 100], pa.int64()),
+    })
+    right = pa.table({
+        "g": pa.array([0, 0, 1], pa.int64()),
+        "rt": pa.array([50, 90, 200], pa.int64()),
+        "v": pa.array([7.0, 8.0, 9.0]),
+    })
+    out = asof_join_broadcast(rd.from_arrow(left).repartition(2),
+                              right, on="t", by="g", right_on="rt") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    import numpy as np
+    assert np.isnan(out["v"][0])       # t=5 before first rate
+    assert out["v"][1] == 7.0          # exact boundary matches (>=)
+    assert out["v"][2] == 8.0
+    assert np.isnan(out["v"][3])       # group 1 rate is in the future
+    assert np.isnan(out["v"][4])       # unknown group
