@@ -68,3 +68,69 @@ def test_write_partition_atomic_overwrite(tmp_path):
     assert rec2["rows"] == 9
     got = pq.read_table(os.path.join(out, "partition=7"))
     assert got.num_rows == 9  # replaced atomically, no mixed state
+
+
+def test_geoparquet_roundtrip(tmp_path):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from gdal_ray.geom import wkb
+    from gdal_ray.sources.geoparquet import (geo_metadata, read_geoparquet,
+                                             write_geoparquet)
+
+    t = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "geometry": pa.array([wkb.box_polygon(-10, -5, 20, 15),
+                              wkb.encode_point(30, 40)], pa.binary()),
+    })
+    p = str(tmp_path / "g.parquet")
+    write_geoparquet(t, p)
+    t2, geo = read_geoparquet(p)
+    assert t2["id"].to_pylist() == [1, 2]
+    assert geo["version"] == "1.1.0"
+    assert geo["primary_column"] == "geometry"
+    col = geo["columns"]["geometry"]
+    assert col["encoding"] == "WKB"
+    assert col["geometry_types"] == ["Point", "Polygon"]
+    assert col["bbox"] == [-10.0, -5.0, 30.0, 40.0]
+    # plain parquet without geo metadata is rejected
+    plain = str(tmp_path / "plain.parquet")
+    pq.write_table(pa.table({"a": [1]}), plain)
+    with pytest.raises(ValueError):
+        read_geoparquet(plain)
+    # the raw JSON matches the builder
+    assert json.loads(geo_metadata(t).decode()) == geo
+
+
+def test_geoparquet_distributed_sink(tmp_path, ray_session):
+    import glob
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.geom import wkb
+    from gdal_ray.sources.geoparquet import (read_geoparquet,
+                                             write_geoparquet_dataset)
+
+    t = pa.table({
+        "id": pa.array(list(range(20)), pa.int64()),
+        "geometry": pa.array([wkb.encode_point(float(i), float(-i))
+                              for i in range(20)], pa.binary()),
+    })
+    out = str(tmp_path / "sink")
+    write_geoparquet_dataset(rd.from_arrow(t).repartition(3), out)
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert files
+    total = 0
+    for f in files:
+        tf, geo = read_geoparquet(f)
+        total += tf.num_rows
+        b = geo["columns"]["geometry"]["bbox"]
+        xs = [p[0] for p in
+              [wkb.decode(w)["coordinates"]
+               for w in tf["geometry"].to_pylist()]]
+        assert b[0] == min(xs) and b[2] == max(xs)  # per-file bbox
+    assert total == 20
