@@ -82,12 +82,17 @@ def _st_kernels():
     def isvalid(b):
         return bool(_gops.wkb_is_valid(b))
 
+    def centroid(b):
+        cx, cy = _gops.wkb_centroid(b)
+        return _gwkb.encode_point(cx, cy)
+
     return {
         "gdal_ray_st_area": (area, pa.float64()),
         "gdal_ray_st_x": (xcoord, pa.float64()),
         "gdal_ray_st_y": (ycoord, pa.float64()),
         "gdal_ray_st_npoints": (npoints, pa.int64()),
         "gdal_ray_st_isvalid": (isvalid, pa.bool_()),
+        "gdal_ray_st_centroid": (centroid, pa.binary()),
     }
 
 
@@ -113,6 +118,7 @@ _ST_FUNCS = {
     "ST_Y": "gdal_ray_st_y",
     "ST_NPOINTS": "gdal_ray_st_npoints",
     "ST_ISVALID": "gdal_ray_st_isvalid",
+    "ST_CENTROID": "gdal_ray_st_centroid",  # composes: ST_X(ST_CENTROID(g))
 }
 
 

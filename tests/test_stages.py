@@ -1004,3 +1004,16 @@ def test_asof_join_broadcast(ray_session):
     assert out["v"][2] == 8.0
     assert np.isnan(out["v"][3])       # group 1 rate is in the future
     assert np.isnan(out["v"][4])       # unknown group
+
+
+def test_st_centroid_composition(ray_session):
+    import pyarrow as pa
+    from gdal_ray.functions.expr import select_batch
+    from gdal_ray.geom import wkb as _wkb
+
+    t = pa.table({"geometry": pa.array([_wkb.box_polygon(2, 4, 6, 10)],
+                                       pa.binary())})
+    out = select_batch(t, "ST_X(ST_CENTROID(geometry)) AS cx, "
+                          "ST_Y(ST_CENTROID(geometry)) AS cy, "
+                          "ST_NPOINTS(ST_CENTROID(geometry)) AS n")
+    assert out.to_pydict() == {"cx": [4.0], "cy": [7.0], "n": [1]}
