@@ -312,7 +312,11 @@ def polygon_buffer_ring(ring: np.ndarray, dist: float,
         if theta > 1e-12:
             # convex fillet: arc from normal[p] to normal[i]; emit
             # k=1..n (k=0 duplicates the previous edge's far offset)
-            n = max(1, int(np.ceil(theta / step - 1e-9)))
+            # -1e-6 guard: theta comes through atan2 of normalized
+            # normals, which can land a few ulps off an exact multiple
+            # of step on a different libm; a flipped count would move
+            # the fillet area by ~6e-4 and break cross-host oracles.
+            n = max(1, int(np.ceil(theta / step - 1e-6)))
             a0 = np.arctan2(ny[p], nx[p])
             ang = a0 + theta * np.arange(1, n + 1) / n
             pts.append(np.column_stack([r[i, 0] + dist * np.cos(ang),

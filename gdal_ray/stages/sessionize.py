@@ -39,9 +39,11 @@ def sessionize(ds, key_col: str, ts_col: str, gap_s: float,
             "__t": pa.array(t.to_numpy(zero_copy_only=False)
                             // 1_000_000),
         })
+        # hash_key MUST be 16 bytes: pandas raises for shorter keys on
+        # object/string dtypes (int keys skip the key path entirely)
         h = pd.util.hash_pandas_object(nb[key_col].to_pandas(),
                                        index=False,
-                                       hash_key="gdal_ray_sess_0")
+                                       hash_key="gdal_ray_sess_00")
         return nb.append_column(
             _BUCKET, pa.array((h.values % np.uint64(n_buckets))
                               .astype(np.int32)))

@@ -255,6 +255,38 @@ def test_rasterize_end_to_end(ray_session):
     assert set(at_add.values()) == {1.0}
 
 
+def test_rasterize_add_multipart_burns_once_per_feature(ray_session):
+    """merge_alg=add with a MultiPolygon whose parts overlap the same
+    pixels: the visited-points rule (gdalrasterize.cpp:84-115) burns
+    once per FEATURE, not once per part — regression for the per-part
+    dedup that double-added shared pixels."""
+    gt = (0.0, 1.0, 8.0, -1.0)
+
+    def ring(x0, y0, x1, y1):
+        return [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]]
+
+    # two parts of ONE feature covering the identical pixel square
+    mp = gwkb.encode_multipolygon([ring(1.2, 8 - 4.8, 4.8, 8 - 1.2),
+                                   ring(1.2, 8 - 4.8, 4.8, 8 - 1.2)])
+    t = pa.table({
+        "burn": pa.array([2.0]),
+        "geometry": pa.array([mp], pa.binary()),
+    })
+    out = rasterize(t, gt=gt, width=8, height=8, merge_alg="add",
+                    tile=4, n_buckets=2).to_pandas()
+    assert set(out["val"]) == {2.0}  # not 4.0
+    # and two distinct FEATURES on the same pixels still sum
+    t2 = pa.table({
+        "burn": pa.array([2.0, 2.0]),
+        "geometry": pa.array(
+            [gwkb.box_polygon(1.2, 8 - 4.8, 4.8, 8 - 1.2)] * 2,
+            pa.binary()),
+    })
+    out2 = rasterize(t2, gt=gt, width=8, height=8, merge_alg="add",
+                     tile=4, n_buckets=2).to_pandas()
+    assert set(out2["val"]) == {4.0}
+
+
 def test_rasterize_burn_from_z_and_lines(ray_session):
     gt = (0.0, 1.0, 8.0, -1.0)
     line = gwkb.encode_linestring([(0.3, 8 - 0.7), (6.7, 8 - 5.2)])

@@ -978,6 +978,31 @@ def test_sessionize_gap_semantics(ray_session):
     ]
 
 
+def test_sessionize_string_keys(ray_session):
+    """String key columns go through pandas hash_pandas_object's
+    hash_key path, which requires a 16-byte key — regression for the
+    15-byte key that raised ValueError on any string-keyed stream."""
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.stages.sessionize import sessionize
+
+    base = 1_700_000_000
+    rows = [("alice", 0), ("alice", 5), ("alice", 40),
+            ("bob", 7), ("bob", 100)]
+    t = pa.table({
+        "user": pa.array([u for u, _ in rows], pa.string()),
+        "ts": pa.array([(base + s) * 1_000_000 for _, s in rows],
+                       pa.timestamp("us")),
+    })
+    out = sessionize(rd.from_arrow(t).repartition(2), "user", "ts",
+                     gap_s=10.0, n_buckets=4).to_pandas() \
+        .sort_values(["user", "session_idx"]).reset_index(drop=True)
+    got = [(r.user, r.session_idx, r.n_events, r.t_start - base)
+           for r in out.itertuples()]
+    assert got == [("alice", 0, 2, 0), ("alice", 1, 1, 40),
+                   ("bob", 0, 1, 7), ("bob", 1, 1, 100)]
+
+
 def test_asof_join_broadcast(ray_session):
     """Backward as-of: latest right row at-or-before, per group; no
     candidate or unknown group → null (DuckDB ASOF LEFT semantics)."""
