@@ -423,12 +423,11 @@ def _resolve_from(body: str, tables: dict):
 
 def _aggregate(ds, items, group_cols):
     """Aggregate select items → batch-side argument projection + one
-    partial/final grouped exchange.  ``COUNT(DISTINCT expr)`` compiles
-    to the two-stage groupby (distinct pairs, then count — the
-    events_count_distinct_users plan); its small aggregated result
-    joins the other aggregates' via the size-dispatched join."""
+    partial/final grouped exchange.  ``COUNT(DISTINCT expr)`` fuses
+    into the same single hash-bucket exchange as the other aggregates
+    (stages/aggregate.py:grouped_agg_with_distinct): tag-0 rows carry
+    the regular partials, tag-i rows the NULL-filtered distinct pairs."""
     from ..stages.aggregate import partial_final_agg
-    from ..stages.join import join_auto
 
     aggs, distinct_aggs = [], []
     proj_parts = [f'"{c}"' for c in group_cols]
@@ -479,44 +478,14 @@ def _aggregate(ds, items, group_cols):
             batch_format="pyarrow")
         gkeys = ["__all"]
     if distinct_aggs:
-        projected = projected.materialize()  # shared by several passes
-    pieces = []
-    if aggs or not distinct_aggs:
-        pieces.append(partial_final_agg(projected, gkeys, aggs))
-    elif distinct_aggs:
-        # base piece: every group must survive even when a distinct
-        # argument is entirely NULL within it (its count is then 0)
-        pieces.append(partial_final_agg(
-            projected.select_columns(gkeys), gkeys,
-            [(None, "count", "__base")]))
-    for col, alias in distinct_aggs:
-        # SQL COUNT(DISTINCT x) excludes NULLs; the grouped exchange
-        # would keep a NULL-key group and count it as one distinct
-        # value (ADVICE r3) — drop NULL rows of the argument first
-        src = projected.select_columns(gkeys + [col]).map_batches(
-            lambda b, c=col: b.filter(pc.is_valid(b.column(c))),
-            batch_format="pyarrow")
-        pairs = partial_final_agg(src,
-                                  gkeys + [col], [(None, "count", "__n")])
-        pieces.append(partial_final_agg(
-            pairs.select_columns(gkeys), gkeys,
-            [(None, "count", alias)]))
-    out = pieces[0]
-    for p in pieces[1:]:
-        # left join: a group absent from a distinct piece has 0
-        # distinct non-NULL values, not no row
-        out = join_auto(out, p, keys=gkeys, join_type="left")
-    if distinct_aggs:
-        dnames = [alias for _, alias in distinct_aggs]
-
-        def _fill_zero(b: pa.Table, cols=tuple(dnames)) -> pa.Table:
-            for c in cols:
-                i = b.column_names.index(c)
-                b = b.set_column(
-                    i, c, pc.fill_null(b.column(c),
-                                       pa.scalar(0, b.column(c).type)))
-            return b
-
-        out = out.map_batches(_fill_zero, batch_format="pyarrow")
+        # fused plan: one hash-bucket exchange carries the regular
+        # partials AND the NULL-filtered distinct pairs; the bucket
+        # finalizer merges them — no materialize, no join (r4 verdict:
+        # the pieces+left-join plan doubled the query's latency)
+        from ..stages.aggregate import grouped_agg_with_distinct
+        out = grouped_agg_with_distinct(projected, gkeys, aggs,
+                                        distinct_aggs)
+    else:
+        out = partial_final_agg(projected, gkeys, aggs)
     return out.map_batches(lambda b: b.select(keep),
                            batch_format="pyarrow")

@@ -458,14 +458,16 @@ def q_orders_lineitem_join(sf_dir: str):
 
 
 def q_events_count_distinct_users(sf_dir: str):
-    """COUNT(DISTINCT) via two-stage groupby."""
+    """COUNT(DISTINCT) via the fused single-exchange plan: per-batch
+    NULL-filtered pair dedup + hash-bucket exchange + vectorized bucket
+    count (stages/aggregate.py:grouped_agg_with_distinct) — replaces
+    the composite-key two-stage groupby (2 sort exchanges)."""
+    from ..stages.aggregate import grouped_agg_with_distinct
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "user_id"])
-    pairs = partial_final_agg(ds, ["event_type", "user_id"],
-                              [(None, "count", "dummy")])
-    out = partial_final_agg(pairs.select_columns(["event_type"]),
-                            "event_type", [(None, "count", "n_users")])
-    return out
+    return grouped_agg_with_distinct(ds, ["event_type"], [],
+                                     [("user_id", "n_users")])
 
 
 def q_events_windowed_hourly(sf_dir: str):

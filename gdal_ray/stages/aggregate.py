@@ -143,7 +143,99 @@ def bucketed_group_agg(ds, keys, aggs, buckets: int = 256):
             else:
                 cols[out] = merged[f"__{fn}_{out}"]
         return pa.Table.from_pandas(pd.DataFrame(cols),
-                                    preserve_index=False)
+                                    preserve_index=False).replace_schema_metadata(None)
+
+    return partials.groupby(_BUCKET).map_groups(final,
+                                                batch_format="pyarrow")
+
+
+def grouped_agg_with_distinct(ds, keys, aggs, distinct_aggs,
+                              buckets: int = 64):
+    """Fused GROUP BY plan mixing regular aggregates with
+    COUNT(DISTINCT col) — ONE hash-bucket exchange, no materialize, no
+    join (replaces the r4 materialize + base-count exchange + per-column
+    pair/count exchanges + left-join plan that doubled latency).
+
+    Per batch, a tagged union is emitted: tag 0 rows carry the per-key
+    regular partials (plus a __base count so groups whose distinct
+    argument is entirely NULL still survive with count 0); tag i>0 rows
+    carry the batch-unique NULL-filtered (key, value) pairs of distinct
+    column i.  Everything exchanges once on hash(keys) % buckets, and
+    the bucket finalizer merges vectorized (arrow group_by for the
+    distinct dedup+count — no int64→float pandas lossy cast — pandas
+    only for the partial-column reduce).
+
+    Scale note: all pairs of one group land in one bucket group — the
+    same co-location the exact-dedup stage relies on; per-batch dedup
+    bounds what moves at V = #distinct values per (key, batch).
+
+    aggs: (col, fn, out) with fn ∈ sum|count|min|max|mean;
+    distinct_aggs: (col, alias) — COUNT(DISTINCT col) AS alias.
+    """
+    import pyarrow.compute as pc
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    base_aggs = list(aggs) + [(None, "count", "__base")]
+
+    def partial(b: pa.Table) -> pa.Table:
+        t0 = _partial_agg_batch(b, keys, base_aggs)
+        t0 = t0.append_column(
+            "__tag", pa.array(np.zeros(t0.num_rows, np.int8)))
+        parts = [t0]
+        for i, (dcol, _alias) in enumerate(distinct_aggs):
+            sel = b.select(keys + [dcol]).filter(pc.is_valid(b[dcol]))
+            pairs = sel.group_by(keys + [dcol],
+                                 use_threads=False).aggregate([])
+            pairs = pairs.rename_columns(keys + [f"__dv_{i}"])
+            parts.append(pairs.append_column(
+                "__tag", pa.array(np.full(pairs.num_rows, i + 1,
+                                          np.int8))))
+        out = pa.concat_tables(parts, promote_options="default")
+        kdf = out.select(keys).to_pandas()
+        h = pd.util.hash_pandas_object(kdf, index=False,
+                                       hash_key="gdal_ray_gagg_00")
+        return out.append_column(
+            _BUCKET, pa.array((h.values % np.uint64(buckets))
+                              .astype(np.int32)))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    plan = {}
+    for col, fn, out in base_aggs:
+        if fn == "mean":
+            plan[f"__sum_{out}"] = "sum"
+            plan[f"__cnt_{out}"] = "sum"
+        elif fn in ("sum", "count"):
+            plan[f"__cnt_{out}" if fn == "count" else f"__sum_{out}"] = "sum"
+        else:
+            plan[f"__{fn}_{out}"] = fn
+
+    def final(g: pa.Table) -> pa.Table:
+        t0 = g.filter(pc.equal(g["__tag"], 0))
+        merged = t0.to_pandas().groupby(
+            keys, sort=False, as_index=False, dropna=False).agg(plan)
+        for i, (dcol, alias) in enumerate(distinct_aggs):
+            ti = g.filter(pc.equal(g["__tag"], i + 1))
+            uniq = ti.select(keys + [f"__dv_{i}"]).group_by(
+                keys + [f"__dv_{i}"], use_threads=False).aggregate([])
+            cnt = uniq.group_by(keys, use_threads=False).aggregate(
+                [([], "count_all")])
+            cdf = cnt.rename_columns(keys + [alias]).to_pandas()
+            merged = merged.merge(cdf, on=keys, how="left")
+            merged[alias] = merged[alias].fillna(0).astype("int64")
+        cols = {k: merged[k] for k in keys}
+        for col, fn, out in aggs:
+            if fn == "mean":
+                cols[out] = (merged[f"__sum_{out}"].astype(float)
+                             / merged[f"__cnt_{out}"].astype(float))
+            elif fn == "count":
+                cols[out] = merged[f"__cnt_{out}"]
+            else:
+                cols[out] = merged[f"__{fn}_{out}"]
+        for _dcol, alias in distinct_aggs:
+            cols[alias] = merged[alias]
+        return pa.Table.from_pandas(pd.DataFrame(cols),
+                                    preserve_index=False).replace_schema_metadata(None)
 
     return partials.groupby(_BUCKET).map_groups(final,
                                                 batch_format="pyarrow")

@@ -138,18 +138,22 @@ class AsofJoiner:
         self.on, self.by = on, by
         self.value_cols = [c for c in right.column_names
                            if c not in (right_on, right_by)]
+        self.value_types = {c: right.schema.field(c).type
+                            for c in self.value_cols}
         g = right[right_by].to_numpy(zero_copy_only=False)
         t = right[right_on].to_numpy(zero_copy_only=False)
-        vals = {c: right[c].to_numpy(zero_copy_only=False)
-                for c in self.value_cols}
         order = np.lexsort((t, g))
         g, t = g[order], t[order]
+        # apply the gather ONCE per column, then slice per group — the
+        # per-group v[order] gather was O(groups * N)
+        vals = {c: right[c].to_numpy(zero_copy_only=False)[order]
+                for c in self.value_cols}
         self.groups = {}
         starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
         ends = np.r_[starts[1:], len(g)]
         for s, e in zip(starts, ends):
             self.groups[g[s]] = (
-                t[s:e], {c: v[order][s:e] for c, v in vals.items()})
+                t[s:e], {c: v[s:e] for c, v in vals.items()})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -157,7 +161,13 @@ class AsofJoiner:
         bg = batch[self.by].to_numpy(zero_copy_only=False)
         bt = batch[self.on].to_numpy(zero_copy_only=False)
         n = len(batch)
-        out = {c: np.zeros(n, dtype=np.float64) for c in self.value_cols}
+        # preserve each value column's dtype — a float64 working array
+        # would silently corrupt int64/decimal values beyond 2^53
+        out = {}
+        for c in self.value_cols:
+            src_dtype = next(iter(self.groups.values()))[1][c].dtype \
+                if self.groups else np.float64
+            out[c] = np.zeros(n, dtype=src_dtype)
         valid = np.zeros(n, dtype=bool)
         for gv in np.unique(bg):
             m = bg == gv
@@ -174,7 +184,7 @@ class AsofJoiner:
         res = batch
         for c in self.value_cols:
             res = res.append_column(
-                c, pa.array(out[c], pa.float64(),
+                c, pa.array(out[c], self.value_types[c],
                             mask=~valid))
         return res
 

@@ -276,7 +276,7 @@ def polygonize_regions(tiles_ds, n_buckets: int | None = None):
             n_tiles=("tile_key", "nunique"),
             min_gx=("min_gx", "min"), min_gy=("min_gy", "min"),
             max_gx=("max_gx", "max"), max_gy=("max_gy", "max"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     return comps.groupby("rbucket").map_groups(per_bucket,
                                                batch_format="pyarrow")

@@ -66,7 +66,7 @@ def zonal_extended(ds, zone_col: str, value_col: str, buckets: int = 64):
         out["majority"] = out["majority"].astype(np.float64)
         out["variety"] = out["variety"].astype(np.int64)
         out["n"] = out["n"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return narrow.groupby(_BUCKET).map_groups(finish, batch_format="pyarrow")
 

@@ -1031,6 +1031,34 @@ def test_asof_join_broadcast(ray_session):
     assert np.isnan(out["v"][4])       # unknown group
 
 
+def test_asof_join_preserves_int64_values(ray_session):
+    """Value columns keep their dtype through the as-of join — the
+    float64 working buffer silently corrupted int64 beyond 2^53
+    (r4 verdict item 8)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.stages.join import asof_join_broadcast
+
+    big = (1 << 53) + 1  # not representable in float64
+    left = pa.table({
+        "id": pa.array([0, 1], pa.int64()),
+        "g": pa.array([0, 0], pa.int64()),
+        "t": pa.array([10, 3], pa.int64()),
+    })
+    right = pa.table({
+        "g": pa.array([0], pa.int64()),
+        "rt": pa.array([5], pa.int64()),
+        "v": pa.array([big], pa.int64()),
+    })
+    out = asof_join_broadcast(rd.from_arrow(left), right,
+                              on="t", by="g", right_on="rt") \
+        .take_batch(10, batch_format="pyarrow")
+    out = out.sort_by("id")
+    assert out.schema.field("v").type == pa.int64()
+    assert out["v"][0].as_py() == big      # exact — no float64 pass
+    assert out["v"][1].as_py() is None     # t=3 before first rate
+
+
 def test_st_centroid_composition(ray_session):
     import pyarrow as pa
     from gdal_ray.functions.expr import select_batch
