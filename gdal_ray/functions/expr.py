@@ -96,6 +96,24 @@ def _st_kernels():
     }
 
 
+def _st_kernels2():
+    """Tier-2 functions: binary predicates / measures over two
+    geometry args, plus ST_BUFFER(g, dist)."""
+    from ..geom import ops as _gops
+
+    return {
+        "gdal_ray_st_distance": (_gops.wkb_distance, pa.float64(),
+                                 "geom"),
+        "gdal_ray_st_intersects": (_gops.wkb_intersects, pa.bool_(),
+                                   "geom"),
+        "gdal_ray_st_contains": (_gops.wkb_contains, pa.bool_(),
+                                 "geom"),
+        "gdal_ray_st_buffer": (
+            lambda g, d: _gops.wkb_buffer(g, float(d), 30),
+            pa.binary(), "num"),
+    }
+
+
 def _register_st_udfs():
     for name, (kernel, out_type) in _st_kernels().items():
         def fn(ctx, arr, _k=kernel, _t=out_type):
@@ -108,6 +126,26 @@ def _register_st_udfs():
                 {"g": pa.binary()}, out_type)
         except pa.lib.ArrowKeyError:
             pass  # already registered in this process
+    for name, (kernel, out_type, arg2) in _st_kernels2().items():
+        def fn2(ctx, a1, a2, _k=kernel, _t=out_type):
+            # either argument may be a scalar (broadcast literal)
+            n = max(len(a1) if hasattr(a1, "__len__") else 1,
+                    len(a2) if hasattr(a2, "__len__") else 1)
+            l1 = a1.to_pylist() if hasattr(a1, "to_pylist") \
+                else [a1.as_py()] * n
+            l2 = a2.to_pylist() if hasattr(a2, "to_pylist") \
+                else [a2.as_py()] * n
+            vals = [None if (v1 is None or v2 is None) else _k(v1, v2)
+                    for v1, v2 in zip(l1, l2)]
+            return pa.array(vals, _t)
+        try:
+            pc.register_scalar_function(
+                fn2, name, {"summary": name, "description": name},
+                {"g1": pa.binary(),
+                 "g2": pa.binary() if arg2 == "geom" else pa.float64()},
+                out_type)
+        except pa.lib.ArrowKeyError:
+            pass
 
 
 _register_st_udfs()
@@ -119,6 +157,13 @@ _ST_FUNCS = {
     "ST_NPOINTS": "gdal_ray_st_npoints",
     "ST_ISVALID": "gdal_ray_st_isvalid",
     "ST_CENTROID": "gdal_ray_st_centroid",  # composes: ST_X(ST_CENTROID(g))
+}
+
+_ST_FUNCS2 = {
+    "ST_DISTANCE": "gdal_ray_st_distance",
+    "ST_INTERSECTS": "gdal_ray_st_intersects",
+    "ST_CONTAINS": "gdal_ray_st_contains",
+    "ST_BUFFER": "gdal_ray_st_buffer",
 }
 
 
@@ -364,6 +409,10 @@ class _Parser:
             if len(args) != 1:
                 raise ValueError(f"{name} takes one geometry argument")
             return args[0]._call(_ST_FUNCS[name], [args[0]])
+        if name in _ST_FUNCS2:
+            if len(args) != 2:
+                raise ValueError(f"{name} takes two arguments")
+            return args[0]._call(_ST_FUNCS2[name], args)
         if name == "CONCAT":
             return pc.binary_join_element_wise(*args, "")
         if name == "SUBSTR" or name == "SUBSTRING":

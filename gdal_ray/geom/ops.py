@@ -308,7 +308,10 @@ def polygon_buffer_ring(ring: np.ndarray, dist: float,
         p = (i - 1) % E
         cross = nx[p] * ny[i] - ny[p] * nx[i]
         dot = nx[p] * nx[i] + ny[p] * ny[i]
-        theta = np.arctan2(cross, dot)
+        # + 0.0: an exact pi turn (line-buffer end cap) can produce
+        # cross = -0.0, and atan2(-0, -1) = -pi would take the reflex
+        # branch instead of emitting the half-circle cap
+        theta = np.arctan2(cross + 0.0, dot)
         if theta > 1e-12:
             # convex fillet: arc from normal[p] to normal[i]; emit
             # k=1..n (k=0 duplicates the previous edge's far offset)
@@ -343,6 +346,35 @@ def polygon_buffer_ring(ring: np.ndarray, dist: float,
             "buffer: offset ring self-intersects (distance too large "
             "for this concavity); a full GEOS-style arrangement is out "
             "of scope")
+    return out
+
+
+def line_buffer_ring(coords: np.ndarray, dist: float,
+                     quadsegs: int = 30) -> np.ndarray:
+    """Buffer of an open polyline (OGRGeometry::Buffer on a LineString,
+    ogr/ogrgeometry.cpp:4949 — GEOS round caps + round joins): built as
+    the positive offset of the DEGENERATE ring [p0..pm, pm-1..p1]
+    (the path followed by its reverse — zero area, perimeter 2L).  Each
+    endpoint then appears as a turn of exactly pi (atan2(+0,-1) — the
+    round cap is the half-circle fillet), each interior vertex once
+    convex (arc join) and once reflex (offset-line intersection), so
+    ``polygon_buffer_ring`` produces the capsule union directly.  The
+    simplicity fence rejects self-overlapping buffers (sharp turns with
+    large ``dist``) exactly like the polygon case."""
+    c = np.asarray(coords, dtype=np.float64)
+    if len(c) < 2:
+        raise ValueError("line buffer needs >= 2 points")
+    if np.allclose(c[0], c[-1]):
+        raise NotImplementedError(
+            "buffer: closed linestrings (rings) are polygon boundaries; "
+            "buffer the polygon instead")
+    degenerate = np.vstack([c, c[-2:0:-1]])
+    out = polygon_buffer_ring(degenerate, dist, quadsegs)
+    # the degenerate ring has zero signed area, so the CCW
+    # normalization inside polygon_buffer_ring is a no-op; normalize
+    # the RESULT so callers always see a CCW exterior ring
+    if ring_signed_area(np.vstack([out, out[:1]])) < 0:
+        out = out[::-1].copy()
     return out
 
 
@@ -391,28 +423,172 @@ def polygon_erode_ring(ring: np.ndarray, dist: float) -> np.ndarray:
 
 
 def wkb_buffer(blob: bytes, dist: float, quadsegs: int = 30) -> bytes:
-    """Buffer point / polygon geometries.  Polygons: positive
-    distances dilate (outer ring only — interior-ring offsetting needs
-    the arrangement); negative distances erode CONVEX polygons exactly
-    (inward half-plane intersection), fenced at straight-skeleton
-    events."""
+    """Buffer point / line / polygon geometries
+    (OGRGeometry::Buffer, ogr/ogrgeometry.cpp:4949).
+
+    Points → regular 4*quadsegs-gon; LineStrings → capsule union
+    (round caps/joins via the degenerate-ring construction, fenced at
+    self-overlap); Polygons: positive distances dilate the outer ring
+    and erode CONVEX holes inward (a hole whose erosion collapses is
+    filled — matching GEOS, where the shrinking hole vanishes);
+    negative distances erode CONVEX hole-free polygons exactly (inward
+    half-plane intersection), fenced at straight-skeleton events."""
     g = _wkb.decode(blob)
     if g["type"] == "Point":
         return point_buffer(*g["coordinates"], dist, quadsegs)
+    if g["type"] == "LineString":
+        ring = line_buffer_ring(g["coordinates"], dist, quadsegs)
+        return _wkb.encode_polygon([np.vstack([ring, ring[:1]])])
     if g["type"] == "Polygon":
-        if len(g["coordinates"]) > 1:
-            raise NotImplementedError("buffer: polygons with holes are "
-                                      "out of scope")
+        holes = g["coordinates"][1:]
         if dist == 0:
             return blob
         if dist < 0:
+            if holes:
+                raise NotImplementedError(
+                    "buffer: negative distance on a polygon with holes "
+                    "(holes would GROW and could merge — needs the "
+                    "arrangement); out of scope")
             ring = polygon_erode_ring(g["coordinates"][0], -dist)
-        else:
-            ring = polygon_buffer_ring(g["coordinates"][0], dist,
-                                       quadsegs)
-        return _wkb.encode_polygon([np.vstack([ring, ring[:1]])])
+            return _wkb.encode_polygon([np.vstack([ring, ring[:1]])])
+        outer = polygon_buffer_ring(g["coordinates"][0], dist, quadsegs)
+        rings = [np.vstack([outer, outer[:1]])]
+        for h in holes:
+            try:
+                shrunk = polygon_erode_ring(h, dist)
+            except NotImplementedError as exc:
+                if "skeleton event" in str(exc):
+                    continue  # hole collapsed: it is filled
+                raise
+            # emit holes CW (OGC winding; area code is order-based)
+            shrunk = shrunk[::-1]
+            rings.append(np.vstack([shrunk, shrunk[:1]]))
+        return _wkb.encode_polygon(rings)
     raise NotImplementedError(
         f"buffer: unsupported geometry {g['type']}")
+
+
+def _coord_paths(g: dict) -> tuple[np.ndarray, list[np.ndarray]]:
+    """(vertex array, boundary polylines) of a decoded Point /
+    LineString / Polygon — the shapes the ST_ predicate tier covers
+    (the reference's SQLite dialect delegates the full matrix to GEOS,
+    doc/source/user/sql_sqlite_dialect.rst)."""
+    t = g["type"]
+    if t == "Point":
+        return np.asarray([g["coordinates"]], np.float64), []
+    if t == "LineString":
+        arr = np.asarray(g["coordinates"], np.float64)
+        return arr, [arr]
+    if t == "Polygon":
+        rings = [_close(np.asarray(r, np.float64))
+                 for r in g["coordinates"]]
+        return np.vstack([r[:-1] for r in rings]), rings
+    raise ValueError(f"ST_ predicate: unsupported geometry {t}")
+
+
+def _pts_to_paths_dist(P: np.ndarray, paths) -> float:
+    """Min distance from points P (k,2) to polylines (vectorized
+    point-segment clamp projection)."""
+    best = np.inf
+    for path in paths:
+        A, B = path[:-1], path[1:]
+        d = B - A
+        L2 = np.einsum("ij,ij->i", d, d)
+        L2 = np.where(L2 == 0.0, 1.0, L2)
+        diff = P[:, None, :] - A[None, :, :]
+        t = np.clip(np.einsum("kmj,mj->km", diff, d) / L2[None], 0.0, 1.0)
+        dx = diff[..., 0] - t * d[None, :, 0]
+        dy = diff[..., 1] - t * d[None, :, 1]
+        best = min(best, float(np.hypot(dx, dy).min()))
+    return best
+
+
+def _paths_cross(paths_a, paths_b) -> bool:
+    """Any PROPER segment crossing between two path sets (vectorized
+    orientation tests; touching endpoints are handled by the zero
+    point-to-path distance instead)."""
+    for pa_ in paths_a:
+        A1, A2 = pa_[:-1], pa_[1:]
+        for pb in paths_b:
+            B1, B2 = pb[:-1], pb[1:]
+            ab = A2 - A1
+            cd = (B2 - B1)[None, :, :]
+            r1 = B1[None, :, :] - A1[:, None, :]
+            r2 = B2[None, :, :] - A1[:, None, :]
+            d1 = ab[:, None, 0] * r1[..., 1] - ab[:, None, 1] * r1[..., 0]
+            d2 = ab[:, None, 0] * r2[..., 1] - ab[:, None, 1] * r2[..., 0]
+            r3 = A1[:, None, :] - B1[None, :, :]
+            r4 = A2[:, None, :] - B1[None, :, :]
+            d3 = cd[..., 0] * r3[..., 1] - cd[..., 1] * r3[..., 0]
+            d4 = cd[..., 0] * r4[..., 1] - cd[..., 1] * r4[..., 0]
+            if np.any(((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))):
+                return True
+    return False
+
+
+def wkb_distance(a_blob: bytes, b_blob: bytes) -> float:
+    """ST_DISTANCE for Point/LineString/Polygon pairs: 0 when the
+    geometries intersect (containment or boundary crossing), else the
+    min boundary distance (attained at a vertex projection — exact for
+    piecewise-linear geometries)."""
+    from .predicates import PreparedPolygon
+
+    ga, gb = _wkb.decode(a_blob), _wkb.decode(b_blob)
+    pa_, paths_a = _coord_paths(ga)
+    pb, paths_b = _coord_paths(gb)
+    if ga["type"] == "Polygon" and PreparedPolygon.from_wkb(a_blob) \
+            .covers(pb[:, 0], pb[:, 1]).any():
+        return 0.0
+    if gb["type"] == "Polygon" and PreparedPolygon.from_wkb(b_blob) \
+            .covers(pa_[:, 0], pa_[:, 1]).any():
+        return 0.0
+    if paths_a and paths_b and _paths_cross(paths_a, paths_b):
+        return 0.0
+    cands = []
+    if paths_b:
+        cands.append(_pts_to_paths_dist(pa_, paths_b))
+    if paths_a:
+        cands.append(_pts_to_paths_dist(pb, paths_a))
+    if not cands:
+        diff = pa_[:, None, :] - pb[None, :, :]
+        cands.append(float(np.hypot(diff[..., 0], diff[..., 1]).min()))
+    return min(cands)
+
+
+def wkb_intersects(a_blob: bytes, b_blob: bytes) -> bool:
+    """ST_INTERSECTS = zero distance (covers containment, proper
+    crossings, and exact touches)."""
+    return wkb_distance(a_blob, b_blob) == 0.0
+
+
+def wkb_contains(a_blob: bytes, b_blob: bytes) -> bool:
+    """ST_CONTAINS for a Polygon container: every vertex of ``b``
+    covered, at least one properly interior (OGC: boundary-only
+    contact is not containment), no proper boundary crossing, and no
+    hole of ``a`` poking into a polygonal ``b``.  Simple-geometry
+    subset of the GEOS matrix; collections raise."""
+    from .predicates import PreparedPolygon
+
+    ga = _wkb.decode(a_blob)
+    if ga["type"] != "Polygon":
+        raise ValueError("ST_CONTAINS: container must be a Polygon")
+    gb = _wkb.decode(b_blob)
+    pb, paths_b = _coord_paths(gb)
+    prep = PreparedPolygon.from_wkb(a_blob)
+    if not prep.covers(pb[:, 0], pb[:, 1]).all():
+        return False
+    if not prep.contains_properly(pb[:, 0], pb[:, 1]).any():
+        return False
+    _, paths_a = _coord_paths(ga)
+    if paths_b and _paths_cross(paths_a, paths_b):
+        return False
+    if gb["type"] == "Polygon" and len(ga["coordinates"]) > 1:
+        inner = PreparedPolygon.from_wkb(b_blob)
+        for hole in ga["coordinates"][1:]:
+            h = np.asarray(hole, np.float64)
+            if inner.contains_properly(h[:, 0], h[:, 1]).any():
+                return False
+    return True
 
 
 def explode_parts(blob: bytes) -> list[bytes]:

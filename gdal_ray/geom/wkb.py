@@ -207,6 +207,54 @@ def encode_polygon(rings) -> bytes:
     return b"".join(out)
 
 
+def encode_linestring_z(coords) -> bytes:
+    """Z-typed (1000-offset) LineString from (n,3) coordinates."""
+    arr = np.asarray(coords, dtype="<f8").reshape(-1, 3)
+    return struct.pack("<BII", 1, WKB_LINESTRING + 1000, len(arr)) \
+        + arr.tobytes()
+
+
+def encode_polygon_z(rings) -> bytes:
+    """Z-typed Polygon from (n,3) rings (closed automatically)."""
+    out = [struct.pack("<BII", 1, WKB_POLYGON + 1000, len(rings))]
+    for ring in rings:
+        arr = np.asarray(ring, dtype="<f8").reshape(-1, 3)
+        if len(arr) and not np.array_equal(arr[0], arr[-1]):
+            arr = np.vstack([arr, arr[:1]])
+        out.append(struct.pack("<I", len(arr)))
+        out.append(arr.tobytes())
+    return b"".join(out)
+
+
+def first_z(wkb: bytes) -> float | None:
+    """Z of the FIRST vertex of a Z-typed geometry, or None for 2-D —
+    the BURN_VALUE_FROM=Z rule reads exactly this for polygon fills
+    (alg/gdalrasterize.cpp:745-760: 'the polygon is filled using the
+    variant from the first point of the first segment')."""
+    buf = memoryview(wkb)
+    (order,) = _rd(buf, 0, "B")
+    e = "<" if order == 1 else ">"
+    (gtype,) = _rd(buf, 1, e + "I")
+    base = gtype % 1000
+    has_z = gtype >= 1000 and gtype < 3000 or gtype >= 3000
+    if not has_z:
+        return None
+    off = 5
+    if base == WKB_POINT:
+        return _rd(buf, off + 16, e + "d")[0]
+    if base in (WKB_LINESTRING, WKB_CIRCULARSTRING):
+        return _rd(buf, off + 4 + 16, e + "d")[0]
+    if base == WKB_POLYGON:
+        return _rd(buf, off + 4 + 4 + 16, e + "d")[0]
+    if base in (WKB_MULTIPOINT, WKB_MULTILINESTRING, WKB_MULTIPOLYGON,
+                WKB_GEOMETRYCOLLECTION):
+        (nparts,) = _rd(buf, off, e + "I")
+        if nparts == 0:
+            return None
+        return first_z(bytes(buf[off + 4:]))
+    return None
+
+
 def encode_multipolygon(polys) -> bytes:
     """polys: sequence of ring-lists."""
     out = [struct.pack("<BII", 1, WKB_MULTIPOLYGON, len(polys))]

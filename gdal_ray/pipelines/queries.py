@@ -409,6 +409,44 @@ def q_sql_st_area(sf_dir: str):
         "FROM zones", {"zones": rd.from_arrow(zone_table())})
 
 
+def q_sql_st_distance(sf_dir: str):
+    """ST_ tier 2 through the SQL executor: ST_DISTANCE /
+    ST_INTERSECTS / ST_CONTAINS between each zone and fixed probe
+    geometries, plus ST_AREA(ST_BUFFER(point)) composition (the
+    SQLite-dialect geometry functions the reference exposes via GEOS,
+    doc/source/user/sql_sqlite_dialect.rst).  ORACLE: box distances in
+    clamp closed form, the diamond distance via its nearest vertex,
+    predicate truth per zone by construction, and the point-buffer
+    120-gon area in closed form."""
+    from ..functions.sql import execute_sql
+    from ..geom import wkb as _gwkb
+
+    zt = zone_table()
+    n = zt.num_rows
+    zt = zt.append_column(
+        "probe", pa.array([_gwkb.encode_point(200.0, 10.0)] * n,
+                          pa.binary()))
+    zt = zt.append_column(
+        "origin", pa.array([_gwkb.encode_point(0.0, 0.0)] * n,
+                           pa.binary()))
+    out = execute_sql(
+        "SELECT poly_id, ST_DISTANCE(geometry, probe) AS dist, "
+        "ST_INTERSECTS(geometry, origin) AS hits, "
+        "ST_CONTAINS(geometry, origin) AS holds, "
+        "ST_AREA(ST_BUFFER(origin, 2.0)) AS buf_area "
+        "FROM zones", {"zones": rd.from_arrow(zt)})
+    return out.map_batches(
+        lambda b: pa.table({
+            "poly_id": b["poly_id"],
+            "dist_q4": pc.cast(pc.floor(pc.add(pc.multiply(
+                b["dist"], 1e4), 0.5)), pa.int64()),
+            "hits": b["hits"],
+            "holds": b["holds"],
+            "buf_q4": pc.cast(pc.floor(pc.add(pc.multiply(
+                b["buf_area"], 1e4), 0.5)), pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def q_events_filter_like(sf_dir: str):
     """LIKE + BETWEEN + IS NOT NULL through the WHERE compiler
     (swq grammar, ogr/ogr_swq.h:42-81)."""
@@ -1579,6 +1617,92 @@ def q_geom_buffer_erode(sf_dir: str):
     return ds.map_batches(erode, batch_format="pyarrow")
 
 
+def q_geom_buffer_line(sf_dir: str):
+    """LineString buffer (OGRGeometry::Buffer via GEOS handles all
+    geometry types, ogr/ogrgeometry.cpp:4949): each zone ring's first
+    four vertices, taken as an OPEN polyline, buffer by 2 with round
+    caps and joins (the degenerate-ring capsule construction,
+    geom/ops.py:line_buffer_ring).  ORACLE: the capsule closed form —
+    2·L·d + two half-circle fan caps + per-turn fan − miter
+    d²·tan(θ/2) — and the exact vertex count, computed in SQL from the
+    ring VALUES (independent of the engine's construction)."""
+    from ..geom import ops as _gops
+    from ..geom import wkb as _gwkb
+
+    rows = []
+    for pid, _n, minx, miny, maxx, maxy in _BOXES:
+        rows.append((pid, [(minx, miny), (maxx, miny), (maxx, maxy),
+                           (minx, maxy)]))
+    r = _DIAMOND_R
+    rows.append((4, [(r, 0.0), (0.0, r), (-r, 0.0), (0.0, -r)]))
+    t = pa.table({
+        "poly_id": pa.array([p for p, _ in rows], pa.int32()),
+        "geometry": pa.array([_gwkb.encode_linestring(pts)
+                              for _, pts in rows], pa.binary()),
+    })
+    ds = rd.from_arrow(t)
+
+    def bufstats(b: pa.Table) -> pa.Table:
+        areas, npts = [], []
+        for blob in b["geometry"].to_pylist():
+            buffered = _gops.wkb_buffer(bytes(blob), 2.0, 30)
+            ring = _gwkb.decode(buffered)["coordinates"][0]
+            npts.append(len(ring))
+            areas.append(_gops.ring_signed_area(ring))
+        return pa.table({
+            "poly_id": b["poly_id"],
+            "area_q2": pa.array(
+                np.floor(np.asarray(areas) * 1e2 + 0.5).astype(np.int64)),
+            "n_points": pa.array(npts, pa.int64()),
+        })
+
+    return ds.map_batches(bufstats, batch_format="pyarrow")
+
+
+def q_geom_buffer_holes(sf_dir: str):
+    """Polygon-with-holes buffer: each box zone gains a centered
+    10×10 square hole; buffering by +3 dilates the outer ring (fillet
+    arcs) and ERODES the hole inward (convex half-plane intersection —
+    the hole shrinks to a 4×4 square).  ORACLE: outer = Minkowski
+    closed form over the ring VALUES (as geom_buffer_poly); hole =
+    (s − 2d)² with s, d inlined; engine measures the CONSTRUCTED
+    rings' shoelace instead."""
+    from ..geom import ops as _gops
+    from ..geom import wkb as _gwkb
+
+    geoms, pids = [], []
+    for pid, _n, minx, miny, maxx, maxy in _BOXES:
+        cx, cy = (minx + maxx) / 2, (miny + maxy) / 2
+        outer = [(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy),
+                 (minx, miny)]
+        hole = [(cx - 5, cy - 5), (cx - 5, cy + 5), (cx + 5, cy + 5),
+                (cx + 5, cy - 5), (cx - 5, cy - 5)]
+        geoms.append(_gwkb.encode_polygon([outer, hole]))
+        pids.append(pid)
+    ds = rd.from_arrow(pa.table({
+        "poly_id": pa.array(pids, pa.int32()),
+        "geometry": pa.array(geoms, pa.binary()),
+    }))
+
+    def bufstats(b: pa.Table) -> pa.Table:
+        areas, n_outer, n_hole = [], [], []
+        for blob in b["geometry"].to_pylist():
+            buffered = _gops.wkb_buffer(bytes(blob), 3.0, 30)
+            g = _gwkb.decode(buffered)
+            areas.append(_gops.wkb_area(buffered))
+            n_outer.append(len(g["coordinates"][0]))
+            n_hole.append(len(g["coordinates"][1]))
+        return pa.table({
+            "poly_id": b["poly_id"],
+            "area_q2": pa.array(
+                np.floor(np.asarray(areas) * 1e2 + 0.5).astype(np.int64)),
+            "n_outer": pa.array(n_outer, pa.int64()),
+            "n_hole": pa.array(n_hole, pa.int64()),
+        })
+
+    return ds.map_batches(bufstats, batch_format="pyarrow")
+
+
 # --- scalar functions / SQL surface -----------------------------------------
 
 
@@ -1724,6 +1848,33 @@ def q_rasterize_burn(sf_dir: str):
 
     return rasterize(_rasterize_zone_input(), gt=_RASTERIZE_GT,
                      width=_RASTERIZE_W, height=_RASTERIZE_H)
+
+
+def q_rasterize_burn_z(sf_dir: str):
+    """BURN_VALUE_FROM=Z read from Z-typed WKB vertices (the -3d
+    path: alg/gdalrasterize.cpp:745-760 fills polygons with the FIRST
+    vertex's Z added to the burn, gvBurnScanlineBasic:79): the zone
+    polygons re-encoded as PolygonZ with constant Z=100·(poly_id+1).
+    ORACLE: the scanline fill SQL with the burn value stated as
+    10 + poly_id + 100·(poly_id+1)."""
+    from ..geom import wkb as _gwkb
+    from ..stages.rasterize import rasterize
+
+    zt = zone_table()
+    geoms = []
+    for pid, blob in zip(zt["poly_id"].to_pylist(),
+                         zt["geometry"].to_pylist()):
+        ring = _gwkb.decode(bytes(blob))["coordinates"][0]
+        ring3 = np.column_stack(
+            [ring, np.full(len(ring), 100.0 * (pid + 1))])
+        geoms.append(_gwkb.encode_polygon_z([ring3]))
+    t = pa.table({
+        "poly_id": zt["poly_id"],
+        "burn": pa.array(10.0 + np.arange(5, dtype=np.float64)),
+        "geometry": pa.array(geoms, pa.binary()),
+    })
+    return rasterize(t, gt=_RASTERIZE_GT, width=_RASTERIZE_W,
+                     height=_RASTERIZE_H, burn_from_z=True)
 
 
 def q_rasterize_add_touched(sf_dir: str):
@@ -2515,14 +2666,18 @@ def q_poly_update(sf_dir: str):
 # mini-driver gate (scripts/mini_driver.py).
 QUERIES = {
     "rasterize_burn": q_rasterize_burn,
+    "rasterize_burn_z": q_rasterize_burn_z,
     "rasterize_add_touched": q_rasterize_add_touched,
     "rasterize_lines": q_rasterize_lines,
     "geom_buffer_poly": q_geom_buffer_poly,
+    "geom_buffer_line": q_geom_buffer_line,
+    "geom_buffer_holes": q_geom_buffer_holes,
     "geom_buffer_erode": q_geom_buffer_erode,
     "raster_warp_stereo": q_raster_warp_stereo,
     "zonal_frac": q_zonal_frac,
     "sql_subquery": q_sql_subquery,
     "sql_st_area": q_sql_st_area,
+    "sql_st_distance": q_sql_st_distance,
     "events_sessionize": q_events_sessionize,
     "events_asof_rates": q_events_asof_rates,
     "contour_polylines": q_contour_polylines,
@@ -3125,9 +3280,116 @@ ORACLES = {
                b.ne + f.arcpts + 1 AS n_points
         FROM base b JOIN fans f USING (poly_id)
     """,
+    "sql_st_distance": """
+        WITH boxes(poly_id, minx, miny, maxx, maxy) AS (VALUES
+            (0,-180.0025,-60.0025,-90.0025,0.0025),
+            (1,-90.0025,0.0025,0.0025,60.0025),
+            (2,0.0025,-30.0025,90.0025,30.0025),
+            (3,90.0025,30.0025,180.0025,69.0025)),
+        bd AS (SELECT poly_id,
+                      GREATEST(minx - 200.0, 200.0 - maxx, 0.0) AS dx,
+                      GREATEST(miny - 10.0, 10.0 - maxy, 0.0) AS dy,
+                      -- origin (0,0) is outside every box (each box
+                      -- boundary is offset 0.0025 past an axis)
+                      FALSE AS hits, FALSE AS holds
+               FROM boxes
+               UNION ALL
+               -- diamond: probe (200,10) is in the vertex region of
+               -- (40.0025, 0); origin is strictly inside
+               SELECT 4, 200.0 - 40.0025, 10.0, TRUE, TRUE),
+        buf AS (SELECT 60.0 * (2.0 * 2.0) * sin(pi() / 60.0) AS a)
+        SELECT poly_id,
+               CAST(floor(sqrt(dx * dx + dy * dy) * 1e4 + 0.5)
+                    AS BIGINT) AS dist_q4,
+               hits, holds,
+               CAST(floor(buf.a * 1e4 + 0.5) AS BIGINT) AS buf_q4
+        FROM bd, buf
+    """,
+    "geom_buffer_line": f"""
+        WITH ring(poly_id, seq, x, y) AS (VALUES {_zone_ring_values()}),
+        line AS (SELECT * FROM ring WHERE seq <= 3),
+        seg AS (SELECT poly_id, seq, x, y,
+                       lead(x) OVER w AS x2, lead(y) OVER w AS y2
+                FROM line WINDOW w AS (PARTITION BY poly_id
+                                       ORDER BY seq)),
+        e AS (SELECT poly_id, seq, x2 - x AS dx, y2 - y AS dy,
+                     sqrt((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y))
+                         AS elen
+              FROM seg WHERE x2 IS NOT NULL),
+        turns AS (SELECT a.poly_id,
+                         abs(atan2(a.dx * b.dy - a.dy * b.dx,
+                                   a.dx * b.dx + a.dy * b.dy)) AS theta
+                  FROM e a JOIN e b ON a.poly_id = b.poly_id
+                                   AND b.seq = a.seq + 1),
+        tq AS (SELECT poly_id, theta,
+                      GREATEST(1, CAST(ceil(theta / (pi() / 2 / 30)
+                                            - 1e-6) AS BIGINT)) AS n
+               FROM turns),
+        fans AS (SELECT poly_id,
+                        SUM(n * (2.0 * 2.0 / 2) * sin(theta / n)
+                            - 2.0 * 2.0 * tan(theta / 2.0)) AS joins,
+                        SUM(n) AS arcpts,
+                        count(*) AS nturn
+                 FROM tq GROUP BY poly_id),
+        base AS (SELECT poly_id, SUM(elen) AS len, count(*) + 1 AS m
+                 FROM e GROUP BY poly_id)
+        SELECT b.poly_id,
+               CAST(floor((2.0 * b.len * 2.0
+                           + 2 * 60 * (2.0 * 2.0 / 2) * sin(pi() / 60)
+                           + f.joins) * 1e2 + 0.5) AS BIGINT) AS area_q2,
+               120 + f.arcpts + f.nturn + (2 * b.m - 2) + 1 AS n_points
+        FROM base b JOIN fans f USING (poly_id)
+    """,
+    "geom_buffer_holes": f"""
+        WITH ring(poly_id, seq, x, y) AS (VALUES {_zone_ring_values()}),
+        boxr AS (SELECT * FROM ring WHERE poly_id < 4),
+        seg AS (SELECT poly_id, seq, x, y,
+                       lead(x) OVER w AS x2, lead(y) OVER w AS y2
+                FROM boxr WINDOW w AS (PARTITION BY poly_id
+                                       ORDER BY seq)),
+        e AS (SELECT poly_id, x2 - x AS dx, y2 - y AS dy,
+                     x * y2 - x2 * y AS crossterm,
+                     sqrt((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y))
+                         AS elen,
+                     row_number() OVER (PARTITION BY poly_id
+                                        ORDER BY seq) - 1 AS j,
+                     count(*) OVER (PARTITION BY poly_id) AS ne
+              FROM seg WHERE x2 IS NOT NULL),
+        turns AS (SELECT a.poly_id,
+                         atan2(a.dx * b.dy - a.dy * b.dx,
+                               a.dx * b.dx + a.dy * b.dy) AS theta
+                  FROM e a JOIN e b ON a.poly_id = b.poly_id
+                                   AND b.j = (a.j + 1) % a.ne),
+        tq AS (SELECT poly_id, theta,
+                      GREATEST(1, CAST(ceil(theta / (pi() / 2 / 30)
+                                            - 1e-6) AS BIGINT)) AS n
+               FROM turns),
+        fans AS (SELECT poly_id,
+                        SUM(n * (3.0 * 3.0 / 2) * sin(theta / n)) AS fan,
+                        SUM(n) AS arcpts
+                 FROM tq GROUP BY poly_id),
+        base AS (SELECT poly_id, SUM(crossterm) / 2 AS a0,
+                        SUM(elen) AS per, count(*) AS ne
+                 FROM e GROUP BY poly_id)
+        SELECT b.poly_id,
+               -- outer Minkowski form minus the eroded hole (s-2d)^2
+               CAST(floor((b.a0 + b.per * 3.0 + f.fan
+                           - (10.0 - 2 * 3.0) * (10.0 - 2 * 3.0))
+                          * 1e2 + 0.5) AS BIGINT) AS area_q2,
+               b.ne + f.arcpts + 1 AS n_outer,
+               CAST(5 AS BIGINT) AS n_hole
+        FROM base b JOIN fans f USING (poly_id)
+    """,
     "rasterize_burn": f"""
         WITH {_RASTERIZE_PIX_SQL}
         SELECT py, px, arg_max(10.0 + poly_id, poly_id) AS val
+        FROM fillpix GROUP BY py, px
+    """,
+    "rasterize_burn_z": f"""
+        WITH {_RASTERIZE_PIX_SQL}
+        SELECT py, px,
+               arg_max(10.0 + poly_id + 100.0 * (poly_id + 1), poly_id)
+                   AS val
         FROM fillpix GROUP BY py, px
     """,
     "rasterize_add_touched": f"""

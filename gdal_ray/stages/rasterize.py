@@ -257,7 +257,8 @@ def _geom_parts(g: dict) -> list[list[np.ndarray]]:
 
 
 def _scatter_to_tiles(batch: pa.Table, *, gt, width, height, burn_col,
-                      z_col, tile, n_buckets, geometry_col) -> pa.Table:
+                      z_col, tile, n_buckets, geometry_col,
+                      burn_from_z=False) -> pa.Table:
     """Stage A: WKB feature → one row per raster tile its bbox covers,
     rings carried in pixel space (georef→pixel: px=(X−x0)/dx,
     py=(Y−y0)/dy — the inverse geotransform, gdal_rasterize's
@@ -269,6 +270,12 @@ def _scatter_to_tiles(batch: pa.Table, *, gt, width, height, burn_col,
     if z_col is not None:
         burns = burns + batch[z_col].to_numpy(
             zero_copy_only=False).astype(np.float64)
+    if burn_from_z:
+        # BURN_VALUE_FROM=Z from the geometry itself: the reference
+        # adds the FIRST vertex's Z to the burn value for fills
+        # (alg/gdalrasterize.cpp:745-760, gvBurnScanlineBasic:79)
+        burns = burns + np.array(
+            [_wkb.first_z(bytes(b)) or 0.0 for b in geoms], np.float64)
     seqs = batch["__seq"].to_numpy(zero_copy_only=False)
 
     o_bucket, o_tile, o_seq, o_burn = [], [], [], []
@@ -313,8 +320,8 @@ def _scatter_to_tiles(batch: pa.Table, *, gt, width, height, burn_col,
 
 def rasterize(features_ds, *, gt, width, height, burn_col="burn",
               geometry_col="geometry", all_touched=False,
-              merge_alg="replace", z_col=None, lines=False,
-              tile: int = 256, n_buckets: int = 64):
+              merge_alg="replace", z_col=None, burn_from_z=False,
+              lines=False, tile: int = 256, n_buckets: int = 64):
     """Burn vector features into raster pixels; returns a Dataset of
     (py:int32, px:int32, val:float64) — burned pixels only (the
     as-features view of the burned band).
@@ -322,7 +329,9 @@ def rasterize(features_ds, *, gt, width, height, burn_col="burn",
     ``gt`` = (x0, dx, y0, dy) north-up geotransform.  ``merge_alg``:
     'replace' (last feature in ``seq`` order wins) or 'add' (sum,
     once per feature per pixel).  ``z_col`` implements
-    BURN_VALUE_FROM=Z (added to burn).  ``lines=True`` burns
+    BURN_VALUE_FROM=Z from a column; ``burn_from_z=True`` reads the
+    FIRST vertex's Z out of Z-typed WKB instead (added to burn, the
+    reference's fill rule).  ``lines=True`` burns
     LineString paths (Bresenham or all-touched) instead of polygon
     interiors.  Deterministic feature order: rows are sequenced by
     position in the input dataset (the reference burns in layer
@@ -351,7 +360,8 @@ def rasterize(features_ds, *, gt, width, height, burn_col="burn",
         _scatter_to_tiles,
         fn_kwargs=dict(gt=gt, width=width, height=height,
                        burn_col=burn_col, z_col=z_col, tile=tile,
-                       n_buckets=n_buckets, geometry_col=geometry_col),
+                       n_buckets=n_buckets, geometry_col=geometry_col,
+                       burn_from_z=burn_from_z),
         batch_format="pyarrow")
 
     add = merge_alg == "add"

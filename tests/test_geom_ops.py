@@ -135,11 +135,12 @@ def test_buffer_polygon_reflex_and_fences():
     # distance too large for the concavity → simplicity fence
     with pytest.raises(NotImplementedError):
         ops.wkb_buffer(L, 3.0)
-    # holes and over-eroding negative distances are fenced
+    # holes are supported for POSITIVE buffer (1x1 hole collapses at
+    # d=1 and is filled); over-eroding negative distances are fenced
     holed = wkb.encode_polygon([[(0, 0), (9, 0), (9, 9), (0, 9), (0, 0)],
                                 [(4, 4), (4, 5), (5, 5), (5, 4), (4, 4)]])
-    with pytest.raises(NotImplementedError):
-        ops.wkb_buffer(holed, 1.0)
+    g = wkb.decode(ops.wkb_buffer(holed, 1.0))
+    assert len(g["coordinates"]) == 1  # the 1x1 hole collapsed
     with pytest.raises(NotImplementedError):
         ops.wkb_buffer(wkb.box_polygon(0, 0, 1, 1), -2.0)
 
@@ -231,3 +232,54 @@ def test_buffer_polygon_erosion():
     # zero distance is the identity
     b = wkb.box_polygon(0, 0, 2, 2)
     assert ops.wkb_buffer(b, 0.0) == b
+
+
+def test_buffer_linestring_capsule():
+    """Line buffer = capsule union via the degenerate-ring
+    construction (round caps + joins, quadsegs 30)."""
+    fan2 = 2 * 60 * 0.5 * np.sin(np.pi / 60)  # two caps at d=1
+    # single horizontal / vertical / diagonal segments (the axis-
+    # aligned ones exercise the atan2(-0, -1) cap sign trap)
+    for pts, L in ([(0, 0), (10, 0)], 10.0), ([(0, 0), (0, 7)], 7.0), \
+                  ([(0, 0), (3, 4)], 5.0):
+        line = wkb.encode_linestring(pts)
+        out = ops.wkb_buffer(line, 1.0, 30)
+        assert ops.wkb_area(out) == pytest.approx(2 * L + fan2,
+                                                  rel=1e-12)
+        assert len(wkb.decode(out)["coordinates"][0]) == 123
+    # right-angle polyline: join fan on the convex side, miter trim on
+    # the reflex side
+    out = ops.wkb_buffer(
+        wkb.encode_linestring([(0, 0), (10, 0), (10, 8)]), 1.0, 30)
+    th = np.pi / 2
+    exp = 2 * 18.0 + fan2 + 30 * 0.5 * np.sin(th / 30) - np.tan(th / 2)
+    assert ops.wkb_area(out) == pytest.approx(exp, rel=1e-12)
+    # self-overlapping buffer (hairpin) is fenced
+    with pytest.raises(NotImplementedError):
+        ops.wkb_buffer(
+            wkb.encode_linestring([(0, 0), (10, 0), (0, 0.05)]), 1.0)
+    # closed ring input is rejected (buffer the polygon instead)
+    with pytest.raises(NotImplementedError):
+        ops.wkb_buffer(
+            wkb.encode_linestring([(0, 0), (4, 0), (4, 4), (0, 0)]), 1.0)
+
+
+def test_buffer_polygon_with_holes():
+    """Positive buffer dilates the outer ring and erodes convex holes;
+    a collapsing hole is filled (GEOS semantics)."""
+    outer = [(0, 0), (20, 0), (20, 20), (0, 20), (0, 0)]
+    hole = [(8, 8), (8, 12), (12, 12), (12, 8), (8, 8)]
+    poly = wkb.encode_polygon([outer, hole])
+    out = ops.wkb_buffer(poly, 1.0, 30)
+    g = wkb.decode(out)
+    assert len(g["coordinates"]) == 2
+    exp_outer = 400 + 80 + 120 * 0.5 * np.sin(2 * np.pi / 120)
+    assert ops.wkb_area(out) == pytest.approx(exp_outer - 4.0, rel=1e-12)
+    # hole ring is CW (OGC winding)
+    assert ops.ring_signed_area(np.asarray(g["coordinates"][1])) < 0
+    # d >= half the hole width: the hole collapses and is filled
+    g2 = wkb.decode(ops.wkb_buffer(poly, 2.5, 30))
+    assert len(g2["coordinates"]) == 1
+    # negative distance with holes stays fenced
+    with pytest.raises(NotImplementedError):
+        ops.wkb_buffer(poly, -0.5)

@@ -302,6 +302,28 @@ def test_rasterize_burn_from_z_and_lines(ray_session):
     assert sorted(zip(out["py"], out["px"])) == sorted(exp)
 
 
+def test_rasterize_burn_from_wkb_z(ray_session):
+    """burn_from_z reads the FIRST vertex's Z out of Z-typed WKB
+    (gdalrasterize.cpp:745-760) and adds it to the burn value."""
+    gt = (0.0, 1.0, 8.0, -1.0)
+    ring = [(1.2, 8 - 4.8, 7.5), (4.8, 8 - 4.8, 7.5),
+            (4.8, 8 - 1.2, 7.5), (1.2, 8 - 1.2, 7.5),
+            (1.2, 8 - 4.8, 7.5)]
+    t = pa.table({
+        "burn": pa.array([2.0]),
+        "geometry": pa.array([gwkb.encode_polygon_z([ring])],
+                             pa.binary()),
+    })
+    out = rasterize(t, gt=gt, width=8, height=8, burn_from_z=True,
+                    tile=4, n_buckets=2).to_pandas()
+    assert set(out["val"]) == {9.5}
+    # 2-D WKB contributes Z = 0 (first_z returns None)
+    assert gwkb.first_z(gwkb.box_polygon(0, 0, 1, 1)) is None
+    assert gwkb.first_z(gwkb.encode_polygon_z([ring])) == 7.5
+    assert gwkb.first_z(
+        gwkb.encode_linestring_z([(0, 0, 3.25), (1, 1, 9.0)])) == 3.25
+
+
 def test_touched_lines_keep_grid_aligned():
     # lines use bIntersectOnly=false: a vertical segment exactly on a
     # grid line burns the column on its floor side (the reference's

@@ -1059,6 +1059,48 @@ def test_asof_join_preserves_int64_values(ray_session):
     assert out["v"][1].as_py() is None     # t=3 before first rate
 
 
+def test_st_tier2_functions(ray_session):
+    """ST_DISTANCE / ST_INTERSECTS / ST_CONTAINS / ST_BUFFER compose
+    through the expression layer (SQLite-dialect tier 2)."""
+    import numpy as np
+    import pyarrow as pa
+    from gdal_ray.functions.expr import select_batch
+    from gdal_ray.geom import wkb as _wkb
+
+    t = pa.table({
+        "geometry": pa.array([_wkb.box_polygon(0, 0, 10, 10),
+                              _wkb.box_polygon(20, 20, 30, 30)],
+                             pa.binary()),
+        "probe": pa.array([_wkb.encode_point(5.0, 5.0)] * 2,
+                          pa.binary()),
+        "line": pa.array([_wkb.encode_linestring([(-5, 5), (15, 5)])] * 2,
+                         pa.binary()),
+    })
+    out = select_batch(
+        t, "ST_DISTANCE(geometry, probe) AS d, "
+           "ST_INTERSECTS(geometry, probe) AS i, "
+           "ST_INTERSECTS(geometry, line) AS il, "
+           "ST_CONTAINS(geometry, probe) AS c, "
+           "ST_CONTAINS(geometry, line) AS cl, "
+           "ST_AREA(ST_BUFFER(probe, 2.0)) AS ba").to_pydict()
+    assert out["d"][0] == 0.0
+    assert out["d"][1] == float(np.hypot(15.0, 15.0))
+    assert out["i"] == [True, False]
+    assert out["il"] == [True, False]  # line crosses box 1 only
+    assert out["c"] == [True, False]
+    assert out["cl"] == [False, False]  # line exits the box
+    assert abs(out["ba"][0] - 60 * 4.0 * np.sin(np.pi / 60)) < 1e-12
+    # boundary point: intersects but NOT contained (OGC)
+    t2 = pa.table({
+        "geometry": pa.array([_wkb.box_polygon(0, 0, 10, 10)],
+                             pa.binary()),
+        "probe": pa.array([_wkb.encode_point(0.0, 5.0)], pa.binary()),
+    })
+    out2 = select_batch(t2, "ST_INTERSECTS(geometry, probe) AS i, "
+                            "ST_CONTAINS(geometry, probe) AS c")
+    assert out2.to_pydict() == {"i": [True], "c": [False]}
+
+
 def test_st_centroid_composition(ray_session):
     import pyarrow as pa
     from gdal_ray.functions.expr import select_batch
