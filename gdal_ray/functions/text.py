@@ -158,6 +158,27 @@ def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     return hv.min(axis=1)
 
 
+def md5_shingle_hashes(text: str, k: int = 2) -> np.ndarray:
+    """SQL-replicable shingles for SimHash: token hash = first 8 md5
+    hex digits (32 bits — DuckDB: ('0x' || substr(md5(t),1,8))::
+    UBIGINT), k-window combine h_i·1000003 + h_{i+1}·999983.  All
+    values stay under 2^53, so the arithmetic is exact (no modular
+    wrap) in BOTH numpy uint64 and DuckDB BIGINT — that is what lets
+    docs_simhash carry a literal-bit SQL oracle."""
+    import hashlib
+
+    toks = np.array(
+        [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+         for t in _SHINGLE_RE.findall(text.lower())],
+        dtype=np.uint64)
+    if len(toks) < k:
+        return toks if len(toks) else np.array([0], dtype=np.uint64)
+    mults = np.array([1000003, 999983, 31337][:k] + [7] * max(0, k - 3),
+                     dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(toks, k)
+    return (windows * mults).sum(axis=1, dtype=np.uint64)
+
+
 def simhash64(sh: np.ndarray, weights: np.ndarray | None = None) -> np.uint64:
     """64-bit SimHash of the shingle multiset."""
     bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])

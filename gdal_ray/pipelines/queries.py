@@ -1059,8 +1059,10 @@ def q_media_audio_windows(sf_dir: str):
 
 def q_docs_simhash_pairs(sf_dir: str):
     """SimHash banded near-dup pairs (16-bit Hamming bands +
-    in-bucket exact popcount verify; rows-only — crc-based hashing has
-    no SQL analog; band/verify goldens in tests/test_stages.py)."""
+    in-bucket exact popcount verify).  ORACLE (new r5): md5-based
+    simhashes rebuilt bit-for-bit in SQL, band join on 16-bit
+    segments, bit_count(xor) verify — exact while band buckets stay
+    under the engine's star-cap (measured max 38 at sf0.01)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = _dedup.simhash_near_dup_pairs(ds, "doc_id", "text",
@@ -1072,6 +1074,12 @@ def q_docs_simhash_pairs(sf_dir: str):
 
 
 def q_docs_simhash(sf_dir: str):
+    """64-bit SimHash per document (Charikar fingerprints — the
+    near-dup primitive).  Token hashes are md5-derived 32-bit values
+    and the 2-shingle combine stays under 2^53, so the ORACLE restates
+    the construction LITERALLY in SQL: split/lower/md5 per token,
+    windowed combine, per-bit majority vote, bit reassembly — every
+    output bit checked (flipped from rows-only in r5)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = ds.map_batches(_dedup.SimHasher(), batch_format="pyarrow")
@@ -1112,29 +1120,30 @@ def q_emb_cosine_topk(sf_dir: str):
 
 
 def q_emb_ivf_topk(sf_dir: str):
-    """IVF-bucketed ANN (approximate → rows-only check)."""
+    """IVF-bucketed ANN with DETERMINISTIC coarse centroids (the
+    corpus vectors with odd vec_id < 32, in vec_id order) so the whole
+    pipeline — centroid assignment (argmax cosine, ties to the lower
+    cid), nprobe probe lists, bucket filter, exact top-k on the
+    survivors — restates in SQL and hash-checks (flipped from
+    rows-only in r5).  Production centroid TRAINING (seeded-sample
+    k-means, stages/similarity.py:train_centroids) keeps its pytest
+    recall coverage."""
+    import pyarrow.parquet as pq
+
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     q = _query_vectors(sf_dir)
-    # centroids from a seeded RANDOM corpus sample — a limit() prefix
-    # is not a sample: on a corpus sorted by topic the centroids would
-    # see one cluster and the index partitioning must reflect the DATA
-    n = ds.count()
-    frac = min(1.0, 2048 / max(n, 1))
-    samp_ds = ds.random_sample(frac, seed=7).limit(1024)
-    samp_t = pa.concat_tables([b for b in samp_ds.iter_batches(
-        batch_size=1024, batch_format="pyarrow")])
-    if len(samp_t) == 0:  # degenerate tiny-corpus draw
-        samp_t = pa.concat_tables([b for b in ds.limit(1024).iter_batches(
-            batch_size=1024, batch_format="pyarrow")])
-    samp = np.stack([np.asarray(v, dtype=np.float64)
-                     for v in samp_t["embedding"].to_pylist()])
-    cent = _sim.train_centroids(samp, n_centroids=16)
+    ct = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    ct = ct.filter(pc.and_(pc.less(ct["vec_id"], 32),
+                           pc.equal(pc.bit_wise_and(ct["vec_id"], 1), 1)))
+    ct = ct.take(pc.sort_indices(ct["vec_id"]))
+    cent = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in ct["embedding"].to_pylist()])
     out = _sim.ivf_topk(ds, q, cent, k=5, nprobe=4)
     return out.map_batches(
         lambda b: pa.table({"query_id": pc.cast(b["query_id"], pa.int64()),
-                            "vec_id": b["vec_id"],
-                            "cosine": pc.round(b["cosine"], 6)}),
+                            "vec_id": b["vec_id"]}),
         batch_format="pyarrow")
 
 
@@ -2959,6 +2968,40 @@ _ALG_ORACLES = {
 }
 
 
+# shared SimHash construction CTEs (ends at sim(doc_id, sv)) — used by
+# both the docs_simhash and docs_simhash_pairs oracles
+_SIMHASH_SQL = r"""lists AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(
+                     lower(COALESCE(text, '')), '\s+'),
+                             t -> t <> '') AS tk
+          FROM documents),
+        hl AS (
+          SELECT doc_id,
+                 list_transform(tk, t -> CAST(('0x' || substr(md5(t), 1, 8))
+                                              AS BIGINT)) AS hs
+          FROM lists),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) = 0 THEN [CAST(0 AS BIGINT)]
+                      WHEN len(hs) = 1 THEN hs
+                      ELSE list_transform(
+                          range(1, len(hs)),
+                          i -> hs[i] * 1000003 + hs[i + 1] * 999983)
+                 END AS shingles
+          FROM hl),
+        bits AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        acc AS (
+          SELECT doc_id, j,
+                 SUM(CASE WHEN (s >> j) & 1 = 1 THEN 1 ELSE -1 END) AS a
+          FROM bits, (SELECT unnest(generate_series(0, 52)) AS j) jj
+          GROUP BY doc_id, j),
+        sim AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN a > 0 THEN (CAST(1 AS BIGINT) << j)
+                     ELSE 0 END) AS sv
+          FROM acc GROUP BY doc_id)"""
+
 ORACLES = {
     "lineitem_summary": """
         SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
@@ -3625,6 +3668,35 @@ ORACLES = {
     """,
     "docs_fingerprint":
         "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+    # literal-bit SimHash restatement: md5 token hashes (32-bit), the
+    # 2-shingle combine (< 2^53 — exact in BIGINT), per-bit majority,
+    # bit reassembly.  Bits 53..63 are provably 0 (shingle values fit
+    # 53 bits, so acc_j = -n there), hence generate_series(0, 52).
+    "docs_simhash": f"""
+        WITH {{SIMHASH}}
+        SELECT doc_id, CAST(sv AS VARCHAR) AS simhash FROM sim
+    """,
+    # banded SimHash near-dup: candidates share a 16-bit band, verify
+    # = bit_count(xor) <= max_hamming.  Exact while every band bucket
+    # stays under the engine's max_bucket star-cap (measured max 38 at
+    # the gate's sf0.01; the cap is the documented scale path).
+    "docs_simhash_pairs": f"""
+        WITH {{SIMHASH}},
+        bands AS (SELECT doc_id, sv,
+                         unnest(generate_series(0, 3)) AS bi
+                  FROM sim),
+        keyed AS (SELECT doc_id, sv, bi,
+                         (sv >> (bi * 16)) & 65535 AS code
+                  FROM bands),
+        cand AS (SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b,
+                        a.sv AS ha, b.sv AS hb
+                 FROM keyed a JOIN keyed b
+                   ON a.bi = b.bi AND a.code = b.code
+                  AND a.doc_id < b.doc_id)
+        SELECT key_a, key_b,
+               CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+    """,
     "docs_dedup_exact": """
         SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id
         FROM documents GROUP BY 1
@@ -3662,6 +3734,43 @@ ORACLES = {
         SELECT a.vec_id AS key_a, b.vec_id AS key_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+    """,
+    # IVF with deterministic centroids: assignment = argmax cosine
+    # (ties -> lower cid), probe = 4 nearest centroids per query,
+    # survivors = union of probed buckets, then exact top-5
+    "emb_ivf_topk": """
+        WITH cents AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                 embedding AS ce
+          FROM embeddings WHERE vec_id < 32 AND vec_id % 2 = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id < 5),
+        qprobe AS (
+          SELECT query_id, cid FROM (
+            SELECT q.query_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(q.qe, c.ce) DESC,
+                              c.cid ASC) AS rn
+            FROM q CROSS JOIN cents c) WHERE rn <= 4),
+        wanted AS (SELECT DISTINCT cid FROM qprobe),
+        assign AS (
+          SELECT vec_id, cid AS bucket FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.embedding, c.ce)
+                              DESC, c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        survivors AS (SELECT a.vec_id FROM assign a
+                      JOIN wanted w ON a.bucket = w.cid),
+        s AS (SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS cos
+              FROM q CROSS JOIN embeddings e
+              JOIN survivors USING (vec_id)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id ASC) AS rn FROM s)
+        SELECT query_id, vec_id FROM r WHERE rn <= 5
     """,
     "geom_zone_area": f"""
         WITH {_ZONE_SEGS_SQL}
@@ -4873,6 +4982,9 @@ ORACLES["geom_linearize"] = f"""
 _SIMPLIFY_IDX = ",".join(
     f"({j},{k})" for j, k in enumerate(
         [0, 7, 15, 22, 30, 38, 45, 53, 60, 67, 75, 82, 90, 98, 105, 113]))
+for _k in ("docs_simhash", "docs_simhash_pairs"):
+    ORACLES[_k] = ORACLES[_k].replace("{SIMHASH}", _SIMHASH_SQL)
+
 ORACLES["geom_buffer_simplify"] = f"""
     WITH pts AS ({_PTS_SQL}),
     sel(j, k) AS (VALUES {_SIMPLIFY_IDX}),

@@ -458,7 +458,10 @@ def jaccard_verify_pairs(ds, pairs_ds, key_col: str = "doc_id",
 
 
 class SimHasher:
-    """Actor callable: append a 64-bit SimHash column."""
+    """Actor callable: append a 64-bit SimHash column.  Token hashes
+    are md5-derived (functions/text.py:md5_shingle_hashes) so the full
+    bit construction restates literally in DuckDB — the docs_simhash
+    oracle checks every output bit."""
 
     def __init__(self, text_col: str = "text", out: str = "simhash",
                  shingle_k: int = 2):
@@ -467,7 +470,8 @@ class SimHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         hs = np.empty(len(batch), dtype=np.uint64)
         for i, t in enumerate(batch[self.text_col].to_pylist()):
-            hs[i] = _text.simhash64(_text.shingle_hashes(t or "", self.k))
+            hs[i] = _text.simhash64(
+                _text.md5_shingle_hashes(t or "", self.k))
         return batch.append_column(self.out, pa.array(hs, pa.uint64()))
 
 

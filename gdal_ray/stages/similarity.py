@@ -198,7 +198,9 @@ def ivf_topk(ds, queries: np.ndarray, centroids: np.ndarray, k: int = 10,
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     cn = _normalize(np.asarray(centroids, dtype=np.float64))
     sims = qn @ cn.T
-    probe = np.argsort(-sims, axis=1)[:, :nprobe]
+    # stable: exact cosine ties resolve to the LOWER centroid id on
+    # both the engine and the SQL oracle (ORDER BY cos DESC, cid ASC)
+    probe = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
     wanted = sorted(set(probe.ravel().tolist()))
     filtered = bucketed.map_batches(
         lambda b: b.filter(pa.compute.is_in(b["ivf_bucket"],
