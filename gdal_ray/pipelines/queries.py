@@ -1289,10 +1289,10 @@ def q_contour_polylines(sf_dir: str):
     recursive label flood.  Point ORDER within a line is covered by
     the gap-free seam goldens in tests/test_contour.py."""
     from ..geom import wkb as _gwkb
-    from ..stages.contour import assemble_polylines, contour_segments
+    from ..stages.contour import contour_polylines_ds
 
-    segs = contour_segments(_rendered_tiles(sf_dir, 4), levels=[0.5, 2.5])
-    out = assemble_polylines(segs)
+    out = contour_polylines_ds(_rendered_tiles(sf_dir, 4),
+                               levels=[0.5, 2.5])
 
     def canon(b: pa.Table) -> pa.Table:
         # one vectorized pass over all lines of the batch: lean WKB

@@ -26,6 +26,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 TILE = 256
 
@@ -262,38 +263,41 @@ def contour_segments(tiles_ds, levels, seams: bool = True,
     return interior.union(seam)
 
 
-def _contour_interior(tiles_ds, levels):
-    def per_tile(batch: pa.Table) -> pa.Table:
-        zs, lv, x0s, y0s, x1s, y1s = [], [], [], [], [], []
-        for z, x, y, blob in zip(batch["z"].to_pylist(),
-                                 batch["x"].to_pylist(),
-                                 batch["y"].to_pylist(),
-                                 batch["raster"].to_pylist()):
-            grid = np.frombuffer(zlib.decompress(blob), dtype=">u2") \
-                .reshape(TILE, TILE)
-            for level in levels:
-                s = tile_contour_segments(grid, level,
-                                          int(x) * TILE, int(y) * TILE)
-                if not len(s):
-                    continue
-                zs.append(np.full(len(s), z, dtype=np.int32))
-                lv.append(np.full(len(s), level))
-                x0s.append(s[:, 0])
-                y0s.append(s[:, 1])
-                x1s.append(s[:, 2])
-                y1s.append(s[:, 3])
-        cat = np.concatenate
-        empty = np.empty(0)
-        return pa.table({
-            "z": pa.array(cat(zs) if zs else np.empty(0, np.int32)),
-            "level": pa.array(cat(lv) if lv else empty, pa.float64()),
-            "x0": pa.array(cat(x0s) if x0s else empty, pa.float64()),
-            "y0": pa.array(cat(y0s) if y0s else empty, pa.float64()),
-            "x1": pa.array(cat(x1s) if x1s else empty, pa.float64()),
-            "y1": pa.array(cat(y1s) if y1s else empty, pa.float64()),
-        })
+def _contour_interior_batch(batch: pa.Table, levels) -> pa.Table:
+    zs, lv, x0s, y0s, x1s, y1s = [], [], [], [], [], []
+    for z, x, y, blob in zip(batch["z"].to_pylist(),
+                             batch["x"].to_pylist(),
+                             batch["y"].to_pylist(),
+                             batch["raster"].to_pylist()):
+        grid = np.frombuffer(zlib.decompress(blob), dtype=">u2") \
+            .reshape(TILE, TILE)
+        for level in levels:
+            s = tile_contour_segments(grid, level,
+                                      int(x) * TILE, int(y) * TILE)
+            if not len(s):
+                continue
+            zs.append(np.full(len(s), z, dtype=np.int32))
+            lv.append(np.full(len(s), level))
+            x0s.append(s[:, 0])
+            y0s.append(s[:, 1])
+            x1s.append(s[:, 2])
+            y1s.append(s[:, 3])
+    cat = np.concatenate
+    empty = np.empty(0)
+    return pa.table({
+        "z": pa.array(cat(zs) if zs else np.empty(0, np.int32)),
+        "level": pa.array(cat(lv) if lv else empty, pa.float64()),
+        "x0": pa.array(cat(x0s) if x0s else empty, pa.float64()),
+        "y0": pa.array(cat(y0s) if y0s else empty, pa.float64()),
+        "x1": pa.array(cat(x1s) if x1s else empty, pa.float64()),
+        "y1": pa.array(cat(y1s) if y1s else empty, pa.float64()),
+    })
 
-    return tiles_ds.map_batches(per_tile, batch_format="pyarrow")
+
+def _contour_interior(tiles_ds, levels):
+    return tiles_ds.map_batches(
+        lambda b: _contour_interior_batch(b, levels),
+        batch_format="pyarrow")
 
 
 def _quant(v: np.ndarray) -> np.ndarray:
@@ -379,7 +383,42 @@ def assemble_group_polylines(g: pa.Table) -> pa.Table:
     })
 
 
-def assemble_polylines(segments_ds, region_px: int | None = 1024):
+def _level_bits(level: np.ndarray) -> np.ndarray:
+    return np.asarray(level, np.float64).view(np.int64)
+
+
+def _mix_to_bucket(*cols, buckets: int) -> np.ndarray:
+    h = np.zeros(len(cols[0]), dtype=np.uint64)
+    for c in cols:
+        h ^= (np.asarray(c).astype(np.int64).view(np.uint64)
+              * np.uint64(0x9E3779B97F4A7C15))
+        h ^= h >> np.uint64(29)
+    return (h % np.uint64(buckets)).astype(np.int32)
+
+
+def _split_apply(g: pa.Table, key_cols, fn) -> pa.Table:
+    """Split one bucket group into its (key_cols) subgroups
+    (lexsort + boundary scan — no hash dict) and apply fn per
+    subgroup, concatenating arrow results."""
+    if len(g) == 0:
+        return fn(g)
+    arrs = [g[c].to_numpy(zero_copy_only=False) for c in key_cols]
+    order = np.lexsort(tuple(reversed(arrs)))
+    gs = g.take(pa.array(order))
+    arrs = [a[order] for a in arrs]
+    change = np.zeros(len(gs), dtype=bool)
+    change[0] = True
+    for a in arrs:
+        change[1:] |= a[1:] != a[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], len(gs)]
+    outs = [fn(gs.slice(s, e - s)) for s, e in zip(starts, ends)]
+    outs = [t for t in outs if t.num_columns]
+    return pa.concat_tables(outs) if outs else fn(g.slice(0, 0))
+
+
+def assemble_polylines(segments_ds, region_px: int | None = 1024,
+                       n_buckets: int = 64):
     """Segment soup → polylines per (z, level), DISTRIBUTED two-stage:
 
     1. segments are bucketed into square spatial REGIONS of
@@ -389,6 +428,12 @@ def assemble_polylines(segments_ds, region_px: int | None = 1024):
        chain length, orders of magnitude smaller) gather per
        (z, level) where a second endpoint-matching walk stitches
        region-crossing chains end-to-end.
+
+    Both exchanges go through a SINGLE int32 hash bucket (the
+    bucketed_group_agg pattern) — Ray's sort-based groupby on the
+    composite (z, level:f64, region:i64) key cost ~5.5 s of the r4
+    9 s wall; the bucket exchange sorts 64 small ints instead, and
+    the per-bucket kernel splits subgroups with one lexsort.
 
     ``region_px=None`` collapses to the single-gather plan (the
     reference's shape, alg/contour.cpp — fine for small rasters)."""
@@ -401,14 +446,133 @@ def assemble_polylines(segments_ds, region_px: int | None = 1024):
               // region_px).astype(np.int64)
         ry = (b["y0"].to_numpy(zero_copy_only=False)
               // region_px).astype(np.int64)
+        region = (rx << 24) | ry
+        z = b["z"].to_numpy(zero_copy_only=False)
+        lv = _level_bits(b["level"].to_numpy(zero_copy_only=False))
+        b = b.append_column("region", pa.array(region))
         return b.append_column(
-            "region", pa.array((rx << 24) | ry))
+            "__cb", pa.array(_mix_to_bucket(z, lv, region,
+                                            buckets=n_buckets)))
 
     staged = segments_ds.map_batches(add_region, batch_format="pyarrow")
-    fragments = staged.groupby(["z", "level", "region"]).map_groups(
-        assemble_group_polylines, batch_format="pyarrow")
-    return fragments.groupby(["z", "level"]).map_groups(
-        _stitch_fragments, batch_format="pyarrow")
+
+    def walk_bucket(g: pa.Table) -> pa.Table:
+        out = _split_apply(g, ["z", "level", "region"],
+                           assemble_group_polylines)
+        z = out["z"].to_numpy(zero_copy_only=False)
+        lv = _level_bits(out["level"].to_numpy(zero_copy_only=False))
+        return out.append_column(
+            "__sb", pa.array(_mix_to_bucket(z, lv, buckets=n_buckets)))
+
+    fragments = staged.groupby("__cb").map_groups(
+        walk_bucket, batch_format="pyarrow")
+
+    def stitch_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__sb"]) if "__sb" in g.column_names else g
+        return _split_apply(g, ["z", "level"], _stitch_fragments)
+
+    return fragments.groupby("__sb").map_groups(
+        stitch_bucket, batch_format="pyarrow")
+
+
+def contour_polylines_ds(tiles_ds, levels, region_px: int = 1024,
+                         n_buckets: int = 32):
+    """Tile table → stitched polylines with ONE fused exchange for
+    seam-completion + region walks (r5: the separate seam-strip
+    exchange of contour_segments cost a full all-to-all barrier that
+    this path folds into the walk exchange).
+
+    Plan: per tile, emit interior segments AND edge strips into a
+    shared schema, both bucketed by hash(z, region) — a strip routes
+    to the region containing its seam cells, so both partner strips
+    and the neighboring interior segments co-locate.  The per-bucket
+    kernel first expands strips into seam segments (grouped by seam
+    key), then walks every (z, level, region) subgroup; stage 2
+    stitches fragments per (z, level) exactly as assemble_polylines.
+    Which region a boundary-exact segment is walked in differs from
+    the unfused plan, but stitching makes the result walk-partition
+    independent (the contour_polylines oracle checks component
+    invariants)."""
+    levels = [float(v) for v in levels]
+    # pin the (small, aggregated) tile table: one streaming topology
+    # from read->render->walk->stitch lets the reservation allocator
+    # starve the exchanges (measured 13.3 s vs 5.3 s at sf0.1); the
+    # materialize boundary matches contour_segments' plan
+    tiles_ds = tiles_ds.materialize()
+    seam_fn = seam_segments(levels, n_buckets)
+
+    def _seg_region(x0):
+        return (np.asarray(x0, np.float64) // region_px).astype(np.int64)
+
+    def per_tile(batch: pa.Table) -> pa.Table:
+        interior = _contour_interior_batch(batch, levels)
+        strips = seam_strips(batch)
+        n_i, n_s = len(interior), len(strips)
+        region_i = _seg_region(interior["x0"].to_numpy(
+            zero_copy_only=False))
+        # strip -> region of its seam-cell origin (sx*TILE + ox)
+        kind = strips["kind"].to_numpy(zero_copy_only=False)
+        sx = strips["sx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ox = np.where(kind == _SEAM_H, 0, TILE - 1)
+        region_s = (sx * TILE + ox) // region_px
+        zi = interior["z"].to_numpy(zero_copy_only=False)
+        zs = strips["z"].to_numpy(zero_copy_only=False)
+        cb_i = _mix_to_bucket(zi, region_i, buckets=n_buckets)
+        cb_s = _mix_to_bucket(zs, region_s, buckets=n_buckets)
+        f64n = pa.nulls(n_s, pa.float64())
+        t_i = pa.table({
+            "z": interior["z"], "level": interior["level"],
+            "x0": interior["x0"], "y0": interior["y0"],
+            "x1": interior["x1"], "y1": interior["y1"],
+            "skey": pa.nulls(n_i, pa.int64()),
+            "kind": pa.nulls(n_i, pa.int8()),
+            "sx": pa.nulls(n_i, pa.int32()),
+            "sy": pa.nulls(n_i, pa.int32()),
+            "side": pa.nulls(n_i, pa.int8()),
+            "strip": pa.nulls(n_i, pa.binary()),
+            "__cb": pa.array(cb_i),
+        })
+        t_s = pa.table({
+            "z": strips["z"], "level": f64n,
+            "x0": f64n, "y0": f64n, "x1": f64n, "y1": f64n,
+            "skey": strips["skey"], "kind": strips["kind"],
+            "sx": strips["sx"], "sy": strips["sy"],
+            "side": strips["side"], "strip": strips["strip"],
+            "__cb": pa.array(cb_s),
+        })
+        return pa.concat_tables([t_i, t_s])
+
+    staged = tiles_ds.map_batches(per_tile, batch_format="pyarrow")
+
+    seg_cols = ["z", "level", "x0", "y0", "x1", "y1"]
+
+    def walk_bucket(g: pa.Table) -> pa.Table:
+        is_strip = pc.is_valid(g["strip"])
+        strips = g.filter(is_strip)
+        parts = [g.filter(pc.invert(is_strip)).select(seg_cols)]
+        if len(strips):
+            parts.append(seam_fn(strips).select(seg_cols))
+        segs = pa.concat_tables(parts)
+        segs = segs.append_column(
+            "region", pa.array(_seg_region(
+                segs["x0"].to_numpy(zero_copy_only=False))))
+        out = _split_apply(segs, ["z", "level", "region"],
+                           assemble_group_polylines)
+        z = out["z"].to_numpy(zero_copy_only=False)
+        lv = _level_bits(out["level"].to_numpy(zero_copy_only=False))
+        return out.append_column(
+            "__sb", pa.array(_mix_to_bucket(z, lv, buckets=n_buckets)))
+
+    fragments = staged.groupby("__cb").map_groups(
+        walk_bucket, batch_format="pyarrow")
+
+    def stitch_bucket(g: pa.Table) -> pa.Table:
+        if "__sb" in g.column_names:
+            g = g.drop_columns(["__sb"])
+        return _split_apply(g, ["z", "level"], _stitch_fragments)
+
+    return fragments.groupby("__sb").map_groups(
+        stitch_bucket, batch_format="pyarrow")
 
 
 def _stitch_fragments(g: pa.Table) -> pa.Table:

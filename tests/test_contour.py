@@ -169,3 +169,48 @@ def test_assemble_polylines_cross_region_stitch(ray_session):
     pts2 = np.asarray(_wkb.decode(many["wkb"].iloc[0])["coordinates"])
     q = lambda p: set(map(tuple, np.round(p * 1048576).astype(np.int64)))
     assert q(pts1) == q(pts2)
+
+
+def test_fused_polylines_match_unfused(ray_session):
+    """contour_polylines_ds (single fused seam+walk exchange) emits
+    exactly the polylines of the two-exchange assemble_polylines plan:
+    at a non-integer level the segment graph is junction-free, so the
+    maximal chains are unique regardless of walk partitioning."""
+    import ray.data as rd
+    from gdal_ray.geom import wkb as gwkb
+    from gdal_ray.stages.contour import (assemble_polylines,
+                                         contour_polylines_ds)
+
+    rs = np.random.RandomState(11)
+    mosaic = np.zeros((2 * TILE, 2 * TILE), dtype=np.int64)
+    yy, xx = np.mgrid[0:2 * TILE, 0:2 * TILE]
+    mosaic[np.hypot(xx - TILE, yy - TILE) < 70] = 9
+    mosaic[TILE - 2:TILE + 2, :] += rs.randint(0, 5, (4, 2 * TILE))
+    rows = [_tile_row(3, 4 + tx, 5 + ty,
+                      mosaic[ty * TILE:(ty + 1) * TILE,
+                             tx * TILE:(tx + 1) * TILE])
+            for tx in range(2) for ty in range(2)]
+
+    def canon(df):
+        out = set()
+        for w in df["wkb"]:
+            c = np.asarray(gwkb.decode(w)["coordinates"])
+            q = [tuple(p) for p in
+                 np.round(c * 1048576).astype(np.int64).tolist()]
+            if q[0] == q[-1]:  # closed: canonical rotation + direction
+                body = q[:-1]
+                i = body.index(min(body))
+                body = body[i:] + body[:i]
+                rev = [body[0]] + body[1:][::-1]
+                body = min(body, rev)
+                q = body + [body[0]]
+            elif q[-1] < q[0]:
+                q = q[::-1]
+            out.add(tuple(q))
+        return out
+
+    segs = contour_segments(rd.from_items(rows), levels=[4.5])
+    a = canon(assemble_polylines(segs, region_px=64).to_pandas())
+    b = canon(contour_polylines_ds(rd.from_items(rows), levels=[4.5],
+                                   region_px=64).to_pandas())
+    assert a == b and len(a) > 0
