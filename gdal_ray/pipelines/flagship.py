@@ -88,18 +88,24 @@ def flagship(paths, poly_table: pa.Table | None = None,
         narrow = dedup_exact(_hash_url_narrow(narrow),
                              key=["u_h", "u_l", "poly_id"],
                              order_col=None)
+        tile_ds = _tiling.tile_counts_g8(narrow, zooms)
     else:
         joined_out = joined
-    tile_ds = _tiling.tile_counts(narrow, zooms)
+        tile_ds = _tiling.tile_counts(narrow, zooms)
     return joined_out, tile_ds
 
 
 def _hash_url_narrow(ds):
-    """(url, warc_ts, lat, lon, poly_id…) → (u_h, u_l, lat, lon,
-    poly_id): two independent 64-bit siphashes of url replace the
-    string before the dedup exchange."""
+    """(url, warc_ts, lat, lon, poly_id…) → (u_h, u_l, g8, poly_id):
+    two independent 64-bit siphashes of url replace the string, and
+    lat/lon collapse to the PACKED z8 global pixel ((gx8<<16)|gy8 as
+    int32 — tile x/y at z ≤ 8 are shifts of it, tiling.tile_counts_g8)
+    BEFORE the dedup exchange: 28 B/row instead of 40."""
+    import numpy as _np
     import pandas as pd
     import pyarrow as _pa
+
+    from ..geom import tiles as _tiles
 
     def kernel(b: _pa.Table) -> _pa.Table:
         s = b["url"].to_pandas()
@@ -107,9 +113,14 @@ def _hash_url_narrow(ds):
                                         hash_key="gdal_ray_url_a_0")
         h2 = pd.util.hash_pandas_object(s, index=False,
                                         hash_key="gdal_ray_url_b_0")
+        gx, gy = _tiles.global_pixel(
+            b["lon"].to_numpy(zero_copy_only=False),
+            b["lat"].to_numpy(zero_copy_only=False), 8)
+        g8 = ((gx.astype(_np.uint32) << _np.uint32(16))
+              | gy.astype(_np.uint32)).view(_np.int32)
         return _pa.table({
             "u_h": _pa.array(h1.values), "u_l": _pa.array(h2.values),
-            "lat": b["lat"], "lon": b["lon"], "poly_id": b["poly_id"],
+            "g8": _pa.array(g8), "poly_id": b["poly_id"],
         })
 
     return ds.map_batches(kernel, batch_format="pyarrow")

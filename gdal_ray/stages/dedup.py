@@ -103,10 +103,13 @@ def dedup_exact(ds, key="url", order_col: str | None = "warc_ts",
     def bucket_dedup(g: pa.Table) -> pa.Table:
         # arrow in/out: payload columns never roundtrip through pandas
         # (keeps block type arrow and timestamp units intact)
-        sk = [(k, "ascending") for k in keys]
         if order_col:
-            sk += [(order_col, "ascending")]
-        g = g.take(pc.sort_indices(g, sort_keys=sk))
+            sk = [(k, "ascending") for k in keys] \
+                + [(order_col, "ascending")]
+            g = g.take(pc.sort_indices(g, sort_keys=sk))
+        # with no order column ANY representative wins — skip the
+        # multi-key sort entirely (hash-based duplicated() needs no
+        # ordering; the sort was ~1/3 of the headline dedup CPU)
         kdf = g.select(keys).to_pandas()
         keep = ~kdf.duplicated(keep="first").values
         return g.filter(pa.array(keep)).drop_columns([_BUCKET_COL])

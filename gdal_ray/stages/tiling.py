@@ -87,6 +87,41 @@ def partial_tile_counts(batch: pa.Table) -> pa.Table:
     return g.rename_columns(["z", "x", "y", "n_pages"])
 
 
+def tile_counts_g8(ds, zooms, g8_col: str = "g8"):
+    """``tile_counts`` over a PRE-PACKED z8 global pixel column
+    ((gx8 << 16) | gy8 stored as int32): tile x/y at any z ≤ 8 are
+    pure shifts of the z8 pixel — floor((lon+180)/360·2^z) ==
+    floor((lon+180)/360·2^16) >> (16−z) exactly, because scaling a
+    double by a power of two is exact and floor-division composes.
+    Lets the upstream dedup exchange carry 4 bytes of position
+    instead of 16 bytes of lat/lon."""
+    from .aggregate import bucketed_group_agg
+
+    zooms = list(zooms)
+    assert all(0 <= z <= 8 for z in zooms), "g8 path needs zooms <= 8"
+
+    def assigned(b: pa.Table) -> pa.Table:
+        g = b[g8_col].to_numpy(zero_copy_only=False).view(np.uint32)
+        gx = (g >> np.uint32(16)).astype(np.int64)
+        gy = (g & np.uint32(0xFFFF)).astype(np.int64)
+        n = len(g)
+        zs, xs, ys = [], [], []
+        for z in zooms:
+            s = 16 - z
+            zs.append(np.full(n, z, np.int32))
+            xs.append((gx >> s).astype(np.int32))
+            ys.append((gy >> s).astype(np.int32))
+        t = pa.table({"z": pa.array(np.concatenate(zs)),
+                      "x": pa.array(np.concatenate(xs)),
+                      "y": pa.array(np.concatenate(ys))})
+        return partial_tile_counts(t)
+
+    return bucketed_group_agg(ds.map_batches(assigned,
+                                             batch_format="pyarrow"),
+                              ["z", "x", "y"],
+                              [("n_pages", "sum", "n_pages")])
+
+
 def tile_counts(ds, zooms, convention: str = "xyz",
                 lon_col: str = "lon", lat_col: str = "lat",
                 profile: str = "mercator"):
