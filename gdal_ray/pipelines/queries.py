@@ -2663,45 +2663,74 @@ def q_poly_update(sf_dir: str):
 
 # Ordered: the driver's correctness gate records only the FIRST 50
 # entries — keep every slot in the first 50 oracle-backed, flagship
-# operators first; rows-only (no-oracle) queries stay at the tail.
-# Ordering contract: the driver records the FIRST 50 entries each
-# round.  Round-4 window = the new r4 flagships (rasterize, polygon
-# buffer, CRS-general warp, fractional zonal, SQL subquery, contour
-# polyline components, global UTM) + every query never driver-recorded
-# before (raster_value_at_point, media_frame_sample, media_decode_
-# embed, the LSH/simhash rows-only family) + the r01-recorded families
-# whose green rows are oldest.  Everything displaced is archived
-# driver-green in CORRECTNESS_r01-r03 and still runs in the full
-# mini-driver gate (scripts/mini_driver.py).
+# operators first; rows-only (no-oracle) queries stay at the tail of
+# the window.  Round-5 window = the four NEW r5 operators (line/holes
+# buffer, ST_ tier 2, rasterize Z), the r4 hash-miss geom_buffer_poly
+# and its hardened quantization family, the three rows-only->oracle
+# flips, every query whose PLAN was rewritten this round (fused
+# COUNT(DISTINCT), asof init, sessionize key, rasterize add-dedup,
+# fused contour stitch, dedup/tiling exchanges), the 5 remaining
+# rows-only entries, and the oldest-green r1-r3 families displaced
+# from the r4 window.  Everything below the marker is archived
+# driver-green in CORRECTNESS_r01-r04 and still runs in the full
+# local gate (scripts/mini_driver.py).
 QUERIES = {
-    "rasterize_burn": q_rasterize_burn,
-    "rasterize_burn_z": q_rasterize_burn_z,
-    "rasterize_add_touched": q_rasterize_add_touched,
-    "rasterize_lines": q_rasterize_lines,
-    "geom_buffer_poly": q_geom_buffer_poly,
     "geom_buffer_line": q_geom_buffer_line,
     "geom_buffer_holes": q_geom_buffer_holes,
-    "geom_buffer_erode": q_geom_buffer_erode,
-    "raster_warp_stereo": q_raster_warp_stereo,
-    "zonal_frac": q_zonal_frac,
-    "sql_subquery": q_sql_subquery,
-    "sql_st_area": q_sql_st_area,
     "sql_st_distance": q_sql_st_distance,
-    "events_sessionize": q_events_sessionize,
-    "events_asof_rates": q_events_asof_rates,
-    "contour_polylines": q_contour_polylines,
-    "reproject_utm31": q_reproject_utm31,
-    "raster_value_at_point": q_raster_value_at_point,
-    "media_frame_sample": q_media_frame_sample,
-    "media_decode_embed": q_media_decode_embed,
+    "rasterize_burn_z": q_rasterize_burn_z,
+    "geom_buffer_poly": q_geom_buffer_poly,
+    "geom_buffer_erode": q_geom_buffer_erode,
     "geom_buffer_simplify": q_geom_buffer_simplify,
-    "docs_minhash_pairs": q_docs_minhash_pairs,
-    "docs_near_dup_verified": q_docs_near_dup_verified,
-    "docs_near_dedup": q_docs_near_dedup,
+    "geom_buffer_area": q_geom_buffer_area,
     "docs_simhash": q_docs_simhash,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "emb_ivf_topk": q_emb_ivf_topk,
+    "events_count_distinct_users": q_events_count_distinct_users,
+    "sql_distinct_having": q_sql_distinct_having,
+    "events_asof_rates": q_events_asof_rates,
+    "events_sessionize": q_events_sessionize,
+    "contour_polylines": q_contour_polylines,
+    "rasterize_burn": q_rasterize_burn,
+    "rasterize_add_touched": q_rasterize_add_touched,
+    "rasterize_lines": q_rasterize_lines,
+    "docs_dedup_exact": q_docs_dedup_exact,
+    "sql_st_area": q_sql_st_area,
+    "sql_subquery": q_sql_subquery,
+    "sql_statement": q_sql_statement,
+    "sql_join": q_sql_join,
+    "events_windowed_hourly": q_events_windowed_hourly,
+    "media_decode_embed": q_media_decode_embed,
+    "docs_minhash_pairs": q_docs_minhash_pairs,
+    "docs_near_dup_verified": q_docs_near_dup_verified,
+    "docs_near_dedup": q_docs_near_dedup,
     "emb_near_dup": q_emb_near_dup,
+    "checkpoint_partitioned": q_checkpoint_partitioned,
+    "zonal_extended": q_zonal_extended,
+    "raster_pixels": q_raster_pixels,
+    "poly_intersection": q_poly_intersection,
+    "poly_union": q_poly_union,
+    "poly_concave": q_poly_concave,
+    "poly_union_holes": q_poly_union_holes,
+    "raster_warp": q_raster_warp,
+    "raster_warp_bilinear": q_raster_warp_bilinear,
+    "raster_proximity": q_raster_proximity,
+    "raster_fillnodata": q_raster_fillnodata,
+    "raster_sieve": q_raster_sieve,
+    "polygonize_regions": q_polygonize_regions,
+    "contour_segments": q_contour_segments,
+    "band_stats": q_band_stats,
+    "tile_overviews_avg": q_tile_overviews_avg,
+    "tile_render_geodetic": q_tile_render_geodetic,
+    "geom_linearize": q_geom_linearize,
+    "grid_linear": q_grid_linear,
+    "zonal_frac": q_zonal_frac,
+    # ---- the driver window is the FIRST 50 entries above; the 50th
+    # is zonal_frac ----
+    "raster_warp_stereo": q_raster_warp_stereo,
+    "reproject_utm31": q_reproject_utm31,
+    "raster_value_at_point": q_raster_value_at_point,
+    "media_frame_sample": q_media_frame_sample,
     "geotag_points": q_geotag_points,
     "pip_zones_join": q_pip_zones_join,
     "pip_zones_semi": q_pip_zones_semi,
@@ -2716,7 +2745,6 @@ QUERIES = {
     "knn_nearest_nation": q_knn_nearest_nation,
     "knn_radius_nodata": q_knn_radius_nodata,
     "knn_idw": q_knn_idw,
-    "docs_dedup_exact": q_docs_dedup_exact,
     "docs_lang_id": q_docs_lang_id,
     "emb_cosine_topk": q_emb_cosine_topk,
     "docs_fingerprint": q_docs_fingerprint,
@@ -2728,51 +2756,28 @@ QUERIES = {
     "geom_zone_centroid": q_geom_zone_centroid,
     "geom_convex_hull": q_geom_convex_hull,
     "string_funcs": q_string_funcs,
-    # ---- the driver window is the FIRST 50 entries above; the 50th
-    # is string_funcs (verified against CORRECTNESS_r04's recorded
-    # set) — everything below runs in the full local gate only ----
     "events_props_extract": q_events_props_extract,
     "limit_offset": q_limit_offset,
     "union_concat": q_union_concat,
     "reclassify_tiles": q_reclassify_tiles,
     "grid_idw": q_grid_idw,
-    "checkpoint_partitioned": q_checkpoint_partitioned,
-    "zonal_extended": q_zonal_extended,
-    "raster_pixels": q_raster_pixels,
-    "poly_intersection": q_poly_intersection,
-    "poly_union": q_poly_union,
     "poly_identity": q_poly_identity,
     "poly_symdiff": q_poly_symdiff,
     "poly_clip": q_poly_clip,
     "poly_erase": q_poly_erase,
     "poly_update": q_poly_update,
     "poly_dissolve": q_poly_dissolve,
-    "poly_union_holes": q_poly_union_holes,
     "poly_symdiff_holes": q_poly_symdiff_holes,
-    "poly_concave": q_poly_concave,
-    "raster_warp": q_raster_warp,
-    "raster_warp_bilinear": q_raster_warp_bilinear,
     "raster_warp_cubic": q_raster_warp_cubic,
     "raster_warp_lanczos": q_raster_warp_lanczos,
-    "raster_proximity": q_raster_proximity,
-    "raster_fillnodata": q_raster_fillnodata,
-    "raster_sieve": q_raster_sieve,
-    "polygonize_regions": q_polygonize_regions,
-    "contour_segments": q_contour_segments,
-    "band_stats": q_band_stats,
     "band_histogram": q_band_histogram,
     "tile_checksum": q_tile_checksum,
     "grid_metrics": q_grid_metrics,
-    "grid_linear": q_grid_linear,
     "reproject_albers": q_reproject_albers,
     "reproject_stereo": q_reproject_stereo,
-    "tile_overviews_avg": q_tile_overviews_avg,
     "tile_counts_geodetic": q_tile_counts_geodetic,
-    "tile_render_geodetic": q_tile_render_geodetic,
     "tile_overviews_geodetic": q_tile_overviews_geodetic,
-    "geom_linearize": q_geom_linearize,
     "docs_jaccard_exact": q_docs_jaccard_exact,
-    "geom_buffer_area": q_geom_buffer_area,
     "zonal_weighted": q_zonal_weighted,
     "lineitem_summary": q_lineitem_summary,
     "lineitem_groupby": q_lineitem_groupby,
@@ -2783,12 +2788,7 @@ QUERIES = {
     "events_filter_where": q_events_filter_where,
     "events_filter_like": q_events_filter_like,
     "events_select_expr": q_events_select_expr,
-    "sql_statement": q_sql_statement,
-    "sql_join": q_sql_join,
-    "sql_distinct_having": q_sql_distinct_having,
     "orders_lineitem_join": q_orders_lineitem_join,
-    "events_count_distinct_users": q_events_count_distinct_users,
-    "events_windowed_hourly": q_events_windowed_hourly,
 }
 
 
