@@ -86,6 +86,10 @@ def _st_kernels():
         cx, cy = _gops.wkb_centroid(b)
         return _gwkb.encode_point(cx, cy)
 
+    def geomtype(b):
+        # spatialite convention: upper-case WKT-style type name
+        return _gwkb.decode(b)["type"].upper()
+
     return {
         "gdal_ray_st_area": (area, pa.float64()),
         "gdal_ray_st_x": (xcoord, pa.float64()),
@@ -93,6 +97,11 @@ def _st_kernels():
         "gdal_ray_st_npoints": (npoints, pa.int64()),
         "gdal_ray_st_isvalid": (isvalid, pa.bool_()),
         "gdal_ray_st_centroid": (centroid, pa.binary()),
+        "gdal_ray_st_length": (_gops.wkb_length, pa.float64()),
+        "gdal_ray_st_perimeter": (_gops.wkb_perimeter, pa.float64()),
+        "gdal_ray_st_envelope": (_gops.wkb_envelope, pa.binary()),
+        "gdal_ray_st_geometrytype": (geomtype, pa.string()),
+        "gdal_ray_st_astext": (_gwkb.wkb_to_wkt, pa.string()),
     }
 
 
@@ -157,6 +166,11 @@ _ST_FUNCS = {
     "ST_NPOINTS": "gdal_ray_st_npoints",
     "ST_ISVALID": "gdal_ray_st_isvalid",
     "ST_CENTROID": "gdal_ray_st_centroid",  # composes: ST_X(ST_CENTROID(g))
+    "ST_LENGTH": "gdal_ray_st_length",
+    "ST_PERIMETER": "gdal_ray_st_perimeter",
+    "ST_ENVELOPE": "gdal_ray_st_envelope",
+    "ST_GEOMETRYTYPE": "gdal_ray_st_geometrytype",
+    "ST_ASTEXT": "gdal_ray_st_astext",
 }
 
 _ST_FUNCS2 = {

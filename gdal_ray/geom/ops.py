@@ -68,6 +68,45 @@ def wkb_area(blob: bytes) -> float:
     return total
 
 
+def _path_length(arr: np.ndarray) -> float:
+    d = np.diff(np.asarray(arr, np.float64), axis=0)
+    return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+
+def wkb_length(blob: bytes) -> float:
+    """ST_LENGTH: curve length of LineString/MultiLineString; 0 for
+    points and areal geometries (OGR returns 0 for non-curves)."""
+    g = _wkb.decode(blob)
+    if g["type"] == "LineString":
+        return _path_length(g["coordinates"])
+    if g["type"] == "MultiLineString":
+        return float(sum(_path_length(c) for c in g["coordinates"]))
+    return 0.0
+
+
+def wkb_perimeter(blob: bytes) -> float:
+    """ST_PERIMETER: total ring length (exterior + holes) of areal
+    geometries; 0 otherwise."""
+    g = _wkb.decode(blob)
+    if g["type"] not in ("Polygon", "MultiPolygon"):
+        return 0.0
+    total = 0.0
+    for rings in polygon_rings(g):
+        for ring in rings:
+            total += _path_length(_close(np.asarray(ring)))
+    return total
+
+
+def wkb_envelope(blob: bytes) -> bytes:
+    """ST_ENVELOPE: axis-aligned bounding box as a Polygon."""
+    g = _wkb.decode(blob)
+    pts, _paths = _coord_paths(g)
+    minx, miny = pts[:, 0].min(), pts[:, 1].min()
+    maxx, maxy = pts[:, 0].max(), pts[:, 1].max()
+    return _wkb.box_polygon(float(minx), float(miny),
+                            float(maxx), float(maxy))
+
+
 def wkb_centroid(blob: bytes) -> tuple[float, float]:
     """Area-weighted centroid (holes subtract); point/line → mean of
     vertices (matching GEOS for the degenerate cases we use)."""

@@ -1101,6 +1101,34 @@ def test_st_tier2_functions(ray_session):
     assert out2.to_pydict() == {"i": [True], "c": [False]}
 
 
+def test_st_tier3_measures(ray_session):
+    """ST_LENGTH / ST_PERIMETER / ST_ENVELOPE / ST_GEOMETRYTYPE /
+    ST_ASTEXT (spatialite-tier breadth)."""
+    import pyarrow as pa
+    from gdal_ray.functions.expr import select_batch
+    from gdal_ray.geom import wkb as _wkb
+
+    t = pa.table({
+        "g": pa.array([_wkb.box_polygon(1, 2, 4, 6)], pa.binary()),
+        "l": pa.array([_wkb.encode_linestring([(0, 0), (3, 4),
+                                               (3, 10)])], pa.binary()),
+        "p": pa.array([_wkb.encode_point(2.5, -1.0)], pa.binary()),
+    })
+    out = select_batch(
+        t, "ST_LENGTH(l) AS ll, ST_LENGTH(g) AS lg, "
+           "ST_PERIMETER(g) AS pg, ST_PERIMETER(l) AS pl, "
+           "ST_AREA(ST_ENVELOPE(l)) AS ea, "
+           "ST_GEOMETRYTYPE(g) AS tg, ST_GEOMETRYTYPE(p) AS tp, "
+           "ST_ASTEXT(p) AS wp").to_pydict()
+    assert out["ll"] == [11.0]      # 5 + 6
+    assert out["lg"] == [0.0]       # polygons have no curve length
+    assert out["pg"] == [14.0]      # 2*(3+4)
+    assert out["pl"] == [0.0]
+    assert out["ea"] == [30.0]      # envelope of the line: 3 x 10
+    assert out["tg"] == ["POLYGON"] and out["tp"] == ["POINT"]
+    assert out["wp"] == ["POINT (2.5 -1)"]
+
+
 def test_st_centroid_composition(ray_session):
     import pyarrow as pa
     from gdal_ray.functions.expr import select_batch

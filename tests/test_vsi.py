@@ -132,3 +132,59 @@ def test_retry_filesystem_passthrough_writes(tmp_path):
     out = str(tmp_path / "w.parquet")
     pq.write_table(pa.table({"b": [1, 2]}), out, filesystem=fs)
     assert pq.read_table(out, filesystem=fs).num_rows == 2
+
+
+def test_cached_filesystem_read_through(tmp_path):
+    """VSI cache layer: second read of the same file is served fully
+    from the LRU (zero new base reads), bytes identical."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from gdal_ray.sources.vsi import cached_filesystem
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"a": np.arange(50000),
+                             "b": np.random.rand(50000)}), p)
+    fs, handler = cached_filesystem()
+    t1 = pq.read_table(p, filesystem=fs)
+    misses_after_first = handler.cache.misses
+    t2 = pq.read_table(p, filesystem=fs)
+    assert t1.equals(t2)
+    assert handler.cache.misses == misses_after_first  # all hits
+    assert handler.cache.hits > 0
+
+
+def test_cached_filesystem_lru_bound(tmp_path):
+    """The cache never holds more than its byte budget (strict LRU
+    eviction, cpl_vsil_cache.cpp semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from gdal_ray.sources.vsi import cached_filesystem
+
+    p = str(tmp_path / "big.parquet")
+    pq.write_table(
+        pa.table({"x": [b"\x00" * 1024] * 4096}), p)  # ~4 MB
+    fs, handler = cached_filesystem(cache_bytes=64 * 1024, chunk=16 * 1024)
+    t = pq.read_table(p, filesystem=fs)
+    assert len(t) == 4096
+    assert handler.cache._bytes <= 64 * 1024
+    # re-read still correct after evictions
+    assert pq.read_table(p, filesystem=fs).equals(t)
+
+
+def test_cached_filesystem_composes_with_retry(tmp_path):
+    """Cache handler inherits the retry policy: a flaky base succeeds
+    through backoff and the result lands in the cache."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+    from gdal_ray.sources.vsi import CacheHandler
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"a": np.arange(1000)}), p)
+    flaky = pafs.PyFileSystem(FlakyHandler(fail_n=2))
+    handler = CacheHandler(flaky, max_retry=3, retry_delay=0.001)
+    fs = pafs.PyFileSystem(handler)
+    t = pq.read_table(p, filesystem=fs)
+    assert len(t) == 1000
