@@ -1003,6 +1003,12 @@ def q_docs_lang_id(sf_dir: str):
 
 
 def q_docs_minhash_pairs(sf_dir: str):
+    """MinHash-LSH candidate pairs.  ORACLE (r5 flip): md5 token
+    hashes + HUGEINT arithmetic restate the ENTIRE construction in
+    SQL — 3-shingle combine (< 2^53), the 64 seeded (a·h+b) mod 2^64
+    mod (2^61−1) permutation minima, the per-band base-1000003 fold
+    mod 2^64, and the band-bucket join; exact under the star-cap
+    (measured max bucket 3 at sf0.01)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return _dedup.minhash_candidate_pairs(ds, "doc_id", "text",
@@ -1011,13 +1017,16 @@ def q_docs_minhash_pairs(sf_dir: str):
 
 def q_docs_near_dup_verified(sf_dir: str):
     """Full MinHash-LSH near-dedup: candidate pairs → exact k-shingle
-    Jaccard verify ≥ 0.5 (rows-only: crc32 shingles have no SQL
-    analog; two-stage plan per the dedup survey).  Pair-completeness
-    caveat: LSH buckets above max_bucket emit star topology around the
-    bucket minimum, so a hot-bucket pair may reach verification only
-    via its representative — clusters are preserved (what
-    docs_near_dedup consumes) but the direct pair list is a subset in
-    hot buckets; the exact ground truth is docs_jaccard_exact."""
+    Jaccard verify ≥ 0.5.  ORACLE (r5 flip): the banding SQL of
+    docs_minhash_pairs + string-gram Jaccard with the integer
+    threshold rule 2·|∩| ≥ |∪| (boundary-exact ⟺ j ≥ 0.5) and the RAW
+    i/u double (identical IEEE division both sides).
+    Pair-completeness caveat: LSH buckets above max_bucket emit star
+    topology around the bucket minimum, so a hot-bucket pair may reach
+    verification only via its representative — clusters are preserved
+    (what docs_near_dedup consumes) but the direct pair list is a
+    subset in hot buckets; the exact ground truth is
+    docs_jaccard_exact."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     cands = _dedup.minhash_candidate_pairs(ds, "doc_id", "text",
@@ -1028,8 +1037,9 @@ def q_docs_near_dup_verified(sf_dir: str):
 def q_docs_near_dedup(sf_dir: str):
     """END-TO-END near-dedup: LSH candidates → exact Jaccard verify →
     connected-component cluster collapse (keep smallest doc_id) → the
-    deduplicated corpus (rows-only; exact-dup corpora reduce to exact
-    dedup — pinned in tests/test_stages.py)."""
+    deduplicated corpus.  ORACLE (r5 flip): the full banding+verify
+    SQL + a recursive-CTE transitive closure labelling components,
+    keeping each component's minimum doc_id."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     cands = _dedup.minhash_candidate_pairs(ds, "doc_id", "text",
@@ -2669,8 +2679,9 @@ def q_poly_update(sf_dir: str):
 # and its hardened quantization family, the three rows-only->oracle
 # flips, every query whose PLAN was rewritten this round (fused
 # COUNT(DISTINCT), asof init, sessionize key, rasterize add-dedup,
-# fused contour stitch, dedup/tiling exchanges), the 5 remaining
-# rows-only entries, and the oldest-green r1-r3 families displaced
+# fused contour stitch, dedup/tiling exchanges), the MinHash family
+# (late r5 flips to HUGEINT SQL oracles), the 2 remaining rows-only
+# entries, and the oldest-green r1-r3 families displaced
 # from the r4 window.  Everything below the marker is archived
 # driver-green in CORRECTNESS_r01-r04 and still runs in the full
 # local gate (scripts/mini_driver.py).
@@ -2700,10 +2711,12 @@ QUERIES = {
     "sql_statement": q_sql_statement,
     "sql_join": q_sql_join,
     "events_windowed_hourly": q_events_windowed_hourly,
-    "media_decode_embed": q_media_decode_embed,
+    # MinHash family — r5 LATE flips to HUGEINT SQL oracles
     "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_near_dup_verified": q_docs_near_dup_verified,
     "docs_near_dedup": q_docs_near_dedup,
+    # remaining rows-only pair (driver records the weaker check)
+    "media_decode_embed": q_media_decode_embed,
     "emb_near_dup": q_emb_near_dup,
     "checkpoint_partitioned": q_checkpoint_partitioned,
     "zonal_extended": q_zonal_extended,
@@ -2966,6 +2979,94 @@ _ALG_ORACLES = {
         FROM garea a
     """,
 }
+
+
+def _minhash_params_values() -> str:
+    """The 64 seeded (a, b) permutation constants as SQL VALUES —
+    numpy RandomState(1) is the engine's own source; the oracle takes
+    them as literals (public constants of the pipeline, like the zone
+    ring VALUES)."""
+    a, b = _textfn.minhash_params(64, 1)
+    return ",".join(f"({j},{int(a[j])},{int(b[j])})" for j in range(64))
+
+
+# shared MinHash banding CTEs (ends at mbands(doc_id, band_id, bh)):
+# md5 token hashes, 3-shingle combine (< 2^53, exact in BIGINT), the
+# (a·h+b) mod 2^64 mod (2^61−1) permutation minima in HUGEINT, and
+# the per-band base-1000003 fold mod 2^64 — every step integer-exact
+# on both engines.  All-pairs within a band bucket is exact while
+# buckets stay under the star-cap (measured max 3 at sf0.01).
+_MINHASH_BANDS_SQL = r"""params(j, pa, pb) AS (VALUES {PARAMS}),
+    mlists AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(COALESCE(text, '')),
+                                            '\s+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    mhl AS (
+      SELECT doc_id,
+             list_transform(tk, t -> CAST(('0x' || substr(md5(t), 1, 8))
+                                          AS BIGINT)) AS hs
+      FROM mlists),
+    msh AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) = 0 THEN [CAST(0 AS BIGINT)]
+                  WHEN len(hs) < 3 THEN hs
+                  ELSE list_transform(range(1, len(hs) - 1),
+                      i -> hs[i] * 1000003 + hs[i + 1] * 999983
+                           + hs[i + 2] * 31337)
+             END AS shingles
+      FROM mhl),
+    msrows AS (SELECT doc_id, unnest(shingles) AS s FROM msh),
+    msig AS (
+      SELECT doc_id, j,
+             MIN(CAST((CAST(s AS HUGEINT) * pa + pb)
+                      % CAST('18446744073709551616' AS HUGEINT)
+                      % 2305843009213693951 AS BIGINT)) AS m
+      FROM msrows CROSS JOIN params GROUP BY doc_id, j),
+    mbands AS (
+      SELECT doc_id, CAST(j // 4 AS INTEGER) AS band_id,
+             CAST(SUM(CAST(m AS HUGEINT) *
+                  (CASE CAST(j % 4 AS INTEGER)
+                     WHEN 0 THEN CAST(1000009000027000027 AS HUGEINT)
+                     WHEN 1 THEN CAST(1000006000009 AS HUGEINT)
+                     WHEN 2 THEN CAST(1000003 AS HUGEINT)
+                     ELSE CAST(1 AS HUGEINT) END))
+                  % CAST('18446744073709551616' AS HUGEINT)
+                  AS VARCHAR) AS bh
+      FROM msig GROUP BY doc_id, band_id)"""
+
+_MINHASH_PAIRS_SQL = """mpairs AS (
+      SELECT DISTINCT x.doc_id AS key_a, y.doc_id AS key_b
+      FROM mbands x JOIN mbands y
+        ON x.band_id = y.band_id AND x.bh = y.bh
+       AND x.doc_id < y.doc_id)"""
+
+# exact 3-gram Jaccard over candidate pairs (string grams — the
+# docs_jaccard_exact construction; the engine's hash-set Jaccard is
+# equal while the 32-bit token hashes are collision-free on the
+# corpus, the same assumption docs_jaccard_exact already validates)
+_MINHASH_VERIFY_SQL = r"""mg AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))
+                 AS gram
+      FROM mlists),
+    msizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+               FROM mg GROUP BY 1),
+    minter AS (SELECT p.key_a, p.key_b,
+                      CAST(count(*) AS BIGINT) AS i
+               FROM mpairs p
+               JOIN mg a ON a.doc_id = p.key_a
+               JOIN mg b ON b.doc_id = p.key_b AND a.gram = b.gram
+               GROUP BY 1, 2),
+    mverified AS (
+      SELECT i.key_a, i.key_b,
+             CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+      FROM minter i JOIN msizes sa ON sa.doc_id = i.key_a
+                    JOIN msizes sb ON sb.doc_id = i.key_b
+      WHERE 2 * i.i >= (sa.n + sb.n - i.i))"""
 
 
 # shared SimHash construction CTEs (ends at sim(doc_id, sv)) — used by
@@ -4984,6 +5085,44 @@ _SIMPLIFY_IDX = ",".join(
         [0, 7, 15, 22, 30, 38, 45, 53, 60, 67, 75, 82, 90, 98, 105, 113]))
 for _k in ("docs_simhash", "docs_simhash_pairs"):
     ORACLES[_k] = ORACLES[_k].replace("{SIMHASH}", _SIMHASH_SQL)
+
+_MINHASH_PREFIX = _MINHASH_BANDS_SQL.replace(
+    "{PARAMS}", _minhash_params_values())
+
+ORACLES["docs_minhash_pairs"] = f"""
+    WITH {_MINHASH_PREFIX},
+    {_MINHASH_PAIRS_SQL}
+    SELECT key_a, key_b FROM mpairs
+"""
+
+ORACLES["docs_near_dup_verified"] = f"""
+    WITH {_MINHASH_PREFIX},
+    {_MINHASH_PAIRS_SQL},
+    {_MINHASH_VERIFY_SQL}
+    SELECT key_a, key_b, jaccard FROM mverified
+"""
+
+# end-to-end near-dedup: verified pairs → connected components by
+# transitive closure (the corpus pair graph is O(dups) nodes — the
+# recursive-CTE flood pattern of the polygonize oracle) → keep the
+# component minimum; output = the surviving corpus
+ORACLES["docs_near_dedup"] = f"""
+    WITH RECURSIVE {_MINHASH_PREFIX},
+    {_MINHASH_PAIRS_SQL},
+    {_MINHASH_VERIFY_SQL},
+    medges AS (SELECT key_a AS a, key_b AS b FROM mverified
+               UNION ALL
+               SELECT key_b, key_a FROM mverified),
+    mreach(s, n) AS (
+        SELECT a, b FROM medges
+        UNION
+        SELECT r.s, e.b FROM mreach r JOIN medges e ON r.n = e.a),
+    mlabel AS (SELECT n AS doc_id, LEAST(MIN(s), n) AS lab
+               FROM mreach GROUP BY n)
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM mlabel
+                           WHERE lab < doc_id)
+"""
 
 ORACLES["geom_buffer_simplify"] = f"""
     WITH pts AS ({_PTS_SQL}),

@@ -123,7 +123,14 @@ def dedup_exact(ds, key="url", order_col: str | None = "warc_ts",
 
 class MinHasher:
     """Actor callable: text → MinHash signature columns (one row per
-    (doc, band)).  Permutation params fixed per pool (seeded)."""
+    (doc, band)).  Permutation params fixed per pool (seeded).
+
+    Shingles are md5-token-based (functions/text.py:
+    md5_shingle_hashes) and every arithmetic step — (a·h+b) mod 2^64
+    mod (2^61−1), then the per-band base-1000003 fold mod 2^64 —
+    restates exactly in DuckDB HUGEINT, which is what lets
+    docs_minhash_pairs / docs_near_dup_verified / docs_near_dedup
+    carry value-checked SQL oracles (r5)."""
 
     def __init__(self, key_col: str = "doc_id", text_col: str = "text",
                  num_perm: int = 64, bands: int = 16, shingle_k: int = 3,
@@ -139,7 +146,7 @@ class MinHasher:
         texts = batch[self.text_col].to_pylist()
         sig = np.empty((len(texts), self.num_perm), dtype=np.uint64)
         for i, t in enumerate(texts):
-            sh = _text.shingle_hashes(t or "", self.k)
+            sh = _text.md5_shingle_hashes(t or "", self.k)
             sig[i] = _text.minhash_signature(sh, self.a, self.b)
         return sig
 
@@ -449,8 +456,11 @@ def jaccard_verify_pairs(ds, pairs_ds, key_col: str = "doc_id",
         return pa.table({
             "key_a": g["key_a"].take(sel).combine_chunks(),
             "key_b": g["key_b"].take(sel).combine_chunks(),
-            "jaccard": pa.array(np.round(jac[pid[first]], 6),
-                                pa.float64()),
+            # RAW double, not round(·, 6): i/u is the identical IEEE
+            # division on both engines (the oracle emits the same),
+            # and rounding first would admit j in [0.4999995, 0.5)
+            # that the integer threshold rule 2i >= u rejects
+            "jaccard": pa.array(jac[pid[first]], pa.float64()),
         })
 
     verified = attached.map_batches(pair_bucket, batch_format="pyarrow") \

@@ -224,7 +224,9 @@ def test_jaccard_verify_pairs(ray_session):
     }))
     out = jaccard_verify_pairs(docs, pairs, threshold=0.5).to_pandas()
     assert set(zip(out["key_a"], out["key_b"])) == {(1, 2)}
-    expect = round(ngram_jaccard(near, near2, 3), 6)
+    # raw double (r5: rounding dropped — engine value is the identical
+    # IEEE i/u division the SQL oracle emits)
+    expect = ngram_jaccard(near, near2, 3)
     assert out["jaccard"].iloc[0] == expect
 
 
