@@ -2269,6 +2269,122 @@ def q_raster_fillnodata(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def _dem_q_summarize(cols):
+    """Per-tile floor(f32·256 + 0.5) sums of one or more focal
+    output grids (the house float-kernel quantization)."""
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        out = {"z": b["z"], "x": b["x"], "y": b["y"]}
+        for col, name in cols:
+            sums = []
+            for blob in b[col].to_pylist():
+                g = np.frombuffer(_z.decompress(blob), dtype="<f4") \
+                    .astype(np.float64)
+                sums.append(int(np.floor(g * 256.0 + 0.5).sum()))
+            out[name] = pa.array(sums, pa.int64())
+        return pa.table(out)
+    return summarize
+
+
+def q_dem_hillshade(sf_dir: str):
+    """gdaldem hillshade (GDALHillshadeAlg, apps/gdaldem_lib.cpp:1016;
+    Horn gradient, az 315 alt 45, unit north-up geotransform) over the
+    z3 count mosaic: per-tile quantized shade sums.  ORACLE: SQL
+    pivots the 9-slot window of every pixel within one px of a nonzero
+    value (one contribution scan + slot pivot), replays the identical
+    one-sqrt cang algebra, and fills unaffected pixels with the flat
+    shade 1 + 254·sin(alt); f32-cast half-up quantization both
+    sides."""
+    from ..stages.dem import hillshade
+
+    out = hillshade(_rendered_tiles(sf_dir, 3))
+    return out.map_batches(_dem_q_summarize([("hillshade", "shade_q_sum")]),
+                           batch_format="pyarrow")
+
+
+def q_dem_slope_aspect(sf_dir: str):
+    """gdaldem slope (degrees + percent, GDALSlopeHornAlg,
+    gdaldem_lib.cpp:1366) and aspect-as-azimuth (GDALAspectAlg, :1440,
+    flat -> -9999) over the z3 count mosaic, one halo exchange
+    feeding three planes: per-tile quantized sums + non-flat pixel
+    count.  Flat pixels quantize to 0 for both slope formats, so the
+    SQL only evaluates windows near nonzero values; aspect sums skip
+    flat pixels."""
+    from ..stages.dem import slope_aspect
+
+    out = slope_aspect(_rendered_tiles(sf_dir, 3))
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        sd, sp, aq, nf = [], [], [], []
+        for dblob, pblob, ablob in zip(b["slope_deg"].to_pylist(),
+                                       b["slope_pct"].to_pylist(),
+                                       b["aspect"].to_pylist()):
+            d = np.frombuffer(_z.decompress(dblob), dtype="<f4") \
+                .astype(np.float64)
+            p = np.frombuffer(_z.decompress(pblob), dtype="<f4") \
+                .astype(np.float64)
+            a = np.frombuffer(_z.decompress(ablob), dtype="<f4") \
+                .astype(np.float64)
+            nonflat = a != -9999.0
+            sd.append(int(np.floor(d * 256.0 + 0.5).sum()))
+            sp.append(int(np.floor(p * 256.0 + 0.5).sum()))
+            aq.append(int(np.floor(a[nonflat] * 256.0 + 0.5).sum()))
+            nf.append(int(nonflat.sum()))
+        return pa.table({"z": b["z"], "x": b["x"], "y": b["y"],
+                         "slope_deg_q": pa.array(sd, pa.int64()),
+                         "slope_pct_q": pa.array(sp, pa.int64()),
+                         "aspect_q": pa.array(aq, pa.int64()),
+                         "n_nonflat": pa.array(nf, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_dem_terrain(sf_dir: str):
+    """gdaldem TRI (Riley :2332 + Wilson :2316), TPI (:2352) and
+    roughness (:2367) over the z3 count mosaic — four planes off one
+    halo exchange; per-tile quantized sums (all four are 0 on flat
+    ground, so the SQL evaluates only near-value windows)."""
+    from ..stages.dem import terrain_indices
+
+    out = terrain_indices(_rendered_tiles(sf_dir, 3))
+    return out.map_batches(
+        _dem_q_summarize([("tri_riley", "tri_riley_q"),
+                          ("tri_wilson", "tri_wilson_q"),
+                          ("tpi", "tpi_q"),
+                          ("roughness", "rough_q")]),
+        batch_format="pyarrow")
+
+
+_DEM_RAMP = ((0, 10, 20, 60), (1, 40, 90, 120), (4, 120, 200, 140),
+             (12, 250, 240, 190), (40, 255, 255, 255))
+
+
+def q_dem_color_relief(sf_dir: str):
+    """gdaldem color-relief (GDALColorReliefGetRGBA interpolation,
+    gdaldem_lib.cpp:1640-1795) of the z3 count mosaic through a
+    5-entry ramp: per-tile r/g/b sums.  Pointwise — no halo.  ORACLE:
+    SQL replays the piecewise-linear half-up interpolation per
+    distinct count and fills zero pixels with the ramp's 0 entry."""
+    from ..stages.dem import color_relief
+
+    out = color_relief(_rendered_tiles(sf_dir, 3), _DEM_RAMP)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        sums = {"r": [], "g": [], "b": []}
+        for ch in ("r", "g", "b"):
+            for blob in b[ch].to_pylist():
+                g = np.frombuffer(_z.decompress(blob), dtype=np.uint8)
+                sums[ch].append(int(g.astype(np.int64).sum()))
+        return pa.table({"z": b["z"], "x": b["x"], "y": b["y"],
+                         "r_sum": pa.array(sums["r"], pa.int64()),
+                         "g_sum": pa.array(sums["g"], pa.int64()),
+                         "b_sum": pa.array(sums["b"], pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_raster_sieve(sf_dir: str):
     """GDALSieveFilter over the z2 count raster (threshold 3): per-tile
     nonzero/footprint summary after sieving.  Oracle: on this fixture
@@ -2740,6 +2856,10 @@ QUERIES = {
     "zonal_frac": q_zonal_frac,
     # ---- the driver window is the FIRST 50 entries above; the 50th
     # is zonal_frac ----
+    "dem_hillshade": q_dem_hillshade,
+    "dem_slope_aspect": q_dem_slope_aspect,
+    "dem_terrain": q_dem_terrain,
+    "dem_color_relief": q_dem_color_relief,
     "raster_warp_stereo": q_raster_warp_stereo,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,
@@ -4574,6 +4694,196 @@ ORACLES["raster_proximity"] = f"""
            CAST(round(16.0 * 65536 - COALESCE(c.saved, 0), 0) AS BIGINT)
                AS dist_sum
     FROM tiles t2 LEFT JOIN cov c ON t2.tx = c.tx AND t2.ty = c.ty
+"""
+
+# gdaldem oracles: shared 3x3-window pivot — every value contributes
+# to the 9 windows it sits in (slot k of center (gx-(k%3)+1,
+# gy-(k//3)+1), the afWin layout); windows never touching a value are
+# flat and accounted in closed form per tile.
+_DEM_WIN_SQL = """
+    vals AS (SELECT gx, gy, count(*) AS n FROM t GROUP BY 1, 2),
+    tiles AS (SELECT DISTINCT gx // 256 AS tx, gy // 256 AS ty FROM t),
+    k9 AS (SELECT unnest(generate_series(0, 8)) AS k),
+    contrib AS (SELECT v.gx - (k.k % 3) + 1 AS px,
+                       v.gy - (k.k // 3) + 1 AS py,
+                       k.k AS slot, v.n
+                FROM vals v, k9 k),
+    win AS (SELECT px, py,
+                   SUM(CASE WHEN slot = 0 THEN n ELSE 0 END) AS w0,
+                   SUM(CASE WHEN slot = 1 THEN n ELSE 0 END) AS w1,
+                   SUM(CASE WHEN slot = 2 THEN n ELSE 0 END) AS w2,
+                   SUM(CASE WHEN slot = 3 THEN n ELSE 0 END) AS w3,
+                   SUM(CASE WHEN slot = 4 THEN n ELSE 0 END) AS w4,
+                   SUM(CASE WHEN slot = 5 THEN n ELSE 0 END) AS w5,
+                   SUM(CASE WHEN slot = 6 THEN n ELSE 0 END) AS w6,
+                   SUM(CASE WHEN slot = 7 THEN n ELSE 0 END) AS w7,
+                   SUM(CASE WHEN slot = 8 THEN n ELSE 0 END) AS w8
+            FROM contrib
+            WHERE px BETWEEN 0 AND 2047 AND py BETWEEN 0 AND 2047
+            GROUP BY 1, 2),
+    winh AS (SELECT w.*,
+                    CAST((w0 + 2*w3 + w6) - (w2 + 2*w5 + w8)
+                         AS DOUBLE) AS hx,
+                    -CAST((w6 + 2*w7 + w8) - (w0 + 2*w1 + w2)
+                          AS DOUBLE) AS hy
+             FROM win w
+             JOIN tiles ON w.px // 256 = tiles.tx
+                       AND w.py // 256 = tiles.ty)
+"""
+
+# hillshade: the one-sqrt Horn algebra (az 315, alt 45, z=1, res=1);
+# flat fill = 1 + 254*sin(alt) over unaffected pixels
+ORACLES["dem_hillshade"] = f"""
+    WITH {_PIXEL11_SQL},
+    {_DEM_WIN_SQL},
+    pix AS (SELECT px // 256 AS tx, py // 256 AS ty,
+              CAST(floor(CAST(
+                (CASE WHEN c254 <= 0.0 THEN 1.0 ELSE 1.0 + c254 END)
+                AS REAL) * 256.0 + 0.5) AS BIGINT) AS q
+            FROM (SELECT px, py,
+                    (254.0*sin(radians(45.0))
+                     - (hy * (254.0*cos(radians(315.0))
+                              *cos(radians(45.0))*(1.0/8.0))
+                        - hx * (254.0*sin(radians(315.0))
+                                *cos(radians(45.0))*(1.0/8.0))))
+                    / sqrt(1.0 + 0.015625*(hx*hx + hy*hy)) AS c254
+                  FROM winh)),
+    agg AS (SELECT tx, ty, sum(q) AS qs, count(*) AS nc
+            FROM pix GROUP BY 1, 2),
+    flatq AS (SELECT CAST(floor(CAST(
+                 1.0 + 254.0*sin(radians(45.0)) AS REAL)
+                 * 256.0 + 0.5) AS BIGINT) AS fq)
+    SELECT CAST(3 AS INTEGER) AS z, t.tx AS x, t.ty AS y,
+           CAST((SELECT fq FROM flatq) * (65536 - COALESCE(a.nc, 0))
+                + COALESCE(a.qs, 0) AS BIGINT) AS shade_q_sum
+    FROM tiles t LEFT JOIN agg a ON t.tx = a.tx AND t.ty = a.ty
+"""
+
+# slope degrees/percent (Horn) + aspect azimuth; flat pixels quantize
+# to 0 for slope and are excluded from the aspect sum
+ORACLES["dem_slope_aspect"] = f"""
+    WITH {_PIXEL11_SQL},
+    {_DEM_WIN_SQL},
+    pix AS (SELECT px // 256 AS tx, py // 256 AS ty,
+              CAST(floor(CAST(degrees(atan(sqrt(hx*hx + hy*hy)/8.0))
+                   AS REAL) * 256.0 + 0.5) AS BIGINT) AS sdq,
+              CAST(floor(CAST((100.0/8.0)*sqrt(hx*hx + hy*hy)
+                   AS REAL) * 256.0 + 0.5) AS BIGINT) AS spq,
+              (dxa = 0 AND dya = 0) AS flat,
+              CASE WHEN dxa = 0 AND dya = 0 THEN 0
+                   ELSE CAST(floor(CAST(
+                     CASE WHEN az360 = 360.0 THEN 0.0 ELSE az360 END
+                     AS REAL) * 256.0 + 0.5) AS BIGINT) END AS aq
+            FROM (SELECT px, py, hx, hy, dxa, dya,
+                    CASE WHEN degrees(atan2(CAST(dya AS DOUBLE),
+                                            CAST(-dxa AS DOUBLE)))
+                              > 90.0
+                         THEN 450.0 - degrees(atan2(
+                                CAST(dya AS DOUBLE),
+                                CAST(-dxa AS DOUBLE)))
+                         ELSE 90.0 - degrees(atan2(
+                                CAST(dya AS DOUBLE),
+                                CAST(-dxa AS DOUBLE))) END AS az360
+                  FROM (SELECT px, py, hx, hy,
+                          (w2 + 2*w5 + w8) - (w0 + 2*w3 + w6) AS dxa,
+                          (w6 + 2*w7 + w8) - (w0 + 2*w1 + w2) AS dya
+                        FROM winh))),
+    agg AS (SELECT tx, ty, sum(sdq) AS sd, sum(spq) AS sp,
+                   sum(aq) AS aqs,
+                   sum(CASE WHEN flat THEN 0 ELSE 1 END) AS nf
+            FROM pix GROUP BY 1, 2)
+    SELECT CAST(3 AS INTEGER) AS z, t.tx AS x, t.ty AS y,
+           COALESCE(a.sd, 0) AS slope_deg_q,
+           COALESCE(a.sp, 0) AS slope_pct_q,
+           COALESCE(a.aqs, 0) AS aspect_q,
+           COALESCE(a.nf, 0) AS n_nonflat
+    FROM tiles t LEFT JOIN agg a ON t.tx = a.tx AND t.ty = a.ty
+"""
+
+# TRI Riley/Wilson, TPI, roughness — all 0 on flat ground
+ORACLES["dem_terrain"] = f"""
+    WITH {_PIXEL11_SQL},
+    {_DEM_WIN_SQL},
+    pix AS (SELECT px // 256 AS tx, py // 256 AS ty,
+              CAST(floor(CAST(sqrt(CAST(
+                  (w0-w4)*(w0-w4) + (w1-w4)*(w1-w4) + (w2-w4)*(w2-w4)
+                + (w3-w4)*(w3-w4) + (w5-w4)*(w5-w4) + (w6-w4)*(w6-w4)
+                + (w7-w4)*(w7-w4) + (w8-w4)*(w8-w4) AS DOUBLE))
+                AS REAL) * 256.0 + 0.5) AS BIGINT) AS trq,
+              CAST(floor(CAST(CAST(
+                  abs(w0-w4) + abs(w1-w4) + abs(w2-w4) + abs(w3-w4)
+                + abs(w5-w4) + abs(w6-w4) + abs(w7-w4) + abs(w8-w4)
+                AS DOUBLE) * 0.125 AS REAL) * 256.0 + 0.5)
+                AS BIGINT) AS twq,
+              CAST(floor(CAST(CAST(w4 AS DOUBLE)
+                - CAST(w0+w1+w2+w3+w5+w6+w7+w8 AS DOUBLE) * 0.125
+                AS REAL) * 256.0 + 0.5) AS BIGINT) AS tpq,
+              CAST(floor(CAST(CAST(
+                  greatest(w0,w1,w2,w3,w4,w5,w6,w7,w8)
+                - least(w0,w1,w2,w3,w4,w5,w6,w7,w8) AS DOUBLE)
+                AS REAL) * 256.0 + 0.5) AS BIGINT) AS roq
+            FROM winh),
+    agg AS (SELECT tx, ty, sum(trq) AS tr, sum(twq) AS tw,
+                   sum(tpq) AS tp, sum(roq) AS ro
+            FROM pix GROUP BY 1, 2)
+    SELECT CAST(3 AS INTEGER) AS z, t.tx AS x, t.ty AS y,
+           COALESCE(a.tr, 0) AS tri_riley_q,
+           COALESCE(a.tw, 0) AS tri_wilson_q,
+           COALESCE(a.tp, 0) AS tpi_q,
+           COALESCE(a.ro, 0) AS rough_q
+    FROM tiles t LEFT JOIN agg a ON t.tx = a.tx AND t.ty = a.ty
+"""
+
+# color relief: piecewise-linear ramp with half-up int rounding and
+# end-color clamping; zero pixels take the ramp's 0 entry
+ORACLES["dem_color_relief"] = f"""
+    WITH {_PIXEL11_SQL},
+    vals AS (SELECT gx, gy, count(*) AS n FROM t GROUP BY 1, 2),
+    tiles AS (SELECT DISTINCT gx // 256 AS tx, gy // 256 AS ty FROM t),
+    ramp(v, r, g, b) AS (VALUES
+        (0, 10, 20, 60), (1, 40, 90, 120), (4, 120, 200, 140),
+        (12, 250, 240, 190), (40, 255, 255, 255)),
+    dv AS (SELECT DISTINCT n FROM vals),
+    seg AS (SELECT dv.n,
+              (SELECT max(v) FROM ramp WHERE v <= dv.n) AS vlo,
+              (SELECT min(v) FROM ramp WHERE v >= dv.n) AS vhi
+            FROM dv),
+    col AS (SELECT s.n,
+              CASE WHEN s.vhi IS NULL THEN 255
+                   WHEN s.vlo = s.vhi THEN rl.r
+                   ELSE CAST(least(greatest(floor(
+                     0.5 + rl.r + (CAST(s.n - s.vlo AS DOUBLE)
+                                   / (s.vhi - s.vlo)) * (rh.r - rl.r)),
+                     0), 255) AS BIGINT) END AS cr,
+              CASE WHEN s.vhi IS NULL THEN 255
+                   WHEN s.vlo = s.vhi THEN rl.g
+                   ELSE CAST(least(greatest(floor(
+                     0.5 + rl.g + (CAST(s.n - s.vlo AS DOUBLE)
+                                   / (s.vhi - s.vlo)) * (rh.g - rl.g)),
+                     0), 255) AS BIGINT) END AS cg,
+              CASE WHEN s.vhi IS NULL THEN 255
+                   WHEN s.vlo = s.vhi THEN rl.b
+                   ELSE CAST(least(greatest(floor(
+                     0.5 + rl.b + (CAST(s.n - s.vlo AS DOUBLE)
+                                   / (s.vhi - s.vlo)) * (rh.b - rl.b)),
+                     0), 255) AS BIGINT) END AS cb
+            FROM seg s
+            LEFT JOIN ramp rl ON rl.v = s.vlo
+            LEFT JOIN ramp rh ON rh.v = s.vhi),
+    pert AS (SELECT v.gx // 256 AS tx, v.gy // 256 AS ty,
+                    c.cr, c.cg, c.cb
+             FROM vals v JOIN col c ON v.n = c.n),
+    agg AS (SELECT tx, ty, sum(cr) AS sr, sum(cg) AS sg,
+                   sum(cb) AS sb, count(*) AS nc
+            FROM pert GROUP BY 1, 2)
+    SELECT CAST(3 AS INTEGER) AS z, t.tx AS x, t.ty AS y,
+           CAST(COALESCE(a.sr, 0)
+                + 10 * (65536 - COALESCE(a.nc, 0)) AS BIGINT) AS r_sum,
+           CAST(COALESCE(a.sg, 0)
+                + 20 * (65536 - COALESCE(a.nc, 0)) AS BIGINT) AS g_sum,
+           CAST(COALESCE(a.sb, 0)
+                + 60 * (65536 - COALESCE(a.nc, 0)) AS BIGINT) AS b_sum
+    FROM tiles t LEFT JOIN agg a ON t.tx = a.tx AND t.ty = a.ty
 """
 
 # warp oracle: z=2, source pixel grid = z10 (1024²), dest = 4×4 tile

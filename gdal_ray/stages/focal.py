@@ -112,9 +112,16 @@ def _assemble(rows, halo: int):
 def focal_map(tiles_ds, halo: int, kernel, out_col: str = "raster_f32",
               n_buckets: int | None = None):
     """Halo exchange + per-tile kernel.  Output rows: (z, x, y,
-    ``out_col``) with the kernel's float32 grid zlib-compressed."""
+    ``out_col``) with the kernel's float32 grid zlib-compressed.
+    ``out_col`` may be a list of names, in which case the kernel
+    returns a (k, 256, 256) stack and each plane lands in its own
+    binary column — one exchange feeds k derived grids (the gdaldem
+    multi-product pattern, stages/dem.py)."""
     if halo <= 0:
         raise ValueError(f"halo must be positive, got {halo}")
+    cols = list(out_col) if isinstance(out_col, (list, tuple)) \
+        else [out_col]
+    single = not isinstance(out_col, (list, tuple))
     from ._pool import cluster_cpus
     B = n_buckets or max(16, cluster_cpus() * 2)
 
@@ -139,7 +146,9 @@ def focal_map(tiles_ds, halo: int, kernel, out_col: str = "raster_f32",
         ds_ = dest[order]
         starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
         ends = np.r_[starts[1:], len(ds_)]
-        out = {"z": [], "x": [], "y": [], out_col: []}
+        out = {"z": [], "x": [], "y": []}
+        for c in cols:
+            out[c] = []
         for s, e in zip(starts, ends):
             rows = order[s:e]
             key = int(ds_[s])
@@ -148,16 +157,23 @@ def focal_map(tiles_ds, halo: int, kernel, out_col: str = "raster_f32",
                              for r in rows], halo)
             if pad is None:
                 continue
-            res = np.asarray(kernel(pad, halo), dtype="<f4")
+            res = kernel(pad, halo)
+            planes = [res] if single else list(res)
+            if len(planes) != len(cols):
+                raise ValueError(
+                    f"kernel returned {len(planes)} planes for "
+                    f"{len(cols)} out_cols")
             out["z"].append(int(zz[rows[0]]))
             out["x"].append(key >> 28)
             out["y"].append(key & ((1 << 28) - 1))
-            out[out_col].append(zlib.compress(res.tobytes(), 6))
+            for c, grid in zip(cols, planes):
+                out[c].append(zlib.compress(
+                    np.asarray(grid, dtype="<f4").tobytes(), 6))
         return pa.table({
             "z": pa.array(out["z"], pa.int32()),
             "x": pa.array(out["x"], pa.int64()),
             "y": pa.array(out["y"], pa.int64()),
-            out_col: pa.array(out[out_col], pa.binary()),
+            **{c: pa.array(out[c], pa.binary()) for c in cols},
         })
 
     return emit.groupby("bucket").map_groups(per_bucket,
