@@ -2356,6 +2356,26 @@ def q_dem_terrain(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_dem_hillshade_variants(sf_dir: str):
+    """gdaldem hillshade -combined / -multidirectional / -igor
+    (GDALHillshadeCombinedAlg :1151, GDALHillshadeMultiDirectionalAlg
+    :1228 with the USGS OF 92-422 sin² weights, GDALHillshadeIgorAlg
+    :948 — apps/gdaldem_lib.cpp) over the z3 count mosaic: three
+    planes off one halo exchange, per-tile quantized sums.  ORACLE:
+    SQL replays each formula (acos/atan, the four-azimuth weighted
+    blend, the fmod angle-difference) on the pivoted windows; flat
+    fills are closed-form (255 for combined/igor, 1+254·sin(alt)
+    for multidirectional)."""
+    from ..stages.dem import hillshade_variants
+
+    out = hillshade_variants(_rendered_tiles(sf_dir, 3))
+    return out.map_batches(
+        _dem_q_summarize([("combined", "combined_q"),
+                          ("multidir", "multidir_q"),
+                          ("igor", "igor_q")]),
+        batch_format="pyarrow")
+
+
 _DEM_RAMP = ((0, 10, 20, 60), (1, 40, 90, 120), (4, 120, 200, 140),
              (12, 250, 240, 190), (40, 255, 255, 255))
 
@@ -2857,6 +2877,7 @@ QUERIES = {
     # ---- the driver window is the FIRST 50 entries above; the 50th
     # is zonal_frac ----
     "dem_hillshade": q_dem_hillshade,
+    "dem_hillshade_variants": q_dem_hillshade_variants,
     "dem_slope_aspect": q_dem_slope_aspect,
     "dem_terrain": q_dem_terrain,
     "dem_color_relief": q_dem_color_relief,
@@ -4756,6 +4777,100 @@ ORACLES["dem_hillshade"] = f"""
     SELECT CAST(3 AS INTEGER) AS z, t.tx AS x, t.ty AS y,
            CAST((SELECT fq FROM flatq) * (65536 - COALESCE(a.nc, 0))
                 + COALESCE(a.qs, 0) AS BIGINT) AS shade_q_sum
+    FROM tiles t LEFT JOIN agg a ON t.tx = a.tx AND t.ty = a.ty
+"""
+
+# hillshade variants: combined (acos·atan damping), multidirectional
+# (four-azimuth sin² blend), igor (slope×aspect shadow strength);
+# flat fills: 255 (combined/igor), 1+254·sin(alt) (multidirectional)
+ORACLES["dem_hillshade_variants"] = f"""
+    WITH {_PIXEL11_SQL},
+    {_DEM_WIN_SQL},
+    expr AS (SELECT px, py, hx, hy,
+               (hx*hx + hy*hy)*0.015625 AS slope,
+               hx*hx + hy*hy AS xxyy,
+               sin(radians(45.0))
+                 - (hy * (cos(radians(315.0))*cos(radians(45.0))
+                          *(1.0/8.0))
+                    - hx * (sin(radians(315.0))*cos(radians(45.0))
+                            *(1.0/8.0))) AS num,
+               (w2 + 2*w5 + w8) - (w0 + 2*w3 + w6) AS dxa,
+               (w6 + 2*w7 + w8) - (w0 + 2*w1 + w2) AS dya
+             FROM winh),
+    stage2 AS (SELECT px, py, hx, hy, slope, xxyy, dxa, dya,
+               1.0 - acos(least(greatest(num/sqrt(1.0 + slope), -1.0),
+                                1.0))
+                   * atan(sqrt(slope)) * (1.0/((pi()*pi())/4.0))
+                   AS cang,
+               greatest(127.0*sin(radians(45.0))
+                 + (hx - hy)*(127.0*cos(radians(225.0))
+                              *(cos(radians(45.0))*(1.0/8.0))),
+                 0.0) AS v225,
+               greatest(127.0*sin(radians(45.0))
+                 - hx*(127.0*(cos(radians(45.0))*(1.0/8.0))),
+                 0.0) AS v270,
+               greatest(127.0*sin(radians(45.0))
+                 + (hx + hy)*(127.0*cos(radians(225.0))
+                              *(cos(radians(45.0))*(1.0/8.0))),
+                 0.0) AS v315,
+               greatest(127.0*sin(radians(45.0))
+                 - hy*(127.0*(cos(radians(45.0))*(1.0/8.0))),
+                 0.0) AS v360,
+               degrees(atan(sqrt(hx*hx + hy*hy)*0.125)) AS slope_deg,
+               CASE WHEN atan2(CAST(dya AS DOUBLE),
+                               CAST(-dxa AS DOUBLE)) < 0.0
+                    THEN atan2(CAST(dya AS DOUBLE),
+                               CAST(-dxa AS DOUBLE)) + 2.0*pi()
+                    ELSE atan2(CAST(dya AS DOUBLE),
+                               CAST(-dxa AS DOUBLE)) END AS na1
+             FROM expr),
+    stage3 AS (SELECT px, py, xxyy, cang, slope_deg,
+               CASE WHEN cang <= 0.0 THEN 1.0
+                    ELSE 1.0 + 254.0*cang END AS comb,
+               CASE WHEN xxyy = 0.0
+                    THEN 1.0 + 254.0*sin(radians(45.0))
+                    ELSE 1.0 + (((0.5*xxyy - hx*hy)*v225
+                                 + (hx*hx)*v270
+                                 + (xxyy - (0.5*xxyy - hx*hy))*v315
+                                 + (hy*hy)*v360) / xxyy)
+                         / sqrt(1.0 + 0.015625*xxyy) END AS md,
+               abs(na1
+                 - (CASE WHEN fmod(1.5*pi() - radians(315.0),
+                                   2.0*pi()) < 0.0
+                         THEN fmod(1.5*pi() - radians(315.0),
+                                   2.0*pi()) + 2.0*pi()
+                         ELSE fmod(1.5*pi() - radians(315.0),
+                                   2.0*pi()) END)) AS diff0
+             FROM stage2),
+    stage4 AS (SELECT px // 256 AS tx, py // 256 AS ty,
+               CAST(floor(CAST(comb AS REAL)*256.0 + 0.5)
+                    AS BIGINT) AS cq,
+               CAST(floor(CAST(md AS REAL)*256.0 + 0.5)
+                    AS BIGINT) AS mq,
+               CAST(floor(CAST(
+                 255.0*(1.0 - (slope_deg*(1.0/90.0))
+                        * (1.0 - (CASE WHEN diff0 > pi()
+                                  THEN 2.0*pi() - diff0
+                                  ELSE diff0 END) * (1.0/pi())))
+                 AS REAL)*256.0 + 0.5) AS BIGINT) AS iq
+             FROM stage3),
+    agg AS (SELECT tx, ty, sum(cq) AS c, sum(mq) AS m, sum(iq) AS i,
+                   count(*) AS nc
+            FROM stage4 GROUP BY 1, 2),
+    fl AS (SELECT
+             CAST(floor(CAST(255.0 AS REAL)*256.0 + 0.5)
+                  AS BIGINT) AS cf,
+             CAST(floor(CAST(1.0 + 254.0*sin(radians(45.0)) AS REAL)
+                  *256.0 + 0.5) AS BIGINT) AS mf,
+             CAST(floor(CAST(255.0 AS REAL)*256.0 + 0.5)
+                  AS BIGINT) AS gf)
+    SELECT CAST(3 AS INTEGER) AS z, t.tx AS x, t.ty AS y,
+           CAST((SELECT cf FROM fl)*(65536 - COALESCE(a.nc, 0))
+                + COALESCE(a.c, 0) AS BIGINT) AS combined_q,
+           CAST((SELECT mf FROM fl)*(65536 - COALESCE(a.nc, 0))
+                + COALESCE(a.m, 0) AS BIGINT) AS multidir_q,
+           CAST((SELECT gf FROM fl)*(65536 - COALESCE(a.nc, 0))
+                + COALESCE(a.i, 0) AS BIGINT) AS igor_q
     FROM tiles t LEFT JOIN agg a ON t.tx = a.tx AND t.ty = a.ty
 """
 

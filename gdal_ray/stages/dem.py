@@ -143,6 +143,86 @@ def terrain_indices(tiles_ds):
                               "roughness"])
 
 
+def hillshade_variants_kernel(az: float = 315.0, alt: float = 45.0):
+    """Planes [combined, multidirectional, igor] — the reference's
+    -combined (GDALHillshadeCombinedAlg, gdaldem_lib.cpp:1151),
+    -multidirectional (GDALHillshadeMultiDirectionalAlg, :1228,
+    USGS OF 92-422 weights) and -igor (GDALHillshadeIgorAlg, :948)
+    modes, unit north-up geotransform.  The acos argument is clipped
+    to [-1, 1] on both engine and oracle sides (the reference would
+    NaN at an exact sun/normal alignment ulp over 1)."""
+    azr = np.radians(float(az))
+    altr = np.radians(float(alt))
+    zf = 1.0 / 8.0
+    sin_alt = np.sin(altr)
+    cos_az_cos_alt_z = np.cos(azr) * np.cos(altr) * zf
+    sin_az_cos_alt_z = np.sin(azr) * np.cos(altr) * zf
+    sq_z = zf * zf
+    inv_sq_half_pi = 1.0 / ((np.pi * np.pi) / 4.0)
+    # multidirectional constants (az-independent; alt only)
+    sin_alt_127 = 127.0 * sin_alt
+    cos_alt_z = np.cos(altr) * zf
+    cos_alt_z_127 = 127.0 * cos_alt_z
+    cos225_cos_alt_z_127 = 127.0 * np.cos(np.radians(225.0)) * cos_alt_z
+    two_pi = 2.0 * np.pi
+
+    def kernel(pad: np.ndarray, halo: int):
+        w = _win(pad, halo)
+        x, y = _horn_xy(w)
+        xx = x * x
+        yy = y * y
+        xx_plus_yy = xx + yy
+        flat = xx_plus_yy == 0.0
+
+        # combined: 1 - acos(cang) * atan(sqrt(slope)) / (pi/2)^2
+        slope = xx_plus_yy * sq_z
+        num = sin_alt - (y * cos_az_cos_alt_z - x * sin_az_cos_alt_z)
+        arg = np.clip(num / np.sqrt(1.0 + slope), -1.0, 1.0)
+        cang = 1.0 - np.arccos(arg) * np.arctan(np.sqrt(slope)) \
+            * inv_sq_half_pi
+        combined = np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
+
+        # multidirectional: USGS sin^2 weights over az 225/270/315/360
+        v225 = np.maximum(sin_alt_127
+                          + (x - y) * cos225_cos_alt_z_127, 0.0)
+        v270 = np.maximum(sin_alt_127 - x * cos_alt_z_127, 0.0)
+        v315 = np.maximum(sin_alt_127
+                          + (x + y) * cos225_cos_alt_z_127, 0.0)
+        v360 = np.maximum(sin_alt_127 - y * cos_alt_z_127, 0.0)
+        w225 = 0.5 * xx_plus_yy - x * y
+        w270 = xx
+        w315 = xx_plus_yy - w225
+        w360 = yy
+        denom = np.where(flat, 1.0, xx_plus_yy)
+        md = 1.0 + ((w225 * v225 + w270 * v270 + w315 * v315
+                     + w360 * v360) / denom) \
+            / np.sqrt(1.0 + sq_z * xx_plus_yy)
+        multidir = np.where(flat, 1.0 + 254.0 * sin_alt, md)
+
+        # igor: shadowness from slope and aspect-vs-sun strengths
+        slope_deg = np.degrees(np.arctan(np.sqrt(xx_plus_yy) * zf))
+        dxa = (w[2] + 2.0 * w[5] + w[8]) - (w[0] + 2.0 * w[3] + w[6])
+        dya = (w[6] + 2.0 * w[7] + w[8]) - (w[0] + 2.0 * w[1] + w[2])
+        aspect = np.arctan2(dya, -dxa)
+        a2 = 1.5 * np.pi - azr
+        na1 = np.where(aspect < 0.0, aspect + two_pi, aspect)
+        na2 = np.fmod(a2, two_pi)
+        na2 = na2 + two_pi if na2 < 0.0 else na2
+        diff = np.abs(na1 - na2)
+        diff = np.where(diff > np.pi, two_pi - diff, diff)
+        aspect_strength = 1.0 - diff * (1.0 / np.pi)
+        igor = 255.0 * (1.0 - (slope_deg * (1.0 / 90.0))
+                        * aspect_strength)
+
+        return np.stack([combined, multidir, igor])
+    return kernel
+
+
+def hillshade_variants(tiles_ds, az: float = 315.0, alt: float = 45.0):
+    return focal_map(tiles_ds, 1, hillshade_variants_kernel(az, alt),
+                     out_col=["combined", "multidir", "igor"])
+
+
 # --- color relief (pointwise; no halo) --------------------------------------
 
 def _interp_channel(vals: np.ndarray, bps: np.ndarray,

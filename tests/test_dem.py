@@ -230,3 +230,79 @@ def test_interp_channel_vector_matches_scalar():
     got = _interp_channel(vals, bps, ch)
     for v, g in zip(vals, got):
         assert int(g) == _ref_color(v, ramp)[0], v
+
+
+# --- hillshade variants (combined / multidirectional / igor) ---------
+
+def _ref_combined(w, az=315.0, alt=45.0):
+    x = (w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])
+    y = -((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2]))
+    zf = 1.0 / 8.0
+    azr, altr = math.radians(az), math.radians(alt)
+    slope = (x * x + y * y) * zf * zf
+    num = math.sin(altr) - (y * (math.cos(azr) * math.cos(altr) * zf)
+                            - x * (math.sin(azr) * math.cos(altr) * zf))
+    arg = min(max(num / math.sqrt(1.0 + slope), -1.0), 1.0)
+    cang = 1.0 - math.acos(arg) * math.atan(math.sqrt(slope)) \
+        / ((math.pi * math.pi) / 4.0)
+    return 1.0 if cang <= 0 else 1.0 + 254.0 * cang
+
+
+def _ref_multidir(w, alt=45.0):
+    x = (w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])
+    y = -((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2]))
+    zf = 1.0 / 8.0
+    altr = math.radians(alt)
+    xxyy = x * x + y * y
+    if xxyy == 0.0:
+        return 1.0 + 254.0 * math.sin(altr)
+    s127 = 127.0 * math.sin(altr)
+    caz = math.cos(altr) * zf
+    c225 = 127.0 * math.cos(math.radians(225.0)) * caz
+    v225 = max(s127 + (x - y) * c225, 0.0)
+    v270 = max(s127 - x * (127.0 * caz), 0.0)
+    v315 = max(s127 + (x + y) * c225, 0.0)
+    v360 = max(s127 - y * (127.0 * caz), 0.0)
+    w225 = 0.5 * xxyy - x * y
+    w270, w360 = x * x, y * y
+    w315 = xxyy - w225
+    return 1.0 + ((w225 * v225 + w270 * v270 + w315 * v315
+                   + w360 * v360) / xxyy) \
+        / math.sqrt(1.0 + zf * zf * xxyy)
+
+
+def _ref_igor(w, az=315.0):
+    x = (w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])
+    y = -((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2]))
+    slope_deg = math.degrees(math.atan(math.sqrt(x * x + y * y) / 8.0))
+    dxa = (w[2] + w[5] + w[5] + w[8]) - (w[0] + w[3] + w[3] + w[6])
+    dya = (w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])
+    aspect = math.atan2(dya, -dxa if dxa != 0 else -0.0)
+    azr = math.radians(az)
+    na1 = aspect + 2 * math.pi if aspect < 0 else aspect
+    na2 = math.fmod(1.5 * math.pi - azr, 2 * math.pi)
+    na2 = na2 + 2 * math.pi if na2 < 0 else na2
+    diff = abs(na1 - na2)
+    if diff > math.pi:
+        diff = 2 * math.pi - diff
+    strength = 1.0 - diff / math.pi
+    return 255.0 * (1.0 - (slope_deg / 90.0) * strength)
+
+
+def test_hillshade_variants_match_reference_transcriptions(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.stages.dem import hillshade_variants
+
+    mosaic, rows = _mosaic_rows(seed=41)
+    got = _collect(hillshade_variants(rd.from_items(rows)),
+                   ["combined", "multidir", "igor"])
+    pad = _padded(mosaic)
+    rs = np.random.RandomState(23)
+    for r, c in _sample_coords(rs, mosaic):
+        w = _win9(pad, r + 1, c + 1)
+        tile = got[(c // TILE, r // TILE)]
+        pr, pc = r % TILE, c % TILE
+        assert abs(tile["combined"][pr, pc] - _ref_combined(w)) < 1e-3
+        assert abs(tile["multidir"][pr, pc] - _ref_multidir(w)) < 1e-3
+        assert abs(tile["igor"][pr, pc] - _ref_igor(w)) < 1e-3
