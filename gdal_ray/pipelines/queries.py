@@ -2854,15 +2854,10 @@ QUERIES = {
     # remaining rows-only pair (driver records the weaker check)
     "media_decode_embed": q_media_decode_embed,
     "emb_near_dup": q_emb_near_dup,
-    "checkpoint_partitioned": q_checkpoint_partitioned,
     "zonal_extended": q_zonal_extended,
     "raster_pixels": q_raster_pixels,
-    "poly_intersection": q_poly_intersection,
-    "poly_union": q_poly_union,
     "poly_concave": q_poly_concave,
     "poly_union_holes": q_poly_union_holes,
-    "raster_warp": q_raster_warp,
-    "raster_warp_bilinear": q_raster_warp_bilinear,
     "raster_proximity": q_raster_proximity,
     "raster_fillnodata": q_raster_fillnodata,
     "raster_sieve": q_raster_sieve,
@@ -2874,13 +2869,20 @@ QUERIES = {
     "geom_linearize": q_geom_linearize,
     "grid_linear": q_grid_linear,
     "zonal_frac": q_zonal_frac,
-    # ---- the driver window is the FIRST 50 entries above; the 50th
-    # is zonal_frac ----
     "dem_hillshade": q_dem_hillshade,
     "dem_hillshade_variants": q_dem_hillshade_variants,
     "dem_slope_aspect": q_dem_slope_aspect,
     "dem_terrain": q_dem_terrain,
     "dem_color_relief": q_dem_color_relief,
+    # ---- the driver window is the FIRST 50 entries above; the 50th
+    # is dem_color_relief (r5 rotation: the five gdaldem queries
+    # displaced raster_warp/_bilinear, poly_intersection/_union and
+    # checkpoint_partitioned — all driver-green in r03/r04) ----
+    "raster_warp": q_raster_warp,
+    "raster_warp_bilinear": q_raster_warp_bilinear,
+    "poly_intersection": q_poly_intersection,
+    "poly_union": q_poly_union,
+    "checkpoint_partitioned": q_checkpoint_partitioned,
     "raster_warp_stereo": q_raster_warp_stereo,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,

@@ -631,6 +631,34 @@ def _sieve(ds, args):
                  protect_zero=bool(args.get("protect_zero", False)))
 
 
+@register("dem")
+def _dem(ds, args):
+    """Tile table → gdaldem terrain product tiles (apps/
+    gdaldem_lib.cpp).  ``product``: hillshade (az/alt args),
+    hillshade_variants (combined/multidir/igor planes), slope_aspect
+    (slope_deg/slope_pct/aspect planes), terrain (tri_riley/
+    tri_wilson/tpi/roughness planes) or color_relief (ramp =
+    [[value, r, g, b], ...])."""
+    from ..stages import dem as _d
+
+    product = args["product"]
+    if product == "hillshade":
+        return _d.hillshade(ds, az=float(args.get("az", 315.0)),
+                            alt=float(args.get("alt", 45.0)))
+    if product == "hillshade_variants":
+        return _d.hillshade_variants(
+            ds, az=float(args.get("az", 315.0)),
+            alt=float(args.get("alt", 45.0)))
+    if product == "slope_aspect":
+        return _d.slope_aspect(ds)
+    if product == "terrain":
+        return _d.terrain_indices(ds)
+    if product == "color_relief":
+        ramp = [tuple(e) for e in args["ramp"]]
+        return _d.color_relief(ds, ramp)
+    raise ValueError(f"unknown dem product: {product!r}")
+
+
 @register("polygonize")
 def _polygonize(ds, args):
     """Tile table → merged connected regions (raster→vector)."""

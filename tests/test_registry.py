@@ -233,3 +233,38 @@ def test_duckdb_batch_step(ray_session):
     assert set(out.columns) == {"v", "sq", "p"}
     assert (out["sq"] == out["v"] ** 2).all()
     assert (out.loc[out["v"] % 2 == 0, "p"] == "even").all()
+
+
+def test_registry_dem_step(ray_session):
+    import zlib
+    import numpy as np
+    import ray.data as rd
+    from gdal_ray.pipelines.registry import REGISTRY
+
+    grid = np.zeros((256, 256), np.int64)
+    grid[10, 10] = 16
+    tds = rd.from_items([{"z": 3, "x": 2, "y": 2, "n_pages": 1,
+                          "raster": zlib.compress(
+                              grid.astype(">u2").tobytes(), 6)}])
+    hs = REGISTRY["dem"](tds, {"product": "hillshade"}).to_pandas()
+    g = np.frombuffer(zlib.decompress(hs["hillshade"][0]),
+                      dtype="<f4").reshape(256, 256)
+    flat = 1.0 + 254.0 * np.sin(np.radians(45.0))
+    assert abs(g[100, 100] - flat) < 1e-4      # far field is flat
+    assert abs(g[10, 9] - flat) > 1.0  # neighbors shade (the
+    # spike center itself has zero Horn gradient: w4 unused)
+
+    sa = REGISTRY["dem"](tds, {"product": "slope_aspect"}).to_pandas()
+    assert {"slope_deg", "slope_pct", "aspect"} <= set(sa.columns)
+
+    cr = REGISTRY["dem"](tds, {"product": "color_relief",
+                               "ramp": [[0, 10, 20, 60],
+                                        [16, 255, 255, 255]]}) \
+        .to_pandas()
+    r = np.frombuffer(zlib.decompress(cr["r"][0]),
+                      dtype=np.uint8).reshape(256, 256)
+    assert r[10, 10] == 255 and r[0, 0] == 10
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        REGISTRY["dem"](tds, {"product": "nope"})
