@@ -2405,6 +2405,74 @@ def q_dem_color_relief(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_raster_viewshed(sf_dir: str):
+    """gdal_viewshed (alg/viewshed/, Wang et al. 2000 sweep) from the
+    four densest z11 pixels of the z3 count mosaic (ties broken by
+    gx, gy), R = 24 px, observer_z 2.0, cell mode "edge": per-observer
+    visible/invisible counts + a signed position checksum over the
+    visible set.  ORACLE: the Wang recurrence is a per-quadrant DP on
+    anti-diagonals whose cell needs only the previous diagonal (each
+    row carries its own parents' heights), so a recursive CTE replays
+    it EXACTLY — pure rational arithmetic, no quantization."""
+    from ..stages.viewshed import viewshed
+
+    R = 24
+    tiles_ds = _rendered_tiles(sf_dir, 3).materialize()
+
+    def cand(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        ns, gxs, gys = [], [], []
+        for x, y, blob in zip(b["x"].to_pylist(), b["y"].to_pylist(),
+                              b["raster"].to_pylist()):
+            g = np.frombuffer(_z.decompress(blob), dtype=">u2") \
+                .reshape(256, 256).astype(np.int64)
+            py, px = np.nonzero(g)
+            if len(px) == 0:
+                continue
+            # per-tile top-4 by (-n, gx, gy): global top-4 is a subset
+            vgx = int(x) * 256 + px.astype(np.int64)
+            vgy = int(y) * 256 + py.astype(np.int64)
+            vn = g[py, px]
+            order = np.lexsort((vgy, vgx, -vn))[:4]
+            for o in order:
+                ns.append(int(vn[o]))
+                gxs.append(int(vgx[o]))
+                gys.append(int(vgy[o]))
+        return pa.table({"n": pa.array(ns, pa.int64()),
+                         "gx": pa.array(gxs, pa.int64()),
+                         "gy": pa.array(gys, pa.int64())})
+
+    cands = tiles_ds.map_batches(cand, batch_format="pyarrow") \
+        .take_all()
+    cands.sort(key=lambda r: (-r["n"], r["gx"], r["gy"]))
+    observers = [(k, r["gx"], r["gy"]) for k, r in enumerate(cands[:4])]
+
+    out = viewshed(tiles_ds, observers, R, observer_z=2.0,
+                   target_height=0.0, mode="edge")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        n = 2 * R + 1
+        dy, dx = np.mgrid[-R:R + 1, -R:R + 1]
+        inr = dx * dx + dy * dy <= R * R
+        key = dx.astype(np.int64) * 8192 + dy.astype(np.int64)
+        nv, ni, ck = [], [], []
+        for blob in b["visible"].to_pylist():
+            v = np.frombuffer(_z.decompress(blob), dtype=np.uint8) \
+                .reshape(n, n)
+            vis = (v == 255) & inr
+            nv.append(int(vis.sum()))
+            ni.append(int(((v == 0) & inr).sum()))
+            ck.append(int(key[vis].sum()))
+        return pa.table({"obs_id": b["obs_id"], "gx": b["gx"],
+                         "gy": b["gy"],
+                         "n_visible": pa.array(nv, pa.int64()),
+                         "n_invisible": pa.array(ni, pa.int64()),
+                         "vischeck": pa.array(ck, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_raster_sieve(sf_dir: str):
     """GDALSieveFilter over the z2 count raster (threshold 3): per-tile
     nonzero/footprint summary after sieving.  Oracle: on this fixture
@@ -2878,6 +2946,7 @@ QUERIES = {
     # is dem_color_relief (r5 rotation: the five gdaldem queries
     # displaced raster_warp/_bilinear, poly_intersection/_union and
     # checkpoint_partitioned — all driver-green in r03/r04) ----
+    "raster_viewshed": q_raster_viewshed,
     "raster_warp": q_raster_warp,
     "raster_warp_bilinear": q_raster_warp_bilinear,
     "poly_intersection": q_poly_intersection,
@@ -5001,6 +5070,85 @@ ORACLES["dem_color_relief"] = f"""
            CAST(COALESCE(a.sb, 0)
                 + 60 * (65536 - COALESCE(a.nc, 0)) AS BIGINT) AS b_sum
     FROM tiles t LEFT JOIN agg a ON t.tx = a.tx AND t.ty = a.ty
+"""
+
+# viewshed oracle: the Wang sweep as an anti-diagonal DP per
+# (observer, quadrant) — each recursive row carries its own parents'
+# cumulative heights (zcl, zcd), so diagonal d+1 needs ONLY diagonal d:
+# role 0 pushes right (p10 = zc, and its zcd = the target's p11), role
+# 1 pushes down (p01 = zc, its zcl also = p11).  Pure rational
+# arithmetic — identical IEEE ops both sides, no quantization.
+ORACLES["raster_viewshed"] = f"""
+    WITH RECURSIVE {_PIXEL11_SQL},
+    vals AS (SELECT gx, gy, count(*) AS n FROM t GROUP BY 1, 2),
+    obs AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, gx, gy)
+                        AS BIGINT) - 1 AS obs_id, gx, gy, n
+            FROM vals ORDER BY n DESC, gx, gy LIMIT 4),
+    quad(q, sx, sy) AS (VALUES (0, 1, 1), (1, 1, -1), (2, -1, 1),
+                               (3, -1, -1)),
+    dp AS (
+      SELECT o.obs_id, q.q, CAST(0 AS BIGINT) AS i,
+             CAST(0 AS BIGINT) AS j, CAST(-2.0 AS DOUBLE) AS zc,
+             TRUE AS vis, CAST(0.0 AS DOUBLE) AS zcl,
+             CAST(0.0 AS DOUBLE) AS zcd
+      FROM obs o, quad q
+      UNION ALL
+      SELECT obs_id, q, ti AS i, tj AS j,
+             greatest(z, req) AS zc, (z + 0.0 >= req) AS vis,
+             p10 AS zcl, p01 AS zcd
+      FROM (
+        SELECT s.*,
+          CASE WHEN s.tj = 0 THEN
+                 (CASE WHEN s.ti = 1 THEN s.z
+                       ELSE s.p10*s.ti/(s.ti-1) END)
+               WHEN s.ti = 0 THEN
+                 (CASE WHEN s.tj = 1 THEN s.z
+                       ELSE s.p01*s.tj/(s.tj-1) END)
+               WHEN s.ti = s.tj THEN
+                 (CASE WHEN s.tj = 1 THEN s.z
+                       ELSE s.p11*s.tj/(s.tj-1) END)
+               WHEN s.ti > s.tj THEN
+                 (s.p11*s.tj + s.p10*(s.ti-s.tj))/(s.ti-1)
+               ELSE (s.p11*s.ti + s.p01*(s.tj-s.ti))/(s.tj-1)
+          END AS req
+        FROM (
+          SELECT g.obs_id, g.q, g.ti, g.tj, g.p10, g.p01, g.p11,
+                 CAST(COALESCE(v.n, 0) AS DOUBLE)
+                   - (CAST(o.n AS DOUBLE) + 2.0) AS z
+          FROM (
+            SELECT p.obs_id, p.q, p.ti, p.tj,
+                   MAX(CASE WHEN p.role = 0 THEN p.zc END) AS p10,
+                   MAX(CASE WHEN p.role = 1 THEN p.zc END) AS p01,
+                   MAX(CASE WHEN p.role = 0 THEN p.zcd
+                            ELSE p.zcl END) AS p11
+            FROM (
+              SELECT d.obs_id, d.q, r.role,
+                     d.i + (1 - r.role) AS ti, d.j + r.role AS tj,
+                     d.zc, d.zcl, d.zcd
+              FROM dp d CROSS JOIN (VALUES (0), (1)) r(role)
+            ) p
+            WHERE p.ti*p.ti + p.tj*p.tj <= 576
+            GROUP BY 1, 2, 3, 4
+          ) g
+          JOIN obs o ON o.obs_id = g.obs_id
+          JOIN quad qd ON qd.q = g.q
+          LEFT JOIN vals v ON v.gx = o.gx + qd.sx*g.ti
+                          AND v.gy = o.gy + qd.sy*g.tj
+        ) s
+      )
+    ),
+    cells AS (SELECT DISTINCT d.obs_id, qd.sx*d.i AS dx,
+                     qd.sy*d.j AS dy, d.vis
+              FROM dp d JOIN quad qd ON qd.q = d.q)
+    SELECT o.obs_id AS obs_id, o.gx AS gx, o.gy AS gy,
+           CAST(sum(CASE WHEN c.vis THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_visible,
+           CAST(sum(CASE WHEN c.vis THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_invisible,
+           CAST(sum(CASE WHEN c.vis THEN c.dx*8192 + c.dy ELSE 0 END)
+                AS BIGINT) AS vischeck
+    FROM cells c JOIN obs o USING (obs_id)
+    GROUP BY 1, 2, 3
 """
 
 # warp oracle: z=2, source pixel grid = z10 (1024²), dest = 4×4 tile

@@ -659,6 +659,20 @@ def _dem(ds, args):
     raise ValueError(f"unknown dem product: {product!r}")
 
 
+@register("viewshed")
+def _viewshed(ds, args):
+    """Tile table → per-observer visibility grids (gdal_viewshed,
+    alg/viewshed/).  args: observers = [[obs_id, gx, gy], ...],
+    max_dist, observer_z, target_height, mode."""
+    from ..stages.viewshed import viewshed
+
+    return viewshed(ds, [tuple(o) for o in args["observers"]],
+                    int(args["max_dist"]),
+                    observer_z=float(args.get("observer_z", 2.0)),
+                    target_height=float(args.get("target_height", 0.0)),
+                    mode=args.get("mode", "edge"))
+
+
 @register("polygonize")
 def _polygonize(ds, args):
     """Tile table → merged connected regions (raster→vector)."""
