@@ -18,6 +18,7 @@ lies on a boundary — float-order differences cannot flip a predicate).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pds
@@ -337,6 +338,82 @@ def q_events_sessionize(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts"])
     return sessionize(ds, "user_id", "ts", gap_s=1800.0)
+
+
+def q_events_lag_deltas(sf_dir: str):
+    """LAG-window inter-arrival analysis (the per-key previous-row
+    primitive; training-data burst/gap profiling): per user, deltas
+    between consecutive event timestamps (ties broken by event_id),
+    reduced to exact int64 stats — count, max gap, gaps > 1 h, and a
+    mod-1-day checksum (a plain sum telescopes to last-first and
+    checks nothing).  Hash-bucket exchange + one lexsort/diff/reduceat
+    kernel per bucket (stages/sessionize.py:lag_deltas).  ORACLE:
+    DuckDB lag() OVER (PARTITION BY user ORDER BY ts, event_id)."""
+    from ..stages.sessionize import lag_deltas
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    return lag_deltas(ds, "user_id", "ts", "event_id")
+
+
+def q_lineitem_quantiles(sf_dir: str):
+    """Exact distributed MEDIAN + QUANTILE_CONT(0.9) per group via the
+    lossless value-histogram plan (stages/aggregate.py:
+    grouped_quantiles): per-batch (key, value) counts collapse the
+    domain before the exchange, one bucket groupby merges histograms,
+    cumulative-count walk yields exact type-7 order statistics.
+    ORACLE: DuckDB median()/quantile_cont(); integer cents."""
+    from ..stages.aggregate import grouped_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+    out = grouped_quantiles(ds, "l_returnflag", "l_quantity", q=0.9)
+    return out.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n": b["n"],
+            "median_c": pc.cast(pc.floor(pc.add(pc.multiply(
+                b["median_v"], 100.0), 0.5)), pa.int64()),
+            "q90_c": pc.cast(pc.floor(pc.add(pc.multiply(
+                b["quantile_v"], 100.0), 0.5)), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): ONE finest-level
+    partial+final exchange, then the (tiny, already-aggregated)
+    result folds the two parent levels locally — no second pass over
+    the data.  Sums are integer-valued (l_quantity), so folding the
+    finest sums is exact.  ORACLE: DuckDB GROUP BY ROLLUP."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity"])
+    fine = partial_final_agg(
+        ds, ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum", "sum_qty"), (None, "count", "n")])
+
+    def fold(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df["sum_qty_c"] = np.floor(df["sum_qty"] * 100.0
+                                   + 0.5).astype(np.int64)
+        lvl0 = df[["l_returnflag", "l_linestatus", "sum_qty_c", "n"]]
+        lvl1 = df.groupby("l_returnflag", as_index=False) \
+            .agg(sum_qty_c=("sum_qty_c", "sum"), n=("n", "sum"))
+        lvl1["l_linestatus"] = None
+        lvl2 = pd.DataFrame({
+            "l_returnflag": [None], "l_linestatus": [None],
+            "sum_qty_c": [int(df["sum_qty_c"].sum())],
+            "n": [int(df["n"].sum())]})
+        allv = pd.concat([lvl0,
+                          lvl1[["l_returnflag", "l_linestatus",
+                                "sum_qty_c", "n"]], lvl2],
+                         ignore_index=True)
+        return pa.Table.from_pandas(allv, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    # the finest level is a handful of rows — one block folds locally
+    return fine.repartition(1).map_batches(fold,
+                                           batch_format="pyarrow")
 
 
 def q_events_asof_rates(sf_dir: str):
@@ -2922,7 +2999,6 @@ QUERIES = {
     # remaining rows-only pair (driver records the weaker check)
     "media_decode_embed": q_media_decode_embed,
     "emb_near_dup": q_emb_near_dup,
-    "zonal_extended": q_zonal_extended,
     "raster_pixels": q_raster_pixels,
     "poly_concave": q_poly_concave,
     "poly_union_holes": q_poly_union_holes,
@@ -2942,16 +3018,21 @@ QUERIES = {
     "dem_slope_aspect": q_dem_slope_aspect,
     "dem_terrain": q_dem_terrain,
     "dem_color_relief": q_dem_color_relief,
-    # ---- the driver window is the FIRST 50 entries above; the 50th
-    # is dem_color_relief (r5 rotation: the five gdaldem queries
-    # displaced raster_warp/_bilinear, poly_intersection/_union and
-    # checkpoint_partitioned — all driver-green in r03/r04) ----
     "raster_viewshed": q_raster_viewshed,
+    # ---- the driver window is the FIRST 50 entries above; the 50th
+    # is raster_viewshed (r5 rotation: the five gdaldem queries +
+    # viewshed displaced raster_warp/_bilinear, poly_intersection/
+    # _union, checkpoint_partitioned and zonal_extended — all
+    # driver-green in r03/r04) ----
     "raster_warp": q_raster_warp,
     "raster_warp_bilinear": q_raster_warp_bilinear,
     "poly_intersection": q_poly_intersection,
     "poly_union": q_poly_union,
     "checkpoint_partitioned": q_checkpoint_partitioned,
+    "zonal_extended": q_zonal_extended,
+    "events_lag_deltas": q_events_lag_deltas,
+    "lineitem_quantiles": q_lineitem_quantiles,
+    "lineitem_rollup": q_lineitem_rollup,
     "raster_warp_stereo": q_raster_warp_stereo,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,
@@ -3421,6 +3502,37 @@ ORACLES = {
                CAST(count(*) AS BIGINT) AS n_events,
                MIN(t) AS t_start, MAX(t) AS t_end
         FROM s GROUP BY user_id, sid
+    """,
+    "events_lag_deltas": """
+        WITH d AS (SELECT user_id,
+                          epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS delta
+                   FROM events)
+        SELECT user_id,
+               CAST(count(delta) AS BIGINT) AS n_deltas,
+               MAX(delta) AS max_gap_us,
+               CAST(sum(CASE WHEN delta > 3600000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_over,
+               CAST(sum(delta % 86400000000) AS BIGINT) AS gap_mod_sum
+        FROM d GROUP BY user_id
+        HAVING count(delta) > 0
+    """,
+    "lineitem_quantiles": """
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(floor(median(l_quantity)*100.0 + 0.5)
+                    AS BIGINT) AS median_c,
+               CAST(floor(quantile_cont(l_quantity, 0.9)*100.0 + 0.5)
+                    AS BIGINT) AS q90_c
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "lineitem_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(floor(sum(l_quantity)*100.0 + 0.5)
+                    AS BIGINT) AS sum_qty_c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
     "rasterize_lines": f"""
         WITH ring(poly_id, seq, gx, gy) AS (VALUES {_zone_ring_values()}),

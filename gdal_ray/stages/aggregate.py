@@ -267,3 +267,69 @@ def salted_group_count(ds, key: str, buckets: int = 16):
         Sum("__cnt_n", alias_name="n_partial"))
     final = stage1.groupby(key).aggregate(Sum("n_partial", alias_name="n"))
     return final
+
+
+def grouped_quantiles(ds, key_col: str, value_col: str, q: float = 0.9,
+                      buckets: int = 64):
+    """Exact per-key MEDIAN + QUANTILE_CONT(q) as a two-stage
+    value-histogram plan: per-batch (key, value) -> count partials
+    collapse the (typically small) value domain BEFORE the exchange,
+    then one hash-bucket groupby co-locates each key's histogram and a
+    per-key merge walks the cumulative counts.  Interpolation is the
+    type-7 rule DuckDB uses (pos = q*(n-1), x = v_lo + frac*(v_hi -
+    v_lo); median = mean of the two middles for even n).  Exact for
+    any value set — the histogram is lossless, not a sketch; the
+    domain size only bounds the exchange width."""
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": b[key_col].to_pandas(),
+            "v": b[value_col].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["k", "v"], sort=False).size().reset_index()
+        g.columns = ["k", "v", "c"]
+        h = pd.util.hash_pandas_object(g["k"], index=False,
+                                       hash_key="gdal_ray_gagg_00")
+        t = pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+        return t.append_column(
+            _BUCKET, pa.array((h.values % np.uint64(buckets))
+                              .astype(np.int32)))
+
+    partials = ds.map_batches(part, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby(["k", "v"], sort=True)["c"].sum() \
+            .reset_index()
+        keys_out, med_out, q_out, n_out = [], [], [], []
+        for k, sub in df.groupby("k", sort=True):
+            v = sub["v"].to_numpy()
+            c = sub["c"].to_numpy().astype(np.int64)
+            cum = np.cumsum(c)
+            n = int(cum[-1])
+
+            def at(rank):  # 0-based order statistic from the histogram
+                return float(v[np.searchsorted(cum, rank, "right")])
+
+            if n % 2:
+                med = at((n - 1) // 2)
+            else:
+                med = (at(n // 2 - 1) + at(n // 2)) / 2.0
+            pos = q * (n - 1)
+            lo = int(np.floor(pos))
+            frac = pos - lo
+            v0 = at(lo)
+            v1 = at(min(lo + 1, n - 1))
+            keys_out.append(k)
+            med_out.append(med)
+            q_out.append(v0 + frac * (v1 - v0))
+            n_out.append(n)
+        return pa.table({
+            key_col: pa.array(keys_out),
+            "n": pa.array(n_out, pa.int64()),
+            "median_v": pa.array(med_out, pa.float64()),
+            "quantile_v": pa.array(q_out, pa.float64()),
+        })
+
+    return partials.groupby(_BUCKET).map_groups(final,
+                                                batch_format="pyarrow")

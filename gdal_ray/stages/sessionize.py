@@ -78,3 +78,69 @@ def sessionize(ds, key_col: str, ts_col: str, gap_s: float,
 
     return narrow.groupby(_BUCKET).map_groups(per_bucket,
                                               batch_format="pyarrow")
+
+
+def lag_deltas(ds, key_col: str, ts_col: str, order_col: str,
+               gap_threshold_us: int = 3_600_000_000,
+               mod_us: int = 86_400_000_000, n_buckets: int = 64):
+    """Per-key inter-arrival statistics — the LAG(ts) OVER (PARTITION
+    BY key ORDER BY ts, order_col) window primitive reduced to exact
+    int64 aggregates: one row per key with >= 2 events carrying
+    (n_deltas, max_gap_us, n_gaps_over, gap_mod_sum), where deltas are
+    consecutive microsecond differences, ``n_gaps_over`` counts deltas
+    strictly above ``gap_threshold_us`` and ``gap_mod_sum`` sums
+    delta % ``mod_us`` (non-telescoping checksum — a plain sum would
+    collapse to last-first).  Same hash-bucket exchange + vectorized
+    bucket kernel as sessionize; ``order_col`` breaks timestamp ties
+    deterministically."""
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        t = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        nb = pa.table({
+            key_col: b[key_col],
+            "__t": t,
+            "__o": b[order_col].cast(pa.int64()),
+        })
+        h = pd.util.hash_pandas_object(nb[key_col].to_pandas(),
+                                       index=False,
+                                       hash_key="gdal_ray_sess_00")
+        return nb.append_column(
+            _BUCKET, pa.array((h.values % np.uint64(n_buckets))
+                              .astype(np.int32)))
+
+    narrow = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        t = g["__t"].to_numpy(zero_copy_only=False)
+        o = g["__o"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, t, keys))
+        k, tt = keys[order], t[order]
+        same = k[1:] == k[:-1]
+        du = k[1:][same]
+        dv = (tt[1:] - tt[:-1])[same]
+        if len(du) == 0:
+            return pa.table({
+                key_col: pa.array([], pa.int64()),
+                "n_deltas": pa.array([], pa.int64()),
+                "max_gap_us": pa.array([], pa.int64()),
+                "n_gaps_over": pa.array([], pa.int64()),
+                "gap_mod_sum": pa.array([], pa.int64()),
+            })
+        starts = np.flatnonzero(np.r_[True, du[1:] != du[:-1]])
+        ends = np.r_[starts[1:], len(du)]
+        return pa.table({
+            key_col: pa.array(du[starts]),
+            "n_deltas": pa.array((ends - starts).astype(np.int64)),
+            "max_gap_us": pa.array(np.maximum.reduceat(dv, starts)
+                                   .astype(np.int64)),
+            "n_gaps_over": pa.array(
+                np.add.reduceat((dv > gap_threshold_us)
+                                .astype(np.int64), starts)),
+            "gap_mod_sum": pa.array(np.add.reduceat(dv % mod_us,
+                                                    starts)
+                                    .astype(np.int64)),
+        })
+
+    return narrow.groupby(_BUCKET).map_groups(per_bucket,
+                                              batch_format="pyarrow")

@@ -1142,3 +1142,65 @@ def test_st_centroid_composition(ray_session):
                           "ST_Y(ST_CENTROID(geometry)) AS cy, "
                           "ST_NPOINTS(ST_CENTROID(geometry)) AS n")
     assert out.to_pydict() == {"cx": [4.0], "cy": [7.0], "n": [1]}
+
+
+def test_lag_deltas_exact_stats(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.stages.sessionize import lag_deltas
+
+    us = 1_000_000
+    rows = [
+        # user 1: gaps 10s, 2h, 0s (tie broken by event_id)
+        (1, 0, 1), (1, 10 * us, 2), (1, 10 * us + 7200 * us, 3),
+        (1, 10 * us + 7200 * us, 4),
+        # user 2: single event -> excluded
+        (2, 50 * us, 5),
+        # user 3: two events 1 day + 5 us apart (mod check)
+        (3, 0, 6), (3, 86_400_000_005, 7),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    out = lag_deltas(rd.from_arrow(t).repartition(3), "user_id", "ts",
+                     "event_id").to_pandas() \
+        .set_index("user_id").sort_index()
+    assert list(out.index) == [1, 3]
+    u1 = out.loc[1]
+    assert u1["n_deltas"] == 3
+    assert u1["max_gap_us"] == 7200 * us
+    assert u1["n_gaps_over"] == 1
+    assert u1["gap_mod_sum"] == 10 * us + 7200 * us + 0
+    u3 = out.loc[3]
+    assert u3["n_deltas"] == 1
+    assert u3["max_gap_us"] == 86_400_000_005
+    assert u3["n_gaps_over"] == 1
+    assert u3["gap_mod_sum"] == 5  # 1 day + 5 us, mod 1 day
+
+
+def test_grouped_quantiles_match_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.stages.aggregate import grouped_quantiles
+
+    rs = np.random.RandomState(11)
+    # float values, all distinct (lossless histogram), odd + even n
+    ks = np.repeat(["a", "b", "c"], [101, 200, 7])
+    vs = np.round(rs.uniform(0, 100, len(ks)), 3)
+    t = pa.table({"k": pa.array(ks), "v": pa.array(vs)})
+    out = grouped_quantiles(rd.from_arrow(t).repartition(5), "k", "v",
+                            q=0.9).to_pandas().set_index("k")
+    con = duckdb.connect()
+    con.register("t", t)
+    ref = con.execute(
+        "SELECT k, count(*) n, median(v) m, quantile_cont(v, 0.9) q "
+        "FROM t GROUP BY k").df().set_index("k")
+    for k in ("a", "b", "c"):
+        assert out.loc[k, "n"] == ref.loc[k, "n"]
+        assert abs(out.loc[k, "median_v"] - ref.loc[k, "m"]) < 1e-9
+        assert abs(out.loc[k, "quantile_v"] - ref.loc[k, "q"]) < 1e-9
