@@ -834,6 +834,34 @@ def q_tile_pyramid(sf_dir: str):
     return _tiling.pyramid_counts_ds(base, base_zoom=8, min_zoom=5)
 
 
+def q_tile_overviews_modes(sf_dir: str):
+    """One z3→z2 overview level under min / max / rms / mode
+    resampling (gdaladdo -r parity; gcore/overview.cpp kernels — rms
+    is round-half-up of sqrt(mean-of-squares), mode ties resolve to
+    the value whose 2nd occurrence appears first in 2×2 scan order):
+    per-(method, tile) value sums + nonzero counts.  ORACLE: SQL
+    pivots each 2×2 z11 block into its scan-order slots and replays
+    all four kernels incl. the literal tie CASE chain."""
+    out = _tiling.overview_level(
+        _rendered_tiles(sf_dir, 3),
+        resampling=["min", "max", "rms", "mode"])
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        sums, nz = [], []
+        for blob in b["raster"].to_pylist():
+            g = np.frombuffer(_z.decompress(blob), dtype=">u2") \
+                .astype(np.int64)
+            sums.append(int(g.sum()))
+            nz.append(int((g > 0).sum()))
+        return pa.table({"method": b["method"], "z": b["z"],
+                         "x": b["x"], "y": b["y"],
+                         "pix_sum": pa.array(sums, pa.int64()),
+                         "nonzero": pa.array(nz, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_tile_overviews_avg(sf_dir: str):
     """PIXEL-resampled overview pyramid with 2×2 "average" resampling
     (GenerateOverviewTile, apps/gdalalg_raster_tile.cpp:1487): render
@@ -3033,6 +3061,7 @@ QUERIES = {
     "events_lag_deltas": q_events_lag_deltas,
     "lineitem_quantiles": q_lineitem_quantiles,
     "lineitem_rollup": q_lineitem_rollup,
+    "tile_overviews_modes": q_tile_overviews_modes,
     "raster_warp_stereo": q_raster_warp_stereo,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,
@@ -4898,6 +4927,58 @@ ORACLES["raster_proximity"] = f"""
            CAST(round(16.0 * 65536 - COALESCE(c.saved, 0), 0) AS BIGINT)
                AS dist_sum
     FROM tiles t2 LEFT JOIN cov c ON t2.tx = c.tx AND t2.ty = c.ty
+"""
+
+# overview modes oracle: each 2×2 z11 block pivots into scan-order
+# slots (w0 tl, w1 tr, w2 bl, w3 br); min/max/rms/mode kernels replay
+# per block, incl. the mode tie chain (first value to reach count 2)
+ORACLES["tile_overviews_modes"] = f"""
+    WITH {_PIXEL11_SQL},
+    vals AS (SELECT gx, gy, count(*) AS n FROM t GROUP BY 1, 2),
+    ptiles AS (SELECT DISTINCT gx // 512 AS tx, gy // 512 AS ty FROM t),
+    blk AS (SELECT gx // 2 AS px, gy // 2 AS py,
+              SUM(CASE WHEN gy % 2 = 0 AND gx % 2 = 0
+                  THEN n ELSE 0 END) AS w0,
+              SUM(CASE WHEN gy % 2 = 0 AND gx % 2 = 1
+                  THEN n ELSE 0 END) AS w1,
+              SUM(CASE WHEN gy % 2 = 1 AND gx % 2 = 0
+                  THEN n ELSE 0 END) AS w2,
+              SUM(CASE WHEN gy % 2 = 1 AND gx % 2 = 1
+                  THEN n ELSE 0 END) AS w3
+            FROM vals GROUP BY 1, 2),
+    mv AS (SELECT px // 256 AS tx, py // 256 AS ty,
+             least(w0, w1, w2, w3) AS vmin,
+             greatest(w0, w1, w2, w3) AS vmax,
+             CAST(floor(sqrt(CAST(w0*w0 + w1*w1 + w2*w2 + w3*w3
+                  AS DOUBLE)/4.0) + 0.5) AS BIGINT) AS vrms,
+             CASE WHEN w0 = w1 THEN w0
+                  WHEN w2 = w0 OR w2 = w1 THEN w2
+                  WHEN w3 = w0 OR w3 = w1 OR w3 = w2 THEN w3
+                  ELSE w0 END AS vmode
+           FROM blk),
+    agg AS (SELECT tx, ty,
+              sum(vmin) AS smin,
+              sum(CASE WHEN vmin > 0 THEN 1 ELSE 0 END) AS nmin,
+              sum(vmax) AS smax,
+              sum(CASE WHEN vmax > 0 THEN 1 ELSE 0 END) AS nmax,
+              sum(vrms) AS srms,
+              sum(CASE WHEN vrms > 0 THEN 1 ELSE 0 END) AS nrms,
+              sum(vmode) AS smode,
+              sum(CASE WHEN vmode > 0 THEN 1 ELSE 0 END) AS nmode
+            FROM mv GROUP BY 1, 2)
+    SELECT m.method, CAST(2 AS INTEGER) AS z, p.tx AS x, p.ty AS y,
+           CAST(COALESCE(CASE m.method
+                WHEN 'min' THEN a.smin WHEN 'max' THEN a.smax
+                WHEN 'rms' THEN a.srms ELSE a.smode END, 0)
+                AS BIGINT) AS pix_sum,
+           CAST(COALESCE(CASE m.method
+                WHEN 'min' THEN a.nmin WHEN 'max' THEN a.nmax
+                WHEN 'rms' THEN a.nrms ELSE a.nmode END, 0)
+                AS BIGINT) AS nonzero
+    FROM ptiles p
+    CROSS JOIN (VALUES ('min'), ('max'), ('rms'), ('mode'))
+        m(method)
+    LEFT JOIN agg a ON a.tx = p.tx AND a.ty = p.ty
 """
 
 # gdaldem oracles: shared 3x3-window pivot — every value contributes

@@ -218,7 +218,15 @@ def overview_level(tiles_ds, resampling: str = "average",
 
     - ``average`` — 2×2 block mean, integer round-half-up
       ``(s+2)>>2`` (GDAL "average" on integer bands);
-    - ``nearest`` — top-left source pixel of each 2×2 block.
+    - ``nearest`` — top-left source pixel of each 2×2 block;
+    - ``min`` / ``max`` — block extrema (gcore/overview.cpp
+      GDALResampleChunk32R_Mode family's min/max kernels);
+    - ``rms`` — round-half-up of sqrt(mean of squares);
+    - ``mode`` — most frequent of the 4, ties resolved exactly like
+      the reference's count-map scan (`if (count > maxCount)`,
+      gcore/overview.cpp): the value whose 2nd occurrence appears
+      first in scan order wins; all-distinct blocks keep the first
+      value.
 
     Unlike ``pyramid_counts_ds`` (associative count sums, one shuffle
     for all levels) pixel resampling is NOT associative across levels,
@@ -227,36 +235,60 @@ def overview_level(tiles_ds, resampling: str = "average",
     from ._pool import cluster_cpus
 
     B = n_buckets or max(16, cluster_cpus() * 2)
-    if resampling not in ("average", "nearest"):
-        raise ValueError(f"unsupported resampling {resampling!r}")
+    methods = list(resampling) if isinstance(resampling, (list, tuple)) \
+        else [resampling]
+    single = not isinstance(resampling, (list, tuple))
+    known = ("average", "nearest", "min", "max", "rms", "mode")
+    for m in methods:
+        if m not in known:
+            raise ValueError(f"unsupported resampling {m!r}")
+
+    def _down(g, method):
+        v0, v1 = g[0::2, 0::2], g[0::2, 1::2]
+        v2, v3 = g[1::2, 0::2], g[1::2, 1::2]
+        if method == "average":
+            return (v0 + v1 + v2 + v3 + 2) >> 2
+        if method == "nearest":
+            return v0
+        if method == "min":
+            return np.minimum(np.minimum(v0, v1), np.minimum(v2, v3))
+        if method == "max":
+            return np.maximum(np.maximum(v0, v1), np.maximum(v2, v3))
+        if method == "rms":
+            s2 = v0 * v0 + v1 * v1 + v2 * v2 + v3 * v3
+            return np.floor(np.sqrt(s2 / 4.0) + 0.5).astype(np.int64)
+        # mode — winner is the first value to reach count 2
+        return np.where(
+            v0 == v1, v0,
+            np.where((v2 == v0) | (v2 == v1), v2,
+                     np.where((v3 == v0) | (v3 == v1) | (v3 == v2),
+                              v3, v0)))
 
     def emit(b: pa.Table) -> pa.Table:
-        out = {"bucket": [], "pkey": [], "z": [], "qx": [], "qy": [],
-               "n_pages": [], "down": []}
+        out = {"bucket": [], "pkey": [], "m": [], "z": [], "qx": [],
+               "qy": [], "n_pages": [], "down": []}
         for z, x, y, npg, blob in zip(
                 b["z"].to_pylist(), b["x"].to_pylist(),
                 b["y"].to_pylist(), b["n_pages"].to_pylist(),
                 b["raster"].to_pylist()):
             g = np.frombuffer(zlib.decompress(blob), dtype=">u2") \
                 .reshape(TILE_SIZE, TILE_SIZE).astype(np.int64)
-            if resampling == "average":
-                s = (g[0::2, 0::2] + g[0::2, 1::2]
-                     + g[1::2, 0::2] + g[1::2, 1::2])
-                down = (s + 2) >> 2
-            else:
-                down = g[0::2, 0::2]
             pkey = ((int(x) >> 1) << 32) | (int(y) >> 1)
-            out["bucket"].append(pkey % B)
-            out["pkey"].append(pkey)
-            out["z"].append(int(z) - 1)
-            out["qx"].append(int(x) & 1)
-            out["qy"].append(int(y) & 1)
-            out["n_pages"].append(int(npg))
-            out["down"].append(zlib.compress(
-                down.astype(">u2").tobytes(), 6))
+            for mi, method in enumerate(methods):
+                down = _down(g, method)
+                out["bucket"].append(pkey % B)
+                out["pkey"].append(pkey)
+                out["m"].append(mi)
+                out["z"].append(int(z) - 1)
+                out["qx"].append(int(x) & 1)
+                out["qy"].append(int(y) & 1)
+                out["n_pages"].append(int(npg))
+                out["down"].append(zlib.compress(
+                    down.astype(">u2").tobytes(), 6))
         return pa.table({
             "bucket": pa.array(out["bucket"], pa.int32()),
             "pkey": pa.array(out["pkey"], pa.int64()),
+            "m": pa.array(out["m"], pa.int8()),
             "z": pa.array(out["z"], pa.int32()),
             "qx": pa.array(out["qx"], pa.int8()),
             "qy": pa.array(out["qy"], pa.int8()),
@@ -268,7 +300,9 @@ def overview_level(tiles_ds, resampling: str = "average",
     half = TILE_SIZE // 2
 
     def assemble(g: pa.Table) -> pa.Table:
-        pk = g["pkey"].to_numpy(zero_copy_only=False)
+        pk = (g["pkey"].to_numpy(zero_copy_only=False)
+              * len(methods)
+              + g["m"].to_numpy(zero_copy_only=False))
         order = np.argsort(pk, kind="stable")
         pk_s = pk[order]
         starts = np.flatnonzero(np.r_[True, pk_s[1:] != pk_s[:-1]])
@@ -278,7 +312,8 @@ def overview_level(tiles_ds, resampling: str = "average",
         qy = g["qy"].to_numpy(zero_copy_only=False)
         npg = g["n_pages"].to_numpy(zero_copy_only=False)
         blobs = g["down"].to_pylist()
-        out = {"z": [], "x": [], "y": [], "n_pages": [], "raster": []}
+        out = {"z": [], "x": [], "y": [], "n_pages": [], "raster": [],
+               "method": []}
         for s, e in zip(starts, ends):
             grid = np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.int64)
             total = 0
@@ -288,20 +323,24 @@ def overview_level(tiles_ds, resampling: str = "average",
                 r0, c0 = int(qy[r]) * half, int(qx[r]) * half
                 grid[r0:r0 + half, c0:c0 + half] = d
                 total += int(npg[r])
-            k = int(pk_s[s])
+            k = int(pk_s[s]) // len(methods)
+            out["method"].append(methods[int(pk_s[s]) % len(methods)])
             out["z"].append(int(zz[order[s]]))
             out["x"].append(k >> 32)
             out["y"].append(k & 0xFFFFFFFF)
             out["n_pages"].append(total)
             out["raster"].append(zlib.compress(
                 grid.astype(">u2").tobytes(), 6))
-        return pa.table({
+        cols = {
             "z": pa.array(out["z"], pa.int32()),
             "x": pa.array(out["x"], pa.int64()),
             "y": pa.array(out["y"], pa.int64()),
             "n_pages": pa.array(out["n_pages"], pa.int64()),
             "raster": pa.array(out["raster"], pa.binary()),
-        })
+        }
+        if not single:
+            cols["method"] = pa.array(out["method"], pa.string())
+        return pa.table(cols)
 
     return emitted.groupby("bucket").map_groups(assemble,
                                                 batch_format="pyarrow")

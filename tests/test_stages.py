@@ -1204,3 +1204,35 @@ def test_grouped_quantiles_match_duckdb(ray_session):
         assert out.loc[k, "n"] == ref.loc[k, "n"]
         assert abs(out.loc[k, "median_v"] - ref.loc[k, "m"]) < 1e-9
         assert abs(out.loc[k, "quantile_v"] - ref.loc[k, "q"]) < 1e-9
+
+
+def test_overview_modes_kernels(ray_session):
+    import zlib
+    import numpy as np
+    import ray.data as rd
+    from gdal_ray.stages.tiling import overview_level
+
+    g = np.zeros((256, 256), np.int64)
+    # block (0,0): [5,2,2,9] -> mode 2 (2nd occurrence first), min 2,
+    # max 9, rms floor(sqrt((25+4+4+81)/4)+.5)=floor(5.33+.5)=5
+    g[0, 0], g[0, 1], g[1, 0], g[1, 1] = 5, 2, 2, 9
+    # block (1,0): all distinct [1,2,3,4] -> mode keeps first (1)
+    g[0, 2], g[0, 3], g[1, 2], g[1, 3] = 1, 2, 3, 4
+    # block (2,0): [7,3,7,3] -> 7 reaches count 2 first
+    g[0, 4], g[0, 5], g[1, 4], g[1, 5] = 7, 3, 7, 3
+    tds = rd.from_items([{"z": 3, "x": 0, "y": 0, "n_pages": 1,
+                          "raster": zlib.compress(
+                              g.astype(">u2").tobytes(), 6)}])
+    out = overview_level(tds, resampling=["min", "max", "rms",
+                                          "mode"]).to_pandas()
+    assert sorted(out["method"]) == ["max", "min", "mode", "rms"]
+    got = {}
+    for _, row in out.iterrows():
+        d = np.frombuffer(zlib.decompress(row["raster"]),
+                          dtype=">u2").reshape(256, 256)
+        got[row["method"]] = d
+    assert got["min"][0, 0] == 2 and got["max"][0, 0] == 9
+    assert got["rms"][0, 0] == 5
+    assert got["mode"][0, 0] == 2
+    assert got["mode"][0, 1] == 1
+    assert got["mode"][0, 2] == 7
