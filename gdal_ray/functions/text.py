@@ -195,3 +195,61 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+# --- corpus document frequency (inverted-index statistics) ------------------
+
+_DF_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def term_df_partial_batch(batch: pa.Table, col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """Per-batch (token, df, tf) partials for corpus document-frequency:
+    tf counts every occurrence, df counts each document once (documents
+    are one row each, so per-row dedup is globally exact).  Tokens are
+    lowercase [a-z0-9]+ runs — the same RE2 class DuckDB's
+    regexp_extract_all(lower(text), '[a-z0-9]+') matches."""
+    tokens, dfs, tfs = {}, {}, {}
+    for txt in pc.utf8_lower(batch[col]).to_pylist():
+        toks = _DF_TOKEN_RE.findall(txt or "")
+        for t in toks:
+            tfs[t] = tfs.get(t, 0) + 1
+        for t in set(toks):
+            dfs[t] = dfs.get(t, 0) + 1
+    keys = sorted(dfs)
+    return pa.table({
+        "token": pa.array(keys, pa.string()),
+        "df": pa.array([dfs[k] for k in keys], pa.int64()),
+        "tf": pa.array([tfs[k] for k in keys], pa.int64()),
+    })
+
+
+def term_df(ds, top_k: int = 50, buckets: int = 64):
+    """Corpus document-frequency table, top_k by (df desc, tf desc,
+    token asc): per-batch partials collapse the vocabulary BEFORE one
+    hash-bucket exchange sums them; the tiny aggregated table sorts
+    globally.  The inverted-index statistics pass of a training-data
+    pipeline — the exchange width is the vocabulary, not the corpus."""
+    import pandas as pd
+
+    partials = ds.map_batches(term_df_partial_batch,
+                              batch_format="pyarrow")
+
+    def bucket(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(b["token"].to_pandas(),
+                                       index=False,
+                                       hash_key="gdal_ray_gagg_00")
+        return b.append_column(
+            "__b", pa.array((h.values % np.uint64(buckets))
+                            .astype(np.int32)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("token", as_index=False) \
+            .agg(df=("df", "sum"), tf=("tf", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    merged = partials.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(merge, batch_format="pyarrow")
+    return merged.sort(["df", "tf", "token"],
+                       descending=[True, True, False]).limit(top_k)

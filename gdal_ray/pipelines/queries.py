@@ -1068,6 +1068,19 @@ def q_docs_token_counts(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_docs_term_df(sf_dir: str):
+    """Corpus document-frequency statistics (the inverted-index /
+    IDF-table pass of a training-data pipeline): top-50 tokens by
+    (df desc, tf desc, token) with document frequency and total
+    occurrences.  Vocabulary collapses in per-batch partials before
+    one hash-bucket exchange (functions/text.py:term_df); per-doc
+    dedup is exact because each document is one row.  ORACLE: DuckDB
+    unnest(regexp_extract_all(lower(text))) + COUNT(DISTINCT)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _textfn.term_df(ds, top_k=50)
+
+
 def q_docs_quality(sf_dir: str):
     """Quality features as floor-scaled per-million integers (identical
     integer results in both engines; avoids round-half mode skew)."""
@@ -3062,6 +3075,7 @@ QUERIES = {
     "lineitem_quantiles": q_lineitem_quantiles,
     "lineitem_rollup": q_lineitem_rollup,
     "tile_overviews_modes": q_tile_overviews_modes,
+    "docs_term_df": q_docs_term_df,
     "raster_warp_stereo": q_raster_warp_stereo,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,
@@ -4154,6 +4168,18 @@ ORACLES = {
     "docs_dedup_exact": """
         SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id
         FROM documents GROUP BY 1
+    """,
+    "docs_term_df": """
+        WITH tok AS (SELECT doc_id,
+                            unnest(regexp_extract_all(lower(text),
+                                   '[a-z0-9]+')) AS token
+                     FROM documents),
+        agg AS (SELECT token,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY token)
+        SELECT token, df, tf FROM agg
+        ORDER BY df DESC, tf DESC, token LIMIT 50
     """,
     "docs_token_counts": """
         SELECT doc_id,
