@@ -2494,6 +2494,42 @@ def q_dem_hillshade_variants(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_dem_zt(sf_dir: str):
+    """gdaldem -alg ZevenbergenThorne slope/aspect/hillshade
+    (2-point gradient stencil, z_factor z/2 — gdaldem_lib.cpp:798,
+    1191, 1490) over the z3 mosaic: per-tile quantized sums + flat
+    count, three planes off one exchange.  ORACLE: the same window
+    pivot with the ZT stencil formulas."""
+    from ..stages.dem import zt_products
+
+    out = zt_products(_rendered_tiles(sf_dir, 3))
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        sd, aq, nf, sh = [], [], [], []
+        for dblob, ablob, hblob in zip(b["slope_deg"].to_pylist(),
+                                       b["aspect"].to_pylist(),
+                                       b["hillshade"].to_pylist()):
+            d = np.frombuffer(_z.decompress(dblob), dtype="<f4") \
+                .astype(np.float64)
+            a = np.frombuffer(_z.decompress(ablob), dtype="<f4") \
+                .astype(np.float64)
+            h = np.frombuffer(_z.decompress(hblob), dtype="<f4") \
+                .astype(np.float64)
+            nonflat = a != -9999.0
+            sd.append(int(np.floor(d * 256.0 + 0.5).sum()))
+            aq.append(int(np.floor(a[nonflat] * 256.0 + 0.5).sum()))
+            nf.append(int(nonflat.sum()))
+            sh.append(int(np.floor(h * 256.0 + 0.5).sum()))
+        return pa.table({"z": b["z"], "x": b["x"], "y": b["y"],
+                         "slope_deg_q": pa.array(sd, pa.int64()),
+                         "aspect_q": pa.array(aq, pa.int64()),
+                         "n_nonflat": pa.array(nf, pa.int64()),
+                         "shade_q_sum": pa.array(sh, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 _DEM_RAMP = ((0, 10, 20, 60), (1, 40, 90, 120), (4, 120, 200, 140),
              (12, 250, 240, 190), (40, 255, 255, 255))
 
@@ -3076,6 +3112,7 @@ QUERIES = {
     "lineitem_rollup": q_lineitem_rollup,
     "tile_overviews_modes": q_tile_overviews_modes,
     "docs_term_df": q_docs_term_df,
+    "dem_zt": q_dem_zt,
     "raster_warp_stereo": q_raster_warp_stereo,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,
@@ -5202,6 +5239,61 @@ ORACLES["dem_slope_aspect"] = f"""
            COALESCE(a.sp, 0) AS slope_pct_q,
            COALESCE(a.aqs, 0) AS aspect_q,
            COALESCE(a.nf, 0) AS n_nonflat
+    FROM tiles t LEFT JOIN agg a ON t.tx = a.tx AND t.ty = a.ty
+"""
+
+# Zevenbergen–Thorne slope/aspect/hillshade: 2-point stencil,
+# zf = 1/2; ZT-flat is its own predicate (dxa = dya = 0 on the
+# 2-point stencil, narrower than Horn-flat)
+ORACLES["dem_zt"] = f"""
+    WITH {_PIXEL11_SQL},
+    {_DEM_WIN_SQL},
+    pix AS (SELECT px // 256 AS tx, py // 256 AS ty,
+              CAST(floor(CAST(degrees(atan(sqrt(zx*zx + zy*zy)*0.5))
+                   AS REAL) * 256.0 + 0.5) AS BIGINT) AS sdq,
+              (dxa = 0 AND dya = 0) AS flat,
+              CASE WHEN dxa = 0 AND dya = 0 THEN 0
+                   ELSE CAST(floor(CAST(
+                     CASE WHEN az360 = 360.0 THEN 0.0 ELSE az360 END
+                     AS REAL) * 256.0 + 0.5) AS BIGINT) END AS aq,
+              CAST(floor(CAST(
+                (CASE WHEN c254 <= 0.0 THEN 1.0
+                      ELSE 1.0 + c254 END)
+                AS REAL) * 256.0 + 0.5) AS BIGINT) AS shq
+            FROM (SELECT px, py, zx, zy, dxa, dya,
+                    CASE WHEN degrees(atan2(CAST(dya AS DOUBLE),
+                                            CAST(-dxa AS DOUBLE)))
+                              > 90.0
+                         THEN 450.0 - degrees(atan2(
+                                CAST(dya AS DOUBLE),
+                                CAST(-dxa AS DOUBLE)))
+                         ELSE 90.0 - degrees(atan2(
+                                CAST(dya AS DOUBLE),
+                                CAST(-dxa AS DOUBLE))) END AS az360,
+                    (254.0*sin(radians(45.0))
+                     - (zy * (254.0*cos(radians(315.0))
+                              *cos(radians(45.0))*(1.0/2.0))
+                        - zx * (254.0*sin(radians(315.0))
+                                *cos(radians(45.0))*(1.0/2.0))))
+                    / sqrt(1.0 + 0.25*(zx*zx + zy*zy)) AS c254
+                  FROM (SELECT px, py,
+                          CAST(w3 - w5 AS DOUBLE) AS zx,
+                          -CAST(w7 - w1 AS DOUBLE) AS zy,
+                          w5 - w3 AS dxa, w7 - w1 AS dya
+                        FROM winh))),
+    agg AS (SELECT tx, ty, sum(sdq) AS sd, sum(aq) AS aqs,
+                   sum(CASE WHEN flat THEN 0 ELSE 1 END) AS nf,
+                   sum(shq) AS sh, count(*) AS nc
+            FROM pix GROUP BY 1, 2),
+    flatq AS (SELECT CAST(floor(CAST(
+                 1.0 + 254.0*sin(radians(45.0)) AS REAL)
+                 * 256.0 + 0.5) AS BIGINT) AS fq)
+    SELECT CAST(3 AS INTEGER) AS z, t.tx AS x, t.ty AS y,
+           COALESCE(a.sd, 0) AS slope_deg_q,
+           COALESCE(a.aqs, 0) AS aspect_q,
+           COALESCE(a.nf, 0) AS n_nonflat,
+           CAST((SELECT fq FROM flatq) * (65536 - COALESCE(a.nc, 0))
+                + COALESCE(a.sh, 0) AS BIGINT) AS shade_q_sum
     FROM tiles t LEFT JOIN agg a ON t.tx = a.tx AND t.ty = a.ty
 """
 

@@ -107,6 +107,48 @@ def slope_aspect_kernel():
     return kernel
 
 
+def zt_kernel(az: float = 315.0, alt: float = 45.0):
+    """Zevenbergen–Thorne gradient family (gdaldem -alg
+    ZevenbergenThorne): planes [slope_deg, aspect, hillshade].
+    Gradient is the 2-point stencil (afWin[3]-afWin[5], afWin[7]-
+    afWin[1]) with z_factor = z/2 (gdaldem_lib.cpp:798-805, 1191);
+    aspect uses (afWin[5]-afWin[3], afWin[7]-afWin[1]) (:1490);
+    hillshade is the same one-sqrt algebra as Horn with the ZT
+    gradient and zf = 1/2."""
+    azr = np.radians(float(az))
+    altr = np.radians(float(alt))
+    zf = 1.0 / 2.0
+    sin_alt_254 = 254.0 * np.sin(altr)
+    cos_az_cos_alt_z_254 = 254.0 * np.cos(azr) * np.cos(altr) * zf
+    sin_az_cos_alt_z_254 = 254.0 * np.sin(azr) * np.cos(altr) * zf
+    sq_z = zf * zf
+
+    def kernel(pad: np.ndarray, halo: int):
+        w = _win(pad, halo)
+        x = w[3] - w[5]                       # inv_ewres = +1
+        y = -(w[7] - w[1])                    # inv_nsres = -1
+        key = x * x + y * y
+        slope_deg = np.degrees(np.arctan(np.sqrt(key) * 0.5))
+        dxa = w[5] - w[3]
+        dya = w[7] - w[1]
+        asp = np.degrees(np.arctan2(dya, -dxa))
+        asp = np.where(asp > 90.0, 450.0 - asp, 90.0 - asp)
+        asp = np.where(asp == 360.0, 0.0, asp)
+        asp = np.where((dxa == 0.0) & (dya == 0.0), -9999.0, asp)
+        cang254 = (sin_alt_254
+                   - (y * cos_az_cos_alt_z_254
+                      - x * sin_az_cos_alt_z_254)) \
+            / np.sqrt(1.0 + sq_z * key)
+        shade = np.where(cang254 <= 0.0, 1.0, 1.0 + cang254)
+        return np.stack([slope_deg, asp, shade])
+    return kernel
+
+
+def zt_products(tiles_ds, az: float = 315.0, alt: float = 45.0):
+    return focal_map(tiles_ds, 1, zt_kernel(az, alt),
+                     out_col=["slope_deg", "aspect", "hillshade"])
+
+
 def terrain_kernel():
     """Planes [tri_riley, tri_wilson, tpi, roughness]."""
     def kernel(pad: np.ndarray, halo: int):

@@ -306,3 +306,50 @@ def test_hillshade_variants_match_reference_transcriptions(ray_session):
         assert abs(tile["combined"][pr, pc] - _ref_combined(w)) < 1e-3
         assert abs(tile["multidir"][pr, pc] - _ref_multidir(w)) < 1e-3
         assert abs(tile["igor"][pr, pc] - _ref_igor(w)) < 1e-3
+
+
+# --- Zevenbergen–Thorne gradient family ------------------------------
+
+def _ref_zt(w, az=315.0, alt=45.0):
+    x = w[3] - w[5]
+    y = -(w[7] - w[1])
+    key = x * x + y * y
+    slope = math.degrees(math.atan(math.sqrt(key) * 0.5))
+    dxa, dya = w[5] - w[3], w[7] - w[1]
+    if dxa == 0 and dya == 0:
+        asp = -9999.0
+    else:
+        a = math.degrees(math.atan2(dya, -dxa if dxa != 0 else -0.0))
+        a = 450.0 - a if a > 90.0 else 90.0 - a
+        asp = 0.0 if a == 360.0 else a
+    zf = 0.5
+    azr, altr = math.radians(az), math.radians(alt)
+    c254 = (254.0 * math.sin(altr)
+            - (y * (254.0 * math.cos(azr) * math.cos(altr) * zf)
+               - x * (254.0 * math.sin(azr) * math.cos(altr) * zf))) \
+        / math.sqrt(1.0 + zf * zf * key)
+    shade = 1.0 if c254 <= 0 else 1.0 + c254
+    return slope, asp, shade
+
+
+def test_zt_matches_reference_transcription(ray_session):
+    import ray.data as rd
+
+    from gdal_ray.stages.dem import zt_products
+
+    mosaic, rows = _mosaic_rows(seed=53)
+    got = _collect(zt_products(rd.from_items(rows)),
+                   ["slope_deg", "aspect", "hillshade"])
+    pad = _padded(mosaic)
+    rs = np.random.RandomState(31)
+    for r, c in _sample_coords(rs, mosaic):
+        w = _win9(pad, r + 1, c + 1)
+        sl, asp, sh = _ref_zt(w)
+        tile = got[(c // TILE, r // TILE)]
+        pr, pc_ = r % TILE, c % TILE
+        assert abs(tile["slope_deg"][pr, pc_] - sl) < 1e-3
+        if asp == -9999.0:
+            assert tile["aspect"][pr, pc_] == -9999.0
+        else:
+            assert abs(tile["aspect"][pr, pc_] - asp) < 1e-3
+        assert abs(tile["hillshade"][pr, pc_] - sh) < 1e-3
