@@ -2559,6 +2559,52 @@ def q_dem_color_relief(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+_PAN_B0 = ("click", "view")
+
+
+def q_raster_pansharpen(sf_dir: str):
+    """Weighted-Brovey pansharpening (GDALPansharpenOperation::
+    WeightedBrovey3, alg/gdalpansharpen.cpp:592): the z3 total-count
+    mosaic is the panchromatic band, two z2 event-type mosaics are
+    the spectral bands (weights 0.6/0.4, nearest upsampling), factor
+    = pan/pseudo with the ComputeFactor zero rule.  One hash exchange
+    groups each pan tile with its spectral quadrants
+    (stages/pansharpen.py).  ORACLE: closed-form per-pixel algebra
+    over the pan/parent-pixel counts; only pan-nonzero pixels
+    contribute (pan = 0 or pseudo = 0 ⇒ factor 0)."""
+    from ..stages.pansharpen import pansharpen
+
+    def typed_points(types):
+        ds = rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id"],
+            filter=pds.field("event_type").isin(list(types)))
+        return ds.map_batches(_add_latlon, batch_format="pyarrow")
+
+    pan = _tiling.render_tiles(event_points(sf_dir, ("event_id",)),
+                               zoom=3)
+    b0 = _tiling.render_tiles(typed_points(_PAN_B0), zoom=2)
+    b1 = _tiling.render_tiles(
+        typed_points(("purchase", "signup", "error")), zoom=2)
+    out = pansharpen(pan, [b0, b1], [0.6, 0.4])
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        q0, q1 = [], []
+        for g0, g1 in zip(b["band_0"].to_pylist(),
+                          b["band_1"].to_pylist()):
+            a0 = np.frombuffer(_z.decompress(g0), dtype="<f4") \
+                .astype(np.float64)
+            a1 = np.frombuffer(_z.decompress(g1), dtype="<f4") \
+                .astype(np.float64)
+            q0.append(int(np.floor(a0 * 256.0 + 0.5).sum()))
+            q1.append(int(np.floor(a1 * 256.0 + 0.5).sum()))
+        return pa.table({"z": b["z"], "x": b["x"], "y": b["y"],
+                         "band0_q": pa.array(q0, pa.int64()),
+                         "band1_q": pa.array(q1, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_raster_viewshed(sf_dir: str):
     """gdal_viewshed (alg/viewshed/, Wang et al. 2000 sweep) from the
     four densest z11 pixels of the z3 count mosaic (ties broken by
@@ -3113,6 +3159,7 @@ QUERIES = {
     "tile_overviews_modes": q_tile_overviews_modes,
     "docs_term_df": q_docs_term_df,
     "dem_zt": q_dem_zt,
+    "raster_pansharpen": q_raster_pansharpen,
     "raster_warp_stereo": q_raster_warp_stereo,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,
@@ -5381,6 +5428,50 @@ ORACLES["dem_color_relief"] = f"""
            CAST(COALESCE(a.sb, 0)
                 + 60 * (65536 - COALESCE(a.nc, 0)) AS BIGINT) AS b_sum
     FROM tiles t LEFT JOIN agg a ON t.tx = a.tx AND t.ty = a.ty
+"""
+
+# pansharpen oracle: closed-form Brovey algebra per pan-nonzero
+# pixel; spectral values come from the z10 parent-pixel type counts
+ORACLES["raster_pansharpen"] = """
+    WITH tt AS (SELECT event_id, event_type,
+                  -60.0  + ((event_id * 7919)   % 26000) / 200.0 AS lat,
+                  -180.0 + ((event_id * 104729) % 72000) / 200.0 AS lon
+                FROM events),
+    t AS (SELECT
+            CAST(least(greatest(floor((lon+180.0)/360.0*2048.0), 0),
+                 2047) AS BIGINT) AS gx,
+            CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                 + 1.0/cos(radians(lat)))/pi())/2.0*2048.0), 0), 2047)
+                 AS BIGINT) AS gy,
+            event_type
+          FROM tt),
+    pan AS (SELECT gx, gy, count(*) AS np FROM t GROUP BY 1, 2),
+    ms AS (SELECT gx // 2 AS px, gy // 2 AS py,
+             CAST(sum(CASE WHEN event_type IN ('click', 'view')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+             CAST(sum(CASE WHEN event_type IN ('click', 'view')
+                  THEN 0 ELSE 1 END) AS BIGINT) AS m1
+           FROM t GROUP BY 1, 2),
+    tiles AS (SELECT DISTINCT gx // 256 AS tx, gy // 256 AS ty FROM t),
+    pix AS (SELECT gx // 256 AS tx, gy // 256 AS ty,
+              CAST(floor(CAST(CAST(m0 AS DOUBLE) * f AS REAL)
+                   * 256.0 + 0.5) AS BIGINT) AS q0,
+              CAST(floor(CAST(CAST(m1 AS DOUBLE) * f AS REAL)
+                   * 256.0 + 0.5) AS BIGINT) AS q1
+            FROM (SELECT p.gx, p.gy, m.m0, m.m1,
+                    CASE WHEN 0.6*CAST(m.m0 AS DOUBLE)
+                              + 0.4*CAST(m.m1 AS DOUBLE) = 0.0
+                         THEN 0.0
+                         ELSE CAST(p.np AS DOUBLE)
+                              / (0.6*CAST(m.m0 AS DOUBLE)
+                                 + 0.4*CAST(m.m1 AS DOUBLE)) END AS f
+                  FROM pan p JOIN ms m ON m.px = p.gx // 2
+                                      AND m.py = p.gy // 2)),
+    agg AS (SELECT tx, ty, sum(q0) AS s0, sum(q1) AS s1
+            FROM pix GROUP BY 1, 2)
+    SELECT CAST(3 AS INTEGER) AS z, t2.tx AS x, t2.ty AS y,
+           COALESCE(a.s0, 0) AS band0_q, COALESCE(a.s1, 0) AS band1_q
+    FROM tiles t2 LEFT JOIN agg a ON t2.tx = a.tx AND t2.ty = a.ty
 """
 
 # viewshed oracle: the Wang sweep as an anti-diagonal DP per

@@ -126,3 +126,45 @@ def test_overview_level_average_and_nearest(ray_session):
             expect[(y & 1) * h:(y & 1) * h + h,
                    (x & 1) * h:(x & 1) * h + h] = d
         np.testing.assert_array_equal(got, expect)
+
+
+def test_pansharpen_weighted_brovey(ray_session):
+    import zlib
+    import numpy as np
+    import ray.data as rd
+    from gdal_ray.stages.pansharpen import pansharpen
+
+    def tile_row(z, x, y, grid):
+        return {"z": z, "x": x, "y": y, "n_pages": int(grid.sum()),
+                "raster": zlib.compress(grid.astype(">u2").tobytes(),
+                                        6)}
+
+    rs = np.random.RandomState(5)
+    pan = rs.randint(0, 9, (256, 256)).astype(np.int64)
+    b0 = rs.randint(0, 5, (256, 256)).astype(np.int64)
+    b1 = rs.randint(0, 5, (256, 256)).astype(np.int64)
+    # pan tile (z3, 5, 3) is the (qx=1, qy=1) child of z2 tile (2, 1)
+    pan_ds = rd.from_items([tile_row(3, 5, 3, pan)])
+    b0_ds = rd.from_items([tile_row(2, 2, 1, b0)])
+    b1_ds = rd.from_items([tile_row(2, 2, 1, b1)])
+    out = pansharpen(pan_ds, [b0_ds, b1_ds], [0.7, 0.3]).to_pandas()
+    assert len(out) == 1 and int(out["x"][0]) == 5
+
+    up0 = np.repeat(np.repeat(b0[128:, 128:], 2, 0), 2, 1) \
+        .astype(float)
+    up1 = np.repeat(np.repeat(b1[128:, 128:], 2, 0), 2, 1) \
+        .astype(float)
+    pseudo = 0.7 * up0 + 0.3 * up1
+    factor = np.where(pseudo == 0, 0.0,
+                      pan / np.where(pseudo == 0, 1.0, pseudo))
+    for i, up in ((0, up0), (1, up1)):
+        got = np.frombuffer(zlib.decompress(out[f"band_{i}"][0]),
+                            dtype="<f4").reshape(256, 256)
+        np.testing.assert_allclose(got, (up * factor), rtol=1e-6)
+
+    # a pan tile with NO spectral coverage: all-zero output
+    pan2 = rd.from_items([tile_row(3, 9, 9, pan)])
+    out2 = pansharpen(pan2, [b0_ds, b1_ds], [0.7, 0.3]).to_pandas()
+    row = out2[out2["x"] == 9].iloc[0]
+    g = np.frombuffer(zlib.decompress(row["band_0"]), dtype="<f4")
+    assert (g == 0).all()
