@@ -44,7 +44,9 @@ def label_components(mask: np.ndarray, max_iters: int = 1024) -> np.ndarray:
     mask.  Min-pooling over shifted neighbors, iterated to fixpoint
     (bounded by component graph diameter ≤ 2*TILE)."""
     h, w = mask.shape
-    lbl = np.where(mask, np.arange(h * w).reshape(h, w), np.iinfo(np.int64).max)
+    idx = np.arange(h * w)
+    maskf = mask.ravel()
+    lbl = np.where(mask, idx.reshape(h, w), np.iinfo(np.int64).max)
     for _ in range(max_iters):
         prev = lbl
         m = lbl.copy()
@@ -52,7 +54,16 @@ def label_components(mask: np.ndarray, max_iters: int = 1024) -> np.ndarray:
         m[:-1, :] = np.minimum(m[:-1, :], lbl[1:, :])
         m[:, 1:] = np.minimum(m[:, 1:], lbl[:, :-1])
         m[:, :-1] = np.minimum(m[:, :-1], lbl[:, 1:])
-        lbl = np.where(mask, m, np.iinfo(np.int64).max)
+        # pointer jumping (O(log diameter) sweeps): a label is the
+        # flat index of a same-component ON-mask pixel, so chasing it
+        # stays inside the component; off-mask entries self-loop
+        f = np.where(maskf, m.ravel(), idx)
+        for _ in range(32):
+            f2 = f[f]
+            if np.array_equal(f2, f):
+                break
+            f = f2
+        lbl = np.where(mask, f.reshape(h, w), np.iinfo(np.int64).max)
         if np.array_equal(lbl, prev):
             break
     return np.where(mask, lbl, -1)
