@@ -2559,6 +2559,50 @@ def q_dem_color_relief(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_raster_mosaic(sf_dir: str):
+    """gdalbuildvrt-style mosaic (apps/gdalbuildvrt_lib.cpp overlap
+    rule): three event-type z3 mosaics composite under priority
+    "first" (later sources fill only zero pixels) and "sum"
+    (gdal_merge additive), one hash exchange per method
+    (stages/raster.py:mosaic_tiles).  ORACLE: per-pixel CASE chain /
+    sum over the per-type pixel counts."""
+    from ..stages.raster import mosaic_tiles
+
+    def typed_points(types):
+        ds = rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id"],
+            filter=pds.field("event_type").isin(list(types)))
+        return ds.map_batches(_add_latlon, batch_format="pyarrow")
+
+    srcs = [_tiling.render_tiles(typed_points(t), zoom=3)
+            for t in (("click", "view"), ("purchase", "signup"),
+                      ("error",))]
+    srcs = [s.materialize() for s in srcs]
+    parts = []
+    for method in ("first", "sum"):
+        m = mosaic_tiles(srcs, method=method)
+        parts.append(m.map_batches(
+            lambda b, mm=method: b.append_column(
+                "method", pa.array([mm] * b.num_rows)),
+            batch_format="pyarrow"))
+    out = parts[0].union(parts[1])
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        tot, nz = [], []
+        for blob in b["raster"].to_pylist():
+            g = np.frombuffer(_z.decompress(blob), dtype=">u2") \
+                .astype(np.int64)
+            tot.append(int(g.sum()))
+            nz.append(int((g > 0).sum()))
+        return pa.table({"method": b["method"], "z": b["z"],
+                         "x": b["x"], "y": b["y"],
+                         "total": pa.array(tot, pa.int64()),
+                         "nonzero": pa.array(nz, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 _PAN_B0 = ("click", "view")
 
 
@@ -3160,6 +3204,7 @@ QUERIES = {
     "docs_term_df": q_docs_term_df,
     "dem_zt": q_dem_zt,
     "raster_pansharpen": q_raster_pansharpen,
+    "raster_mosaic": q_raster_mosaic,
     "raster_warp_stereo": q_raster_warp_stereo,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,
@@ -5428,6 +5473,58 @@ ORACLES["dem_color_relief"] = f"""
            CAST(COALESCE(a.sb, 0)
                 + 60 * (65536 - COALESCE(a.nc, 0)) AS BIGINT) AS b_sum
     FROM tiles t LEFT JOIN agg a ON t.tx = a.tx AND t.ty = a.ty
+"""
+
+# mosaic oracle: per-pixel priority CASE chain ("first") and sum;
+# the tile set is the union of the source tile sets
+ORACLES["raster_mosaic"] = """
+    WITH tt AS (SELECT event_id, event_type,
+                  -60.0  + ((event_id * 7919)   % 26000) / 200.0 AS lat,
+                  -180.0 + ((event_id * 104729) % 72000) / 200.0 AS lon
+                FROM events),
+    t AS (SELECT
+            CAST(least(greatest(floor((lon+180.0)/360.0*2048.0), 0),
+                 2047) AS BIGINT) AS gx,
+            CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                 + 1.0/cos(radians(lat)))/pi())/2.0*2048.0), 0), 2047)
+                 AS BIGINT) AS gy,
+            event_type
+          FROM tt),
+    px AS (SELECT gx, gy,
+             CAST(sum(CASE WHEN event_type IN ('click', 'view')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+             CAST(sum(CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+             CAST(sum(CASE WHEN event_type = 'error'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS m2
+           FROM t GROUP BY 1, 2),
+    stiles AS (
+      SELECT DISTINCT 0 AS pri, gx // 256 AS tx, gy // 256 AS ty
+      FROM t WHERE event_type IN ('click', 'view')
+      UNION SELECT DISTINCT 1, gx // 256, gy // 256
+      FROM t WHERE event_type IN ('purchase', 'signup')
+      UNION SELECT DISTINCT 2, gx // 256, gy // 256
+      FROM t WHERE event_type = 'error'),
+    tiles AS (SELECT DISTINCT tx, ty FROM stiles),
+    vv AS (SELECT gx // 256 AS tx, gy // 256 AS ty,
+             CASE WHEN m0 > 0 THEN m0
+                  WHEN m1 > 0 THEN m1 ELSE m2 END AS vfirst,
+             m0 + m1 + m2 AS vsum
+           FROM px),
+    agg AS (SELECT tx, ty,
+              sum(vfirst) AS sf,
+              sum(CASE WHEN vfirst > 0 THEN 1 ELSE 0 END) AS nf,
+              sum(vsum) AS ss,
+              sum(CASE WHEN vsum > 0 THEN 1 ELSE 0 END) AS ns
+            FROM vv GROUP BY 1, 2)
+    SELECT m.method, CAST(3 AS INTEGER) AS z, t2.tx AS x, t2.ty AS y,
+           CAST(COALESCE(CASE m.method WHEN 'first' THEN a.sf
+                ELSE a.ss END, 0) AS BIGINT) AS total,
+           CAST(COALESCE(CASE m.method WHEN 'first' THEN a.nf
+                ELSE a.ns END, 0) AS BIGINT) AS nonzero
+    FROM tiles t2
+    CROSS JOIN (VALUES ('first'), ('sum')) m(method)
+    LEFT JOIN agg a ON a.tx = t2.tx AND a.ty = t2.ty
 """
 
 # pansharpen oracle: closed-form Brovey algebra per pan-nonzero

@@ -464,3 +464,62 @@ def band_stats(tiles_ds) -> dict:
         "nonzero": int(agg["nonzero"]),
         "mean": agg["sum"] / agg["n_pix"],
     }
+
+
+def mosaic_tiles(tile_tables, method: str = "first"):
+    """gdalbuildvrt-style tile mosaic of N sources (apps/
+    gdalbuildvrt_lib.cpp overlap semantics): sources carry PRIORITY =
+    list order; per output tile,
+
+    - ``first`` — later sources only fill pixels where every earlier
+      source is 0 (the VRT top-down first-non-nodata rule with nodata
+      = 0, reading source order as the reference reads band order);
+    - ``sum`` — pixel-wise sum (the -addalpha-less additive composite
+      of gdal_merge.py -separate workflows).
+
+    One union + one hash exchange keyed by tile; absent sources are
+    implicit zeros.  Output: (z, x, y, raster) uint16 tiles."""
+    if method not in ("first", "sum"):
+        raise ValueError(f"unknown mosaic method {method!r}")
+
+    parts = []
+    for pri, src in enumerate(tile_tables):
+        def tag(b: pa.Table, p=pri) -> pa.Table:
+            return pa.table({
+                "key": pa.array(
+                    [(int(x) << 28) | int(y)
+                     for x, y in zip(b["x"].to_pylist(),
+                                     b["y"].to_pylist())], pa.int64()),
+                "z": b["z"],
+                "pri": pa.array([p] * b.num_rows, pa.int8()),
+                "raster": b["raster"],
+            })
+        parts.append(src.map_batches(tag, batch_format="pyarrow"))
+    emitted = parts[0].union(*parts[1:])
+
+    def fuse(g: pa.Table) -> pa.Table:
+        pris = g["pri"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pris, kind="stable")
+        acc = np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.int64)
+        for r in order:
+            grid = np.frombuffer(
+                zlib.decompress(g["raster"][int(r)].as_py()),
+                dtype=">u2").reshape(TILE_SIZE, TILE_SIZE) \
+                .astype(np.int64)
+            if method == "sum":
+                acc += grid
+            else:
+                acc = np.where(acc == 0, grid, acc)
+        key = int(g["key"][0].as_py())
+        return pa.table({
+            "z": pa.array([int(g["z"][0].as_py())], pa.int32()),
+            "x": pa.array([key >> 28], pa.int64()),
+            "y": pa.array([key & ((1 << 28) - 1)], pa.int64()),
+            "raster": pa.array(
+                [zlib.compress(np.clip(acc, 0, 65535)
+                               .astype(">u2").tobytes(), 6)],
+                pa.binary()),
+        })
+
+    return emitted.groupby("key").map_groups(fuse,
+                                             batch_format="pyarrow")

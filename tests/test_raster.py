@@ -168,3 +168,39 @@ def test_pansharpen_weighted_brovey(ray_session):
     row = out2[out2["x"] == 9].iloc[0]
     g = np.frombuffer(zlib.decompress(row["band_0"]), dtype="<f4")
     assert (g == 0).all()
+
+
+def test_mosaic_tiles_first_and_sum(ray_session):
+    import zlib
+    import numpy as np
+    import ray.data as rd
+    from gdal_ray.stages.raster import mosaic_tiles
+
+    def tile_row(z, x, y, grid):
+        return {"z": z, "x": x, "y": y, "n_pages": int(grid.sum()),
+                "raster": zlib.compress(grid.astype(">u2").tobytes(),
+                                        6)}
+
+    a = np.zeros((256, 256), np.int64)
+    b = np.zeros((256, 256), np.int64)
+    a[0, 0], a[0, 1] = 5, 0
+    b[0, 0], b[0, 1], b[0, 2] = 9, 7, 3
+    s0 = rd.from_items([tile_row(3, 1, 1, a)])
+    s1 = rd.from_items([tile_row(3, 1, 1, b),
+                        tile_row(3, 2, 2, b)])  # only in source 1
+    first = mosaic_tiles([s0, s1], "first").to_pandas() \
+        .set_index(["x", "y"])
+    summed = mosaic_tiles([s0, s1], "sum").to_pandas() \
+        .set_index(["x", "y"])
+
+    g = np.frombuffer(zlib.decompress(first.loc[(1, 1), "raster"]),
+                      dtype=">u2").reshape(256, 256)
+    assert g[0, 0] == 5        # source 0 wins where nonzero
+    assert g[0, 1] == 7        # source 1 fills the zero pixel
+    assert g[0, 2] == 3
+    g2 = np.frombuffer(zlib.decompress(first.loc[(2, 2), "raster"]),
+                       dtype=">u2").reshape(256, 256)
+    assert g2[0, 0] == 9       # tile only in source 1
+    gs = np.frombuffer(zlib.decompress(summed.loc[(1, 1), "raster"]),
+                       dtype=">u2").reshape(256, 256)
+    assert gs[0, 0] == 14 and gs[0, 1] == 7
