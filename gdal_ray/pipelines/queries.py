@@ -2559,6 +2559,41 @@ def q_dem_color_relief(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+_LINEREF = ((-150.0, -40.0), (-60.0, 10.0), (0.0, -20.0),
+            (60.0, 35.0), (150.0, -10.0))
+
+
+def q_line_locate(sf_dir: str):
+    """Linear referencing (ogrlineref -get_pos, apps/ogrlineref.cpp):
+    the first 2000 event points locate against a 4-segment reference
+    polyline — nearest segment (ties at shared vertices go to the
+    lower index), measure along the line, offset distance.  Map-only:
+    the tiny line broadcasts in the closure, points × segments
+    vectorize per batch (stages/lineref.py).  ORACLE: the identical
+    clamp/dot projection per (point, segment) with ROW_NUMBER ordered
+    (d2, seg); f32 quantization."""
+    from ..stages.lineref import line_locate
+
+    pts = event_points_first(sf_dir, 2000)
+    out = line_locate(pts, _LINEREF)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        m = b["measure"].to_numpy(zero_copy_only=False)
+        d = b["line_dist"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"],
+            "seg": b["seg"],
+            "measure_q": pa.array(np.floor(
+                m.astype(np.float32).astype(np.float64) * 256.0 + 0.5)
+                .astype(np.int64)),
+            "dist_q": pa.array(np.floor(
+                d.astype(np.float32).astype(np.float64) * 256.0 + 0.5)
+                .astype(np.int64)),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_raster_mosaic(sf_dir: str):
     """gdalbuildvrt-style mosaic (apps/gdalbuildvrt_lib.cpp overlap
     rule): three event-type z3 mosaics composite under priority
@@ -3205,6 +3240,7 @@ QUERIES = {
     "dem_zt": q_dem_zt,
     "raster_pansharpen": q_raster_pansharpen,
     "raster_mosaic": q_raster_mosaic,
+    "line_locate": q_line_locate,
     "raster_warp_stereo": q_raster_warp_stereo,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,
@@ -5473,6 +5509,52 @@ ORACLES["dem_color_relief"] = f"""
            CAST(COALESCE(a.sb, 0)
                 + 60 * (65536 - COALESCE(a.nc, 0)) AS BIGINT) AS b_sum
     FROM tiles t LEFT JOIN agg a ON t.tx = a.tx AND t.ty = a.ty
+"""
+
+# lineref oracle: identical clamp/dot projection per (point,
+# segment); ROW_NUMBER over (d2, seg) reproduces the first-min tie
+# rule; prefix lengths via a windowed sum over segment order
+ORACLES["line_locate"] = """
+    WITH pts AS (SELECT event_id,
+                   -60.0  + ((event_id * 7919)   % 26000) / 200.0
+                       AS lat,
+                   -180.0 + ((event_id * 104729) % 72000) / 200.0
+                       AS lon
+                 FROM events WHERE event_id < 2000),
+    lv(i, x, y) AS (VALUES (0, -150.0, -40.0), (1, -60.0, 10.0),
+                           (2, 0.0, -20.0), (3, 60.0, 35.0),
+                           (4, 150.0, -10.0)),
+    seg AS (SELECT a.i AS seg, a.x AS x1, a.y AS y1,
+                   b.x - a.x AS dx, b.y - a.y AS dy,
+                   (b.x - a.x)*(b.x - a.x)
+                   + (b.y - a.y)*(b.y - a.y) AS len2,
+                   sqrt((b.x - a.x)*(b.x - a.x)
+                        + (b.y - a.y)*(b.y - a.y)) AS len
+            FROM lv a JOIN lv b ON b.i = a.i + 1),
+    segc AS (SELECT seg.*,
+               COALESCE(SUM(len) OVER (ORDER BY seg
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0.0) AS cum0
+             FROM seg),
+    cand AS (SELECT p.event_id, s.seg, s.len, s.cum0,
+               least(greatest(((p.lon - s.x1)*s.dx
+                               + (p.lat - s.y1)*s.dy)/s.len2, 0.0),
+                     1.0) AS t,
+               s.x1, s.y1, s.dx, s.dy, p.lon, p.lat
+             FROM pts p CROSS JOIN segc s),
+    d AS (SELECT event_id, seg, len, cum0, t,
+            (lon - (x1 + t*dx))*(lon - (x1 + t*dx))
+            + (lat - (y1 + t*dy))*(lat - (y1 + t*dy)) AS d2
+          FROM cand),
+    best AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                       ORDER BY d2, seg) AS rn
+             FROM d)
+    SELECT event_id, CAST(seg AS BIGINT) AS seg,
+           CAST(floor(CAST(cum0 + t*len AS REAL)*256.0 + 0.5)
+                AS BIGINT) AS measure_q,
+           CAST(floor(CAST(sqrt(d2) AS REAL)*256.0 + 0.5)
+                AS BIGINT) AS dist_q
+    FROM best WHERE rn = 1
 """
 
 # mosaic oracle: per-pixel priority CASE chain ("first") and sum;

@@ -1236,3 +1236,36 @@ def test_overview_modes_kernels(ray_session):
     assert got["mode"][0, 0] == 2
     assert got["mode"][0, 1] == 1
     assert got["mode"][0, 2] == 7
+
+
+def test_lineref_locate_and_mileposts(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.stages.lineref import (create_mileposts, line_locate)
+
+    line = [(0.0, 0.0), (10.0, 0.0), (10.0, 5.0)]
+    pts = pa.table({
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "lon": pa.array([2.0, 10.0, 11.0, 12.0], pa.float64()),
+        "lat": pa.array([1.0, -1.0, 2.0, 7.0], pa.float64()),
+    })
+    out = line_locate(rd.from_arrow(pts), line).to_pandas() \
+        .set_index("event_id").sort_index()
+    # point 0: on segment 0 at x=2, offset 1
+    assert out.loc[0, "seg"] == 0
+    assert abs(out.loc[0, "measure"] - 2.0) < 1e-12
+    assert abs(out.loc[0, "line_dist"] - 1.0) < 1e-12
+    # point 1: exactly at the shared vertex region -> tie goes to seg 0
+    assert out.loc[1, "seg"] == 0
+    assert abs(out.loc[1, "measure"] - 10.0) < 1e-12
+    # point 2: beside segment 1
+    assert out.loc[2, "seg"] == 1
+    assert abs(out.loc[2, "measure"] - 12.0) < 1e-12
+    # point 3: past the end -> clamped to the line end
+    assert out.loc[3, "seg"] == 1
+    assert abs(out.loc[3, "measure"] - 15.0) < 1e-12
+
+    mp = create_mileposts(line, 4.0)
+    assert [m["measure"] for m in mp] == [0.0, 4.0, 8.0, 12.0]
+    assert mp[3]["x"] == 10.0 and abs(mp[3]["y"] - 2.0) < 1e-12
