@@ -366,12 +366,54 @@ class _Parser:
         if (k, v) == ("kw", "NULL"):
             self.next()
             return pds.scalar(None)
+        if k == "ident" and v.upper() == "CASE":
+            return self.case_expr()
         if k == "ident":
             self.next()
             if self.peek() == ("op", "("):
                 return self.func_call(v.upper())
             return pds.field(v)
         raise ValueError(f"unexpected token {k} {v}")
+
+    def _peek_ident(self, word: str) -> bool:
+        k, v = self.peek()
+        return k == "ident" and v.upper() == word
+
+    def case_expr(self):
+        """CASE [operand] WHEN x THEN y [...] [ELSE z] END — both the
+        searched and the simple form (swq lacks CASE entirely; this is
+        the SQLite-dialect behavior).  Compiles to a nested if_else
+        chain evaluated first-match-wins."""
+        self.next()  # CASE
+        operand = None
+        if not self._peek_ident("WHEN"):
+            operand = self.or_term()
+        whens = []
+        els = pds.scalar(None)
+        while True:
+            if self._peek_ident("WHEN"):
+                self.next()
+                cond = self.or_term()
+                if operand is not None:
+                    cond = operand == cond
+                if not self._peek_ident("THEN"):
+                    raise ValueError("CASE WHEN needs THEN")
+                self.next()
+                whens.append((cond, self.or_term()))
+            elif self._peek_ident("ELSE"):
+                self.next()
+                els = self.or_term()
+            elif self._peek_ident("END"):
+                self.next()
+                break
+            else:
+                raise ValueError("CASE needs WHEN/ELSE/END")
+        if not whens:
+            raise ValueError("CASE needs at least one WHEN")
+        out = els
+        for cond, val in reversed(whens):
+            out = pc.if_else(cond, val, out)
+        return out
 
     # --- scalar function calls (swq_op_registrar analog,
     # ogr/swq_op_general.cpp): CONCAT/SUBSTR/UPPER/LOWER/LENGTH/ABS/

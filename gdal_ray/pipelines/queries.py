@@ -274,6 +274,27 @@ def q_events_select_expr(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def q_sql_case(sf_dir: str):
+    """CASE expressions — searched AND simple forms, nested in
+    arithmetic and under WHERE (the SQLite-dialect capability swq
+    lacks; functions/expr.py:case_expr): first-match-wins if_else
+    chains in one vectorized projection."""
+    from ..functions.expr import select_batch
+
+    sel = ("event_id, "
+           "CASE WHEN value < 0.0 THEN 'neg' "
+           "     WHEN value < 50.0 THEN 'low' "
+           "     ELSE 'high' END AS band, "
+           "CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 "
+           "     ELSE 0 END AS t_code, "
+           "CAST(CASE WHEN event_id % 2 = 0 THEN event_id "
+           "          ELSE 0 - event_id END AS BIGINT) AS signed_id")
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return ds.map_batches(lambda b: select_batch(b, sel),
+                          batch_format="pyarrow")
+
+
 def q_sql_statement(sf_dir: str):
     """Full OGR-SQL statement execution (GDALDataset::ExecuteSQL →
     ogr_gensql.cpp): SELECT list with an expression-argument aggregate,
@@ -3241,6 +3262,7 @@ QUERIES = {
     "raster_pansharpen": q_raster_pansharpen,
     "raster_mosaic": q_raster_mosaic,
     "line_locate": q_line_locate,
+    "sql_case": q_sql_case,
     "raster_warp_stereo": q_raster_warp_stereo,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,
@@ -4333,6 +4355,17 @@ ORACLES = {
     "docs_dedup_exact": """
         SELECT md5(text) AS fingerprint, min(doc_id) AS doc_id
         FROM documents GROUP BY 1
+    """,
+    "sql_case": """
+        SELECT event_id,
+               CASE WHEN value < 0.0 THEN 'neg'
+                    WHEN value < 50.0 THEN 'low'
+                    ELSE 'high' END AS band,
+               CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                    ELSE 0 END AS t_code,
+               CAST(CASE WHEN event_id % 2 = 0 THEN event_id
+                         ELSE 0 - event_id END AS BIGINT) AS signed_id
+        FROM events
     """,
     "docs_term_df": """
         WITH tok AS (SELECT doc_id,

@@ -305,3 +305,35 @@ def test_select_expr_matches_duckdb(sel, seed):
     assert list(got["v"].astype("int64")) == \
         list(want["v"].astype("int64")), sel
     assert list(got["t"]) == list(want["t"]), sel
+
+
+def test_case_expressions_property(ray_session):
+    """CASE (searched + simple + no-ELSE null) vs DuckDB on random
+    rows."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    from gdal_ray.functions.expr import select_batch
+
+    rs = np.random.RandomState(9)
+    t = pa.table({
+        "a": pa.array(rs.randint(-5, 6, 300).astype("int64")),
+        "s": pa.array(rs.choice(["x", "y", "z"], 300)),
+    })
+    sel = ("a, "
+           "CASE WHEN a < 0 THEN 'n' WHEN a = 0 THEN 'z' "
+           "ELSE 'p' END AS sign, "
+           "CASE s WHEN 'x' THEN 10 WHEN 'y' THEN 20 END AS code, "
+           "CASE WHEN a > 2 THEN a * 2 ELSE a - 1 END AS v")
+    got = select_batch(t, sel).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    ref = con.execute(
+        "SELECT a, CASE WHEN a < 0 THEN 'n' WHEN a = 0 THEN 'z' "
+        "ELSE 'p' END AS sign, "
+        "CASE s WHEN 'x' THEN 10 WHEN 'y' THEN 20 END AS code, "
+        "CASE WHEN a > 2 THEN a * 2 ELSE a - 1 END AS v FROM t").df()
+    assert (got["sign"] == ref["sign"]).all()
+    assert got["code"].fillna(-1).astype(int).tolist() == \
+        ref["code"].fillna(-1).astype(int).tolist()
+    assert (got["v"] == ref["v"]).all()
