@@ -2773,6 +2773,62 @@ def q_raster_viewshed(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_contour_polygons(sf_dir: str):
+    """gdal_contour -p polygon bands (contour polygons between fixed
+    levels, apps/gdal_contour_bin.cpp -p / polygon-contour writer):
+    the z4 count mosaic's 64-px BLOCK density surface (64x64 block
+    event sums, tile-aligned) classifies into bands [1,3) and
+    [3,inf), and the global band regions — value-equal 4-connected
+    components across tile seams — aggregate per band (region count,
+    pixel totals, largest region, a mod checksum of the deterministic
+    region ids = min global pixel key).  Region accounting is
+    stages/sieve.py:value_regions (per-tile labeling + seam
+    union-find; driver holds perimeter, not area).  ORACLE: bands are
+    uniform per block, so the recursive-CTE components run on the
+    BLOCK graph and pixel stats scale by 64²."""
+    from ..stages.sieve import value_regions
+
+    tiles = _rendered_tiles(sf_dir, 4)
+
+    def classify(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        outs = []
+        for blob in b["raster"].to_pylist():
+            g = np.frombuffer(_z.decompress(blob), dtype=">u2") \
+                .reshape(256, 256).astype(np.int64)
+            bs = g.reshape(4, 64, 4, 64).sum(axis=(1, 3))
+            bb = np.where(bs == 0, 0, np.where(bs < 3, 1, 2))
+            band = np.repeat(np.repeat(bb, 64, axis=0), 64, axis=1)
+            outs.append(_z.compress(band.astype(">u2").tobytes(), 6))
+        t = {c: b[c] for c in b.column_names if c != "raster"}
+        t["raster"] = pa.array(outs, pa.binary())
+        return pa.table(t)
+
+    regs = value_regions(tiles.map_batches(classify,
+                                           batch_format="pyarrow"))
+
+    def derive(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "region" not in b.column_names:
+            return pa.table({"band": pa.array([], pa.int64()),
+                             "size": pa.array([], pa.int64()),
+                             "key_mod": pa.array([], pa.int64())})
+        t = b.filter(pc.greater(b["value"], 0))
+        return pa.table({
+            "band": t["value"],
+            "size": t["size"],
+            "key_mod": pa.array(
+                t["region"].to_numpy(zero_copy_only=False)
+                % 1000003),
+        })
+
+    narrow = regs.map_batches(derive, batch_format="pyarrow")
+    out = partial_final_agg(
+        narrow, ["band"],
+        [("size", "sum", "n_pixels"), (None, "count", "n_regions"),
+         ("size", "max", "max_region"), ("key_mod", "sum", "key_sum")])
+    return out
+
+
 def q_raster_sieve(sf_dir: str):
     """GDALSieveFilter over the z2 count raster (threshold 3): per-tile
     nonzero/footprint summary after sieving.  Oracle: on this fixture
@@ -3263,6 +3319,7 @@ QUERIES = {
     "raster_mosaic": q_raster_mosaic,
     "line_locate": q_line_locate,
     "sql_case": q_sql_case,
+    "contour_polygons": q_contour_polygons,
     "raster_warp_stereo": q_raster_warp_stereo,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,
@@ -4708,6 +4765,44 @@ ORACLES["polygonize_regions"] = f"""
     GROUP BY l.lab
 """
 
+ORACLES["contour_polygons"] = f"""
+    WITH RECURSIVE
+    pts AS ({_PTS_SQL}),
+    cnt AS (
+      SELECT CAST(least(greatest(floor((lon+180.0)/360.0*4096.0), 0),
+                        4095) AS BIGINT) AS gx,
+             CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                  + 1.0/cos(radians(lat)))/pi())/2.0*4096.0), 0), 4095)
+                  AS BIGINT) AS gy
+      FROM pts),
+    blk AS (SELECT gx // 64 AS bx, gy // 64 AS by, count(*) AS bs
+            FROM cnt GROUP BY 1, 2),
+    bpix AS (SELECT bx, by,
+                    CASE WHEN bs >= 3 THEN 2 ELSE 1 END AS band
+             FROM blk),
+    comp(bx, by, band, lbl) AS (
+      SELECT bx, by, band, by * 64 + bx FROM bpix
+      UNION
+      SELECT p.bx, p.by, p.band, c.lbl
+      FROM comp c JOIN bpix p
+        ON p.band = c.band
+       AND ((p.bx = c.bx + 1 AND p.by = c.by)
+         OR (p.bx = c.bx - 1 AND p.by = c.by)
+         OR (p.bx = c.bx AND p.by = c.by + 1)
+         OR (p.bx = c.bx AND p.by = c.by - 1))),
+    lab AS (SELECT bx, by, band, min(lbl) AS lab
+            FROM comp GROUP BY 1, 2, 3),
+    regs AS (SELECT band, lab,
+                    CAST(count(*) AS BIGINT) * 4096 AS npx,
+                    min((by * 64) * 1099511627776 + bx * 64) AS minkey
+             FROM lab GROUP BY 1, 2)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(sum(npx) AS BIGINT) AS n_pixels,
+           CAST(count(*) AS BIGINT) AS n_regions,
+           CAST(max(npx) AS BIGINT) AS max_region,
+           CAST(sum(minkey % 1000003) AS BIGINT) AS key_sum
+    FROM regs GROUP BY band
+"""
 ORACLES["raster_sieve"] = f"""
     WITH RECURSIVE
     pts AS ({_PTS_SQL}),

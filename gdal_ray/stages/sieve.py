@@ -571,3 +571,70 @@ def _sieve_finish(tiles_ds, threshold: int, protect_zero: bool,
     return tiles_ds.map_batches(
         Rewrite, fn_constructor_kwargs=dict(rw_ref=rw_ref),
         batch_format="pyarrow", concurrency=_autoscale(None))
+
+
+def value_regions(tiles_ds, n_buckets: int | None = None,
+                  driver_limit: int = 5_000_000):
+    """Global VALUE-EQUAL 4-connected regions of the tile mosaic —
+    the region table (region, size, value) sieve builds internally,
+    exposed as an operator (the accounting half of GDALSieveFilter,
+    and the region model of gdal_contour -p polygon bands when fed a
+    band-classified mosaic).  Same size dispatch as sieve: small
+    record tables resolve in-process, large ones take the bucketed
+    exchanges; the driver only ever holds the seam union-find
+    (perimeter-bounded), never the area."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from ._pool import cluster_cpus
+
+    B = n_buckets or max(16, cluster_cpus() * 2)
+    recs = tiles_ds.map_batches(tile_records_batch,
+                                batch_format="pyarrow").materialize()
+
+    if driver_limit and recs.count() <= driver_limit:
+        parts = [t for t in ray.get(list(recs.to_arrow_refs()))
+                 if t.num_rows]
+        if not parts:
+            return rd.from_arrow(pa.table({
+                "region": pa.array([], pa.int64()),
+                "size": pa.array([], pa.int64()),
+                "value": pa.array([], pa.int64())}))
+        rt = pa.concat_tables(parts)
+        seam_t = _seam_edges(rt.filter(pc.equal(rt["kind"], 1)))
+        rk, rv = _uf_roots([seam_t])
+        comp_rows = rt.filter(pc.equal(rt["kind"], 0))
+        reg = _remap_sorted(
+            rk, rv, comp_rows["comp"].to_numpy(zero_copy_only=False))
+        return rd.from_arrow(region_agg_table(pa.table({
+            "region": pa.array(reg),
+            "value": comp_rows["value"],
+            "n_pixels": comp_rows["n_pixels"]})))
+
+    borders = recs.filter(expr="kind == 1").map_batches(
+        lambda b: b.append_column(
+            "bucket", pa.array(
+                (b["edge_key"].to_numpy(zero_copy_only=False)
+                 % B).astype(np.int32))),
+        batch_format="pyarrow")
+    seam = borders.groupby("bucket").map_groups(
+        _seam_edges, batch_format="pyarrow").materialize()
+    rk, rv = _uf_roots(seam.iter_batches(batch_size=65536,
+                                         batch_format="pyarrow"))
+    root_ref = ray.put((rk, rv))
+
+    def to_region_rows(b: pa.Table) -> pa.Table:
+        rk_, rv_ = ray.get(root_ref)
+        comp = b["comp"].to_numpy(zero_copy_only=False)
+        reg2 = _remap_sorted(rk_, rv_, comp)
+        return pa.table({
+            "region": pa.array(reg2),
+            "value": b["value"],
+            "n_pixels": b["n_pixels"],
+            "bucket": pa.array((reg2 % B).astype(np.int32)),
+        })
+
+    return recs.filter(expr="kind == 0") \
+        .map_batches(to_region_rows, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(region_agg_table,
+                                      batch_format="pyarrow")

@@ -129,3 +129,37 @@ def test_sieve_dispatch_paths_agree(ray_session):
         for i in range(len(a)):
             np.testing.assert_array_equal(_decode(a["raster"][i]),
                                           _decode(b["raster"][i]))
+
+
+def test_value_regions_cross_seam(ray_session):
+    import zlib
+    import numpy as np
+    import ray.data as rd
+    from gdal_ray.stages.sieve import value_regions
+
+    # two tiles side by side; a value-7 bar crosses the seam, a
+    # value-7 island sits apart, value-3 fills one corner
+    left = np.zeros((256, 256), np.int64)
+    right = np.zeros((256, 256), np.int64)
+    left[100, 250:] = 7
+    right[100, :6] = 7
+    right[10:12, 10:12] = 7
+    left[:4, :4] = 3
+    rows = [{"z": 4, "x": 2, "y": 3, "n_pages": 1,
+             "raster": zlib.compress(left.astype(">u2").tobytes(), 6)},
+            {"z": 4, "x": 3, "y": 3, "n_pages": 1,
+             "raster": zlib.compress(right.astype(">u2").tobytes(), 6)}]
+    out = value_regions(rd.from_items(rows)).to_pandas()
+    sevens = out[out["value"] == 7].sort_values("size")
+    assert list(sevens["size"]) == [4, 12]   # island, merged bar
+    assert len(out[out["value"] == 3]) == 1
+    assert int(out[out["value"] == 3]["size"].iloc[0]) == 16
+    # forcing the distributed path gives identical regions
+    out2 = value_regions(rd.from_items(rows), driver_limit=0) \
+        .to_pandas()
+    a = out.sort_values(["value", "size", "region"]).reset_index(
+        drop=True)
+    b = out2.sort_values(["value", "size", "region"]).reset_index(
+        drop=True)
+    assert a[["region", "size", "value"]].equals(
+        b[["region", "size", "value"]])
