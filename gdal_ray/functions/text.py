@@ -253,3 +253,58 @@ def term_df(ds, top_k: int = 50, buckets: int = 64):
         .groupby("__b").map_groups(merge, batch_format="pyarrow")
     return merged.sort(["df", "tf", "token"],
                        descending=[True, True, False]).limit(top_k)
+
+
+# --- deterministic curation: hash sampling + per-group caps -----------------
+
+def hash_sample_batch(batch: pa.Table, col: str = "text",
+                      rate_denom: int = 8, keep: int = 0) -> pa.Table:
+    """Deterministic content-hash sampling — the reproducible
+    subsampling pass of a training-data pipeline: keep rows whose
+    md5-prefix bucket (first 8 hex digits as uint32) % rate_denom ==
+    keep.  Pure filter, no state, identical on any cluster shape;
+    restates in SQL as ('0x' || substr(md5(x), 1, 8))::UBIGINT %
+    rate_denom."""
+    import hashlib
+
+    vals = batch[col].to_pylist()
+    m = np.array([int(hashlib.md5(("" if v is None else v)
+                                  .encode("utf-8")).hexdigest()[:8], 16)
+                  % rate_denom == keep for v in vals], dtype=bool)
+    return batch.filter(pa.array(m))
+
+
+def cap_per_group(ds, key_col: str, order_col: str, n: int,
+                  buckets: int = 64):
+    """Per-group cap (class balancing): keep at most ``n`` rows per
+    key, chosen by ascending ``order_col`` (deterministic — the
+    ROW_NUMBER() <= n rule).  Hash-bucket exchange + one lexsort /
+    cumcount kernel per bucket; only (key, order) move until the final
+    semi-join-free emit (rows carry their payload through the
+    exchange — cap the columns you ship)."""
+    import pandas as pd
+
+    def bucket(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(b[key_col].to_pandas(),
+                                       index=False,
+                                       hash_key="gdal_ray_gagg_00")
+        return b.append_column(
+            "__b", pa.array((h.values % np.uint64(buckets))
+                            .astype(np.int32)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        o = g[order_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, k))
+        ks = k[order]
+        new = np.r_[True, ks[1:] != ks[:-1]]
+        # rank within key = index - index of key start
+        starts = np.flatnonzero(new)
+        run_start = starts[np.cumsum(new) - 1]
+        rank = np.arange(len(ks)) - run_start
+        keep_rows = order[rank < n]
+        out = g.take(pa.array(np.sort(keep_rows)))
+        return out.drop_columns(["__b"])
+
+    return ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(per_bucket, batch_format="pyarrow")

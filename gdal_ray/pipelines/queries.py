@@ -1102,6 +1102,29 @@ def q_docs_term_df(sf_dir: str):
     return _textfn.term_df(ds, top_k=50)
 
 
+def q_docs_sample_cap(sf_dir: str):
+    """Deterministic corpus curation: md5-bucket hash sampling (keep
+    text-hash % 8 == 0 — reproducible on any cluster shape) followed
+    by a per-(lang, source) cap of 5 docs by ascending doc_id (class
+    balancing, the ROW_NUMBER() <= n rule) — functions/text.py:
+    hash_sample_batch + cap_per_group.  ORACLE: the md5-prefix
+    UBIGINT bucket + QUALIFY-style row_number filter in SQL."""
+    from ..functions.text import cap_per_group, hash_sample_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+    sampled = ds.map_batches(
+        lambda b: hash_sample_batch(b, "text", 8, 0),
+        batch_format="pyarrow")
+
+    def key_batch(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(b["lang"], b["source"], "|")
+        return pa.table({"doc_id": b["doc_id"], "grp": key})
+
+    keyed = sampled.map_batches(key_batch, batch_format="pyarrow")
+    return cap_per_group(keyed, "grp", "doc_id", 5)
+
+
 def q_docs_quality(sf_dir: str):
     """Quality features as floor-scaled per-million integers (identical
     integer results in both engines; avoids round-half mode skew)."""
@@ -3320,6 +3343,7 @@ QUERIES = {
     "line_locate": q_line_locate,
     "sql_case": q_sql_case,
     "contour_polygons": q_contour_polygons,
+    "docs_sample_cap": q_docs_sample_cap,
     "raster_warp_stereo": q_raster_warp_stereo,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,
@@ -4423,6 +4447,17 @@ ORACLES = {
                CAST(CASE WHEN event_id % 2 = 0 THEN event_id
                          ELSE 0 - event_id END AS BIGINT) AS signed_id
         FROM events
+    """,
+    "docs_sample_cap": """
+        WITH samp AS (
+          SELECT doc_id, lang || '|' || source AS grp
+          FROM documents
+          WHERE ('0x' || substr(md5(text), 1, 8))::UBIGINT % 8 = 0),
+        rk AS (SELECT doc_id, grp,
+                      row_number() OVER (PARTITION BY grp
+                                         ORDER BY doc_id) AS rn
+               FROM samp)
+        SELECT doc_id, grp FROM rk WHERE rn <= 5
     """,
     "docs_term_df": """
         WITH tok AS (SELECT doc_id,

@@ -1269,3 +1269,22 @@ def test_lineref_locate_and_mileposts(ray_session):
     mp = create_mileposts(line, 4.0)
     assert [m["measure"] for m in mp] == [0.0, 4.0, 8.0, 12.0]
     assert mp[3]["x"] == 10.0 and abs(mp[3]["y"] - 2.0) < 1e-12
+
+
+def test_cap_per_group_rule(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.functions.text import cap_per_group
+
+    t = pa.table({
+        "grp": pa.array(["a"] * 7 + ["b"] * 2 + ["c"] * 3),
+        "doc_id": pa.array([9, 3, 5, 1, 7, 2, 8, 10, 4, 6, 0, 11],
+                           pa.int64()),
+    })
+    out = cap_per_group(rd.from_arrow(t).repartition(4), "grp",
+                        "doc_id", 3).to_pandas()
+    by = out.groupby("grp")["doc_id"].apply(sorted).to_dict()
+    assert by["a"] == [1, 2, 3]     # 3 smallest ids of 7
+    assert by["b"] == [4, 10]       # under the cap: all kept
+    assert by["c"] == [0, 6, 11]
