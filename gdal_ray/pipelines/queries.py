@@ -2656,15 +2656,7 @@ def q_raster_mosaic(sf_dir: str):
     srcs = [_tiling.render_tiles(typed_points(t), zoom=3)
             for t in (("click", "view"), ("purchase", "signup"),
                       ("error",))]
-    srcs = [s.materialize() for s in srcs]
-    parts = []
-    for method in ("first", "sum"):
-        m = mosaic_tiles(srcs, method=method)
-        parts.append(m.map_batches(
-            lambda b, mm=method: b.append_column(
-                "method", pa.array([mm] * b.num_rows)),
-            batch_format="pyarrow"))
-    out = parts[0].union(parts[1])
+    out = mosaic_tiles(srcs, method=["first", "sum"])
 
     def summarize(b: pa.Table) -> pa.Table:
         import zlib as _z
