@@ -316,7 +316,8 @@ class _ShingleSets:
 def jaccard_verify_pairs(ds, pairs_ds, key_col: str = "doc_id",
                          text_col: str = "text", shingle_k: int = 3,
                          threshold: float = 0.5,
-                         n_buckets: int | None = None, concurrency=None):
+                         n_buckets: int | None = None, concurrency=None,
+                         broadcast_max_pairs: int = 100_000):
     """Stage 2 of MinHash-LSH near-dedup: exact k-shingle Jaccard over
     the candidate pairs — fully DISTRIBUTED (returns a Dataset; no
     driver dicts, no driver Jaccard loop).
@@ -350,6 +351,56 @@ def jaccard_verify_pairs(ds, pairs_ds, key_col: str = "doc_id",
         [pa.table({"k": b["key_a"]}) for b in key_batches]
         + [pa.table({"k": b["key_b"]}) for b in key_batches])
     wanted_ref = _ray.put(pc.unique(pair_keys["k"]))
+    n_pairs = sum(len(b) for b in key_batches)
+
+    sh0 = _ShingleSets(key_col, text_col, shingle_k)
+
+    # --- size dispatch (the join_auto pattern): pairs after LSH are
+    # O(dups); under the threshold the referenced docs' shingle sets
+    # broadcast once and pairs verify in ONE map — no exchange at all.
+    # The two bucketed exchanges below are the scale path (tests force
+    # it with broadcast_max_pairs=0).
+    if broadcast_max_pairs and n_pairs <= broadcast_max_pairs:
+        def doc_shingles(b: pa.Table) -> pa.Table:
+            wanted = _ray.get(wanted_ref)
+            b = b.filter(pc.is_in(b[key_col], value_set=wanted))
+            return sh0(b).select([key_col, "shingles"])
+
+        sets: dict = {}
+        for b in ds.map_batches(doc_shingles, batch_format="pyarrow") \
+                .iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for k, s in zip(b[key_col].to_pylist(),
+                            b["shingles"].to_pylist()):
+                sets[k] = np.asarray(s, dtype=np.uint64)
+        sets_ref = _ray.put(sets)
+
+        def verify(b: pa.Table) -> pa.Table:
+            ss = _ray.get(sets_ref)
+            ka = b["key_a"].to_pylist()
+            kb = b["key_b"].to_pylist()
+            keep_i, inter, union = [], [], []
+            for i, (a, c) in enumerate(zip(ka, kb)):
+                sa, sc = ss.get(a), ss.get(c)
+                if sa is None or sc is None:
+                    continue
+                hit = int(np.intersect1d(sa, sc,
+                                         assume_unique=True).size)
+                keep_i.append(i)
+                inter.append(hit)
+                union.append(len(sa) + len(sc) - hit)
+            ia = np.asarray(inter, np.int64)
+            ua = np.asarray(union, np.int64)
+            jac = np.where(ua > 0, ia / np.maximum(ua, 1), 1.0)
+            sel = pa.array(np.asarray(keep_i, np.int64))
+            out = pa.table({
+                "key_a": b["key_a"].take(sel).combine_chunks(),
+                "key_b": b["key_b"].take(sel).combine_chunks(),
+                "jaccard": pa.array(jac, pa.float64()),
+            })
+            return out.filter(pc.greater_equal(out["jaccard"],
+                                               threshold))
+
+        return pairs_ds.map_batches(verify, batch_format="pyarrow")
 
     def pair_legs(b: pa.Table) -> pa.Table:
         ka = b["key_a"].combine_chunks()

@@ -1288,3 +1288,30 @@ def test_cap_per_group_rule(ray_session):
     assert by["a"] == [1, 2, 3]     # 3 smallest ids of 7
     assert by["b"] == [4, 10]       # under the cap: all kept
     assert by["c"] == [0, 6, 11]
+
+
+def test_jaccard_verify_both_paths_agree(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.stages.dedup import jaccard_verify_pairs
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "the quick brown fox jumps over"},
+        {"doc_id": 2, "text": "the quick brown fox jumps high"},
+        {"doc_id": 3, "text": "completely different content here"},
+        {"doc_id": 4, "text": "the quick brown fox jumps over"},
+    ])
+    pairs = rd.from_arrow(pa.table({
+        "key_a": pa.array([1, 1, 2], pa.int64()),
+        "key_b": pa.array([2, 4, 3], pa.int64()),
+    }))
+    fast = jaccard_verify_pairs(docs, pairs, threshold=0.3) \
+        .to_pandas().sort_values(["key_a", "key_b"]) \
+        .reset_index(drop=True)
+    dist = jaccard_verify_pairs(docs, pairs, threshold=0.3,
+                                broadcast_max_pairs=0) \
+        .to_pandas().sort_values(["key_a", "key_b"]) \
+        .reset_index(drop=True)
+    assert fast.equals(dist)
+    assert fast.loc[fast.key_a.eq(1) & fast.key_b.eq(4),
+                    "jaccard"].iloc[0] == 1.0
