@@ -2674,6 +2674,42 @@ def q_raster_mosaic(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_raster_calc2(sf_dir: str):
+    """Multi-raster per-pixel algebra (gdal_calc with -A -B inputs):
+    C = |A − B| + min(A, B) over two event-type z3 mosaics, aligned
+    by tile through one hash exchange with zero-fill for absent tiles
+    (stages/raster.py:raster_zip).  ORACLE: the same integer algebra
+    over the per-type pixel counts; per-tile sums + nonzero."""
+    from ..stages.raster import raster_zip
+
+    def typed_points(types):
+        ds = rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id"],
+            filter=pds.field("event_type").isin(list(types)))
+        return ds.map_batches(_add_latlon, batch_format="pyarrow")
+
+    a = _tiling.render_tiles(typed_points(("click", "view")), zoom=3)
+    b = _tiling.render_tiles(
+        typed_points(("purchase", "signup", "error")), zoom=3)
+    out = raster_zip([a, b],
+                     lambda g: np.abs(g[0] - g[1])
+                     + np.minimum(g[0], g[1]))
+
+    def summarize(bt: pa.Table) -> pa.Table:
+        import zlib as _z
+        tot, nz = [], []
+        for blob in bt["raster"].to_pylist():
+            g = np.frombuffer(_z.decompress(blob), dtype=">u2") \
+                .astype(np.int64)
+            tot.append(int(g.sum()))
+            nz.append(int((g > 0).sum()))
+        return pa.table({"z": bt["z"], "x": bt["x"], "y": bt["y"],
+                         "total": pa.array(tot, pa.int64()),
+                         "nonzero": pa.array(nz, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 _PAN_B0 = ("click", "view")
 
 
@@ -3332,6 +3368,7 @@ QUERIES = {
     "dem_zt": q_dem_zt,
     "raster_pansharpen": q_raster_pansharpen,
     "raster_mosaic": q_raster_mosaic,
+    "raster_calc2": q_raster_calc2,
     "line_locate": q_line_locate,
     "sql_case": q_sql_case,
     "contour_polygons": q_contour_polygons,
@@ -5710,6 +5747,39 @@ ORACLES["line_locate"] = """
            CAST(floor(CAST(sqrt(d2) AS REAL)*256.0 + 0.5)
                 AS BIGINT) AS dist_q
     FROM best WHERE rn = 1
+"""
+
+# two-input calc oracle: |A-B| + min(A,B) over per-type counts
+ORACLES["raster_calc2"] = """
+    WITH tt AS (SELECT event_id, event_type,
+                  -60.0  + ((event_id * 7919)   % 26000) / 200.0 AS lat,
+                  -180.0 + ((event_id * 104729) % 72000) / 200.0 AS lon
+                FROM events),
+    t AS (SELECT
+            CAST(least(greatest(floor((lon+180.0)/360.0*2048.0), 0),
+                 2047) AS BIGINT) AS gx,
+            CAST(least(greatest(floor((1.0 - ln(tan(radians(lat))
+                 + 1.0/cos(radians(lat)))/pi())/2.0*2048.0), 0), 2047)
+                 AS BIGINT) AS gy,
+            event_type
+          FROM tt),
+    px AS (SELECT gx, gy,
+             CAST(sum(CASE WHEN event_type IN ('click', 'view')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN event_type IN ('click', 'view')
+                  THEN 0 ELSE 1 END) AS BIGINT) AS b
+           FROM t GROUP BY 1, 2),
+    tiles AS (SELECT DISTINCT gx // 256 AS tx, gy // 256 AS ty FROM t),
+    vv AS (SELECT gx // 256 AS tx, gy // 256 AS ty,
+                  abs(a - b) + least(a, b) AS c
+           FROM px),
+    agg AS (SELECT tx, ty, sum(c) AS s,
+                   sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS n
+            FROM vv GROUP BY 1, 2)
+    SELECT CAST(3 AS INTEGER) AS z, t2.tx AS x, t2.ty AS y,
+           CAST(COALESCE(a2.s, 0) AS BIGINT) AS total,
+           CAST(COALESCE(a2.n, 0) AS BIGINT) AS nonzero
+    FROM tiles t2 LEFT JOIN agg a2 ON a2.tx = t2.tx AND a2.ty = t2.ty
 """
 
 # mosaic oracle: per-pixel priority CASE chain ("first") and sum;

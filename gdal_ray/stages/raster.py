@@ -537,3 +537,52 @@ def mosaic_tiles(tile_tables, method: str = "first"):
 
     return emitted.groupby("key").map_groups(fuse,
                                              batch_format="pyarrow")
+
+
+def raster_zip(tile_tables, kernel, out_dtype=">u2"):
+    """Multi-raster per-pixel algebra (gdal_calc with N inputs,
+    apps/gdal_calc-style -A -B expressions): aligns N tile tables by
+    tile key through one hash exchange and applies
+    ``kernel(grids) -> grid`` where ``grids`` is the list of N int64
+    arrays (absent tiles are zeros — the zero-padded mosaic
+    convention).  Output tile set = union of the input tile sets."""
+    nb = len(tile_tables)
+
+    parts = []
+    for i, src in enumerate(tile_tables):
+        def tag(b: pa.Table, p=i) -> pa.Table:
+            return pa.table({
+                "key": pa.array(
+                    [(int(x) << 28) | int(y)
+                     for x, y in zip(b["x"].to_pylist(),
+                                     b["y"].to_pylist())], pa.int64()),
+                "z": b["z"],
+                "src": pa.array([p] * b.num_rows, pa.int8()),
+                "raster": b["raster"],
+            })
+        parts.append(src.map_batches(tag, batch_format="pyarrow"))
+    emitted = parts[0].union(*parts[1:])
+
+    def fuse(g: pa.Table) -> pa.Table:
+        srcs = g["src"].to_numpy(zero_copy_only=False)
+        grids = [np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.int64)
+                 for _ in range(nb)]
+        for r, s in enumerate(srcs):
+            grids[int(s)] = np.frombuffer(
+                zlib.decompress(g["raster"][r].as_py()),
+                dtype=">u2").reshape(TILE_SIZE, TILE_SIZE) \
+                .astype(np.int64)
+        out = np.asarray(kernel(grids))
+        key = int(g["key"][0].as_py())
+        return pa.table({
+            "z": pa.array([int(g["z"][0].as_py())], pa.int32()),
+            "x": pa.array([key >> 28], pa.int64()),
+            "y": pa.array([key & ((1 << 28) - 1)], pa.int64()),
+            "raster": pa.array(
+                [zlib.compress(np.clip(out, 0, 65535)
+                               .astype(out_dtype).tobytes(), 6)],
+                pa.binary()),
+        })
+
+    return emitted.groupby("key").map_groups(fuse,
+                                             batch_format="pyarrow")
