@@ -377,6 +377,41 @@ def q_events_lag_deltas(sf_dir: str):
     return lag_deltas(ds, "user_id", "ts", "event_id")
 
 
+def q_events_tracks(sf_dir: str):
+    """Per-user trajectory assembly (the ST_MakeLine / GPS-track
+    pass): events ordered by (ts, event_id) form a polyline per user;
+    output n_points, n_segments, antimeridian-aware degree length
+    (ogr2ogr -wrapdateline fold: dlon into (-180, 180]) and the point
+    bbox (stages/sessionize.py:user_tracks).  ORACLE: DuckDB lag()
+    window with the identical fold; bbox ×200 is exactly integral on
+    the fixture grid; length through the f32 quantizer (summation
+    order differs engine-vs-SQL, absorbed by the f32 cast)."""
+    from ..stages.sessionize import user_tracks
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    pts = ds.map_batches(_add_latlon, batch_format="pyarrow")
+    out = user_tracks(pts, "user_id", "ts", "event_id")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        ln = b["track_len"].to_numpy(zero_copy_only=False)
+        q = np.floor(ln.astype(np.float32).astype(np.float64)
+                     * 256.0 + 0.5).astype(np.int64)
+        def s200(col):
+            v = b[col].to_numpy(zero_copy_only=False) * 200.0
+            return pa.array(np.floor(v + 0.5).astype(np.int64))
+        return pa.table({
+            "user_id": b["user_id"],
+            "n_points": b["n_points"],
+            "n_segments": b["n_segments"],
+            "len_q": pa.array(q),
+            "min_lon_s": s200("min_lon"), "max_lon_s": s200("max_lon"),
+            "min_lat_s": s200("min_lat"), "max_lat_s": s200("max_lat"),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_lineitem_quantiles(sf_dir: str):
     """Exact distributed MEDIAN + QUANTILE_CONT(0.9) per group via the
     lossless value-histogram plan (stages/aggregate.py:
@@ -3373,6 +3408,7 @@ QUERIES = {
     "sql_case": q_sql_case,
     "contour_polygons": q_contour_polygons,
     "docs_sample_cap": q_docs_sample_cap,
+    "events_tracks": q_events_tracks,
     "raster_warp_stereo": q_raster_warp_stereo,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,
@@ -3842,6 +3878,42 @@ ORACLES = {
                CAST(count(*) AS BIGINT) AS n_events,
                MIN(t) AS t_start, MAX(t) AS t_end
         FROM s GROUP BY user_id, sid
+    """,
+    "events_tracks": """
+        WITH e AS (SELECT user_id, ts, event_id,
+                     -60.0  + ((event_id * 7919)   % 26000) / 200.0
+                         AS lat,
+                     -180.0 + ((event_id * 104729) % 72000) / 200.0
+                         AS lon
+                   FROM events),
+        d AS (SELECT user_id, lon, lat,
+                     lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+              FROM e WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts, event_id)),
+        seg AS (SELECT user_id,
+                  (lon - plon)
+                  - 360.0*ceil(((lon - plon) - 180.0)/360.0) AS dlon,
+                  lat - plat AS dlat
+                FROM d WHERE plon IS NOT NULL),
+        sl AS (SELECT user_id,
+                      CAST(count(*) AS BIGINT) AS n_segments,
+                      sum(sqrt(dlon*dlon + dlat*dlat)) AS len
+               FROM seg GROUP BY user_id)
+        SELECT e.user_id,
+               CAST(count(*) AS BIGINT) AS n_points,
+               COALESCE(any_value(sl.n_segments), 0) AS n_segments,
+               CAST(floor(CAST(COALESCE(any_value(sl.len), 0.0)
+                    AS REAL)*256.0 + 0.5) AS BIGINT) AS len_q,
+               CAST(floor(min(e.lon)*200.0 + 0.5) AS BIGINT)
+                   AS min_lon_s,
+               CAST(floor(max(e.lon)*200.0 + 0.5) AS BIGINT)
+                   AS max_lon_s,
+               CAST(floor(min(e.lat)*200.0 + 0.5) AS BIGINT)
+                   AS min_lat_s,
+               CAST(floor(max(e.lat)*200.0 + 0.5) AS BIGINT)
+                   AS max_lat_s
+        FROM e LEFT JOIN sl ON sl.user_id = e.user_id
+        GROUP BY e.user_id
     """,
     "events_lag_deltas": """
         WITH d AS (SELECT user_id,

@@ -144,3 +144,70 @@ def lag_deltas(ds, key_col: str, ts_col: str, order_col: str,
 
     return narrow.groupby(_BUCKET).map_groups(per_bucket,
                                               batch_format="pyarrow")
+
+
+def user_tracks(ds, key_col: str, ts_col: str, order_col: str,
+                lon_col: str = "lon", lat_col: str = "lat",
+                n_buckets: int = 64):
+    """Per-key trajectory assembly (the ST_MakeLine / track-building
+    pass of a telemetry pipeline): events of one key ordered by
+    (ts, order_col) form a polyline; one row per key with n_points,
+    n_segments, the ANTIMERIDIAN-AWARE degree length (per-segment
+    dlon folded into (-180, 180] — the ogr2ogr -wrapdateline
+    convention that a jump > 180° crosses the dateline), and the
+    lon/lat bbox of the raw points.  Same hash-bucket exchange +
+    lexsort/diff kernel as sessionize."""
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        t = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        nb = pa.table({
+            key_col: b[key_col],
+            "__t": t,
+            "__o": b[order_col].cast(pa.int64()),
+            "__lon": b[lon_col],
+            "__lat": b[lat_col],
+        })
+        h = pd.util.hash_pandas_object(nb[key_col].to_pandas(),
+                                       index=False,
+                                       hash_key="gdal_ray_sess_00")
+        return nb.append_column(
+            _BUCKET, pa.array((h.values % np.uint64(n_buckets))
+                              .astype(np.int32)))
+
+    narrow = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        t = g["__t"].to_numpy(zero_copy_only=False)
+        o = g["__o"].to_numpy(zero_copy_only=False)
+        lon = g["__lon"].to_numpy(zero_copy_only=False)
+        lat = g["__lat"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, t, keys))
+        k = keys[order]
+        lon, lat = lon[order], lat[order]
+        new = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(k)]
+        same = ~new[1:]
+        dlon_raw = lon[1:] - lon[:-1]
+        # fold into (-180, 180]: a jump > 180 deg crosses the dateline
+        dlon = dlon_raw - 360.0 * np.ceil((dlon_raw - 180.0) / 360.0)
+        dlat = lat[1:] - lat[:-1]
+        seglen = np.sqrt(dlon * dlon + dlat * dlat)
+        # per-key segment-length sums via reduceat over key runs
+        seg_l = np.where(same, seglen, 0.0)
+        length = np.add.reduceat(np.r_[0.0, seg_l], starts)
+        nseg = np.add.reduceat(np.r_[0, same.astype(np.int64)], starts)
+        return pa.table({
+            key_col: pa.array(k[starts]),
+            "n_points": pa.array((ends - starts).astype(np.int64)),
+            "n_segments": pa.array(nseg.astype(np.int64)),
+            "track_len": pa.array(length, pa.float64()),
+            "min_lon": pa.array(np.minimum.reduceat(lon, starts)),
+            "max_lon": pa.array(np.maximum.reduceat(lon, starts)),
+            "min_lat": pa.array(np.minimum.reduceat(lat, starts)),
+            "max_lat": pa.array(np.maximum.reduceat(lat, starts)),
+        })
+
+    return narrow.groupby(_BUCKET).map_groups(per_bucket,
+                                              batch_format="pyarrow")

@@ -1315,3 +1315,29 @@ def test_jaccard_verify_both_paths_agree(ray_session):
     assert fast.equals(dist)
     assert fast.loc[fast.key_a.eq(1) & fast.key_b.eq(4),
                     "jaccard"].iloc[0] == 1.0
+
+
+def test_user_tracks_antimeridian_wrap(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from gdal_ray.stages.sessionize import user_tracks
+
+    us = 1_000_000
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([0, us, 2 * us, 0], pa.timestamp("us")),
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "lon": pa.array([170.0, -175.0, -170.0, 0.0], pa.float64()),
+        "lat": pa.array([0.0, 0.0, 3.0, 0.0], pa.float64()),
+    })
+    out = user_tracks(rd.from_arrow(t).repartition(2), "user_id",
+                      "ts", "event_id").to_pandas() \
+        .set_index("user_id").sort_index()
+    u1 = out.loc[1]
+    # 170 -> -175 wraps: dlon = +15 (not -345); then 5 deg + 3 deg
+    assert abs(u1["track_len"] - (15.0 + np.sqrt(25.0 + 9.0))) < 1e-9
+    assert u1["n_points"] == 3 and u1["n_segments"] == 2
+    assert u1["min_lon"] == -175.0 and u1["max_lon"] == 170.0
+    u2 = out.loc[2]
+    assert u2["n_segments"] == 0 and u2["track_len"] == 0.0
