@@ -2791,51 +2791,31 @@ def q_raster_pansharpen(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
-def q_raster_viewshed(sf_dir: str):
-    """gdal_viewshed (alg/viewshed/, Wang et al. 2000 sweep) from the
-    four densest z11 pixels of the z3 count mosaic (ties broken by
-    gx, gy), R = 24 px, observer_z 2.0, cell mode "edge": per-observer
-    visible/invisible counts + a signed position checksum over the
-    visible set.  ORACLE: the Wang recurrence is a per-quadrant DP on
-    anti-diagonals whose cell needs only the previous diagonal (each
-    row carries its own parents' heights), so a recursive CTE replays
-    it EXACTLY — pure rational arithmetic, no quantization."""
-    from ..stages.viewshed import viewshed
+def _viewshed_cand(b: pa.Table) -> pa.Table:
+    import zlib as _z
+    ns, gxs, gys = [], [], []
+    for x, y, blob in zip(b["x"].to_pylist(), b["y"].to_pylist(),
+                          b["raster"].to_pylist()):
+        g = np.frombuffer(_z.decompress(blob), dtype=">u2") \
+            .reshape(256, 256).astype(np.int64)
+        py, px = np.nonzero(g)
+        if len(px) == 0:
+            continue
+        # per-tile top-4 by (-n, gx, gy): global top-4 is a subset
+        vgx = int(x) * 256 + px.astype(np.int64)
+        vgy = int(y) * 256 + py.astype(np.int64)
+        vn = g[py, px]
+        order = np.lexsort((vgy, vgx, -vn))[:4]
+        for o in order:
+            ns.append(int(vn[o]))
+            gxs.append(int(vgx[o]))
+            gys.append(int(vgy[o]))
+    return pa.table({"n": pa.array(ns, pa.int64()),
+                     "gx": pa.array(gxs, pa.int64()),
+                     "gy": pa.array(gys, pa.int64())})
 
-    R = 24
-    tiles_ds = _rendered_tiles(sf_dir, 3).materialize()
 
-    def cand(b: pa.Table) -> pa.Table:
-        import zlib as _z
-        ns, gxs, gys = [], [], []
-        for x, y, blob in zip(b["x"].to_pylist(), b["y"].to_pylist(),
-                              b["raster"].to_pylist()):
-            g = np.frombuffer(_z.decompress(blob), dtype=">u2") \
-                .reshape(256, 256).astype(np.int64)
-            py, px = np.nonzero(g)
-            if len(px) == 0:
-                continue
-            # per-tile top-4 by (-n, gx, gy): global top-4 is a subset
-            vgx = int(x) * 256 + px.astype(np.int64)
-            vgy = int(y) * 256 + py.astype(np.int64)
-            vn = g[py, px]
-            order = np.lexsort((vgy, vgx, -vn))[:4]
-            for o in order:
-                ns.append(int(vn[o]))
-                gxs.append(int(vgx[o]))
-                gys.append(int(vgy[o]))
-        return pa.table({"n": pa.array(ns, pa.int64()),
-                         "gx": pa.array(gxs, pa.int64()),
-                         "gy": pa.array(gys, pa.int64())})
-
-    cands = tiles_ds.map_batches(cand, batch_format="pyarrow") \
-        .take_all()
-    cands.sort(key=lambda r: (-r["n"], r["gx"], r["gy"]))
-    observers = [(k, r["gx"], r["gy"]) for k, r in enumerate(cands[:4])]
-
-    out = viewshed(tiles_ds, observers, R, observer_z=2.0,
-                   target_height=0.0, mode="edge")
-
+def _viewshed_summarize(R: int):
     def summarize(b: pa.Table) -> pa.Table:
         import zlib as _z
         n = 2 * R + 1
@@ -2855,8 +2835,50 @@ def q_raster_viewshed(sf_dir: str):
                          "n_visible": pa.array(nv, pa.int64()),
                          "n_invisible": pa.array(ni, pa.int64()),
                          "vischeck": pa.array(ck, pa.int64())})
+    return summarize
 
-    return out.map_batches(summarize, batch_format="pyarrow")
+
+def q_raster_viewshed(sf_dir: str):
+    """gdal_viewshed (alg/viewshed/, Wang et al. 2000 sweep) from the
+    four densest z11 pixels of the z3 count mosaic (ties broken by
+    gx, gy), R = 24 px, observer_z 2.0, cell mode "edge": per-observer
+    visible/invisible counts + a signed position checksum over the
+    visible set.  ORACLE: the Wang recurrence is a per-quadrant DP on
+    anti-diagonals whose cell needs only the previous diagonal (each
+    row carries its own parents' heights), so a recursive CTE replays
+    it EXACTLY — pure rational arithmetic, no quantization."""
+    from ..stages.viewshed import viewshed
+
+    R = 24
+    tiles_ds = _rendered_tiles(sf_dir, 3).materialize()
+    cands = tiles_ds.map_batches(_viewshed_cand,
+                                 batch_format="pyarrow").take_all()
+    cands.sort(key=lambda r: (-r["n"], r["gx"], r["gy"]))
+    observers = [(k, r["gx"], r["gy"]) for k, r in enumerate(cands[:4])]
+    out = viewshed(tiles_ds, observers, R, observer_z=2.0,
+                   target_height=0.0, mode="edge")
+    return out.map_batches(_viewshed_summarize(R),
+                           batch_format="pyarrow")
+
+
+def q_raster_viewshed_curved(sf_dir: str):
+    """gdal_viewshed with the earth-curvature correction (-cc:
+    adjustHeight subtracts height_adj · R² from every cell,
+    viewshed_executor.cpp:353-430) — same observers and sweep as
+    raster_viewshed, height_adj 0.02.  ORACLE: the viewshed DP CTE
+    with the curvature term inside the height expression."""
+    from ..stages.viewshed import viewshed
+
+    R = 24
+    tiles_ds = _rendered_tiles(sf_dir, 3).materialize()
+    cands = tiles_ds.map_batches(_viewshed_cand,
+                                 batch_format="pyarrow").take_all()
+    cands.sort(key=lambda r: (-r["n"], r["gx"], r["gy"]))
+    observers = [(k, r["gx"], r["gy"]) for k, r in enumerate(cands[:4])]
+    out = viewshed(tiles_ds, observers, R, observer_z=2.0,
+                   target_height=0.0, mode="edge", height_adj=0.02)
+    return out.map_batches(_viewshed_summarize(R),
+                           batch_format="pyarrow")
 
 
 def q_contour_polygons(sf_dir: str):
@@ -3384,6 +3406,7 @@ QUERIES = {
     "dem_terrain": q_dem_terrain,
     "dem_color_relief": q_dem_color_relief,
     "raster_viewshed": q_raster_viewshed,
+    "raster_viewshed_curved": q_raster_viewshed_curved,
     # ---- the driver window is the FIRST 50 entries above; the 50th
     # is raster_viewshed (r5 rotation: the five gdaldem queries +
     # viewshed displaced raster_warp/_bilinear, poly_intersection/
@@ -6028,6 +6051,16 @@ ORACLES["raster_viewshed"] = f"""
     FROM cells c JOIN obs o USING (obs_id)
     GROUP BY 1, 2, 3
 """
+
+# curved viewshed oracle: the DP CTE with the curvature term in the
+# height expression (adjustHeight: z -= height_adj*R^2 + z_obs)
+ORACLES["raster_viewshed_curved"] = ORACLES["raster_viewshed"].replace(
+    """CAST(COALESCE(v.n, 0) AS DOUBLE)
+                   - (CAST(o.n AS DOUBLE) + 2.0) AS z""",
+    """CAST(COALESCE(v.n, 0) AS DOUBLE)
+                   - (0.02*(g.ti*g.ti + g.tj*g.tj)
+                      + (CAST(o.n AS DOUBLE) + 2.0)) AS z""")
+assert "0.02" in ORACLES["raster_viewshed_curved"]
 
 # warp oracle: z=2, source pixel grid = z10 (1024²), dest = 4×4 tile
 # plate-carrée grid.  Enumerate the output pixels of every dest tile

@@ -69,9 +69,13 @@ def _required_height(i, j, z, p10, p01, p11, mode):
 
 def viewshed_window(window: np.ndarray, max_dist: int,
                     observer_z: float = 2.0, target_height: float = 0.0,
-                    mode: str = "edge") -> np.ndarray:
+                    mode: str = "edge",
+                    height_adj: float = 0.0) -> np.ndarray:
     """Wang sweep over a (2R+1)² window centered on the observer.
-    Returns uint8: 255 visible, 0 invisible, 0 out-of-range."""
+    Returns uint8: 255 visible, 0 invisible, 0 out-of-range.
+    ``height_adj`` is the earth-curvature coefficient: adjustHeight
+    (viewshed_executor.cpp:353) subtracts height_adj · R² from each
+    cell (the -cc curvature correction, unit grid)."""
     if mode not in _MODES:
         raise ValueError(f"cell mode must be one of {_MODES}")
     R = max_dist
@@ -79,7 +83,9 @@ def viewshed_window(window: np.ndarray, max_dist: int,
     if window.shape != (n, n):
         raise ValueError(f"window must be {n}x{n}, got {window.shape}")
     z_obs = float(window[R, R]) + observer_z
-    zadj = window.astype(np.float64) - z_obs
+    dy, dx = np.mgrid[-R:R + 1, -R:R + 1]
+    r2 = (dx * dx + dy * dy).astype(np.float64)
+    zadj = window.astype(np.float64) - (height_adj * r2 + z_obs)
     vis = np.zeros((n, n), dtype=np.uint8)
     max2 = float(max_dist) * float(max_dist)
     # per-quadrant cumulative heights, quadrant-local (i, j) indexing
@@ -105,7 +111,8 @@ def viewshed_window(window: np.ndarray, max_dist: int,
     return vis
 
 
-def _viewshed_runner(max_dist, observer_z, target_height, mode):
+def _viewshed_runner(max_dist, observer_z, target_height, mode,
+                     height_adj=0.0):
     """Per-observer window assembly + sweep (one group per observer
     after the hash exchange)."""
     R = int(max_dist)
@@ -124,7 +131,7 @@ def _viewshed_runner(max_dist, observer_z, target_height, mode):
             sub = np.frombuffer(band, dtype=np.uint16).reshape(h, w)
             window[r0:r0 + h, c0:c0 + w] = sub
         vis = viewshed_window(window, R, observer_z, target_height,
-                              mode)
+                              mode, height_adj)
         return pa.table({
             "obs_id": pa.array([obs], pa.int64()),
             "gx": pa.array([gx], pa.int64()),
@@ -137,7 +144,7 @@ def _viewshed_runner(max_dist, observer_z, target_height, mode):
 
 def viewshed(tiles_ds, observers, max_dist: int,
              observer_z: float = 2.0, target_height: float = 0.0,
-             mode: str = "edge"):
+             mode: str = "edge", height_adj: float = 0.0):
     """Distributed gdal_viewshed: ``observers`` is a list of
     (obs_id, gx, gy) global-pixel coordinates at the tile mosaic's
     z+8 pixel grid.  Each observer yields one row (obs_id, gx, gy,
@@ -191,6 +198,7 @@ def viewshed(tiles_ds, observers, max_dist: int,
         })
 
     emitted = tiles_ds.map_batches(emit, batch_format="pyarrow")
-    runner = _viewshed_runner(R, observer_z, target_height, mode)
+    runner = _viewshed_runner(R, observer_z, target_height, mode,
+                              height_adj)
     return emitted.groupby("obs_id").map_groups(runner,
                                                 batch_format="pyarrow")
