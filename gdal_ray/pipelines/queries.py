@@ -2745,6 +2745,36 @@ def q_raster_calc2(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+_CROP = (300, 700, 900, 650)  # cx0, cy0, w, h on the z11 pixel grid
+
+
+def q_raster_crop(sf_dir: str):
+    """gdal_translate -srcwin window extraction with re-tiling
+    (stages/raster.py:crop_tiles): the z3 mosaic crops to a 900×650
+    window whose origin is NOT tile-aligned, so every destination
+    tile assembles from up to four source tiles through one hash
+    exchange.  ORACLE: shifted per-pixel counts; destination tiles
+    enumerate from the source tiles' window overlaps."""
+    from ..stages.raster import crop_tiles
+
+    cx0, cy0, w, h = _CROP
+    out = crop_tiles(_rendered_tiles(sf_dir, 3), cx0, cy0, w, h)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        tot, nz = [], []
+        for blob in b["raster"].to_pylist():
+            g = np.frombuffer(_z.decompress(blob), dtype=">u2") \
+                .astype(np.int64)
+            tot.append(int(g.sum()))
+            nz.append(int((g > 0).sum()))
+        return pa.table({"z": b["z"], "x": b["x"], "y": b["y"],
+                         "total": pa.array(tot, pa.int64()),
+                         "nonzero": pa.array(nz, pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 _PAN_B0 = ("click", "view")
 
 
@@ -3427,6 +3457,7 @@ QUERIES = {
     "raster_pansharpen": q_raster_pansharpen,
     "raster_mosaic": q_raster_mosaic,
     "raster_calc2": q_raster_calc2,
+    "raster_crop": q_raster_crop,
     "line_locate": q_line_locate,
     "sql_case": q_sql_case,
     "contour_polygons": q_contour_polygons,
@@ -5842,6 +5873,40 @@ ORACLES["line_locate"] = """
            CAST(floor(CAST(sqrt(d2) AS REAL)*256.0 + 0.5)
                 AS BIGINT) AS dist_q
     FROM best WHERE rn = 1
+"""
+
+# crop oracle: shifted per-pixel counts inside the window; dest tiles
+# enumerate from existing source tiles' window overlaps
+ORACLES["raster_crop"] = f"""
+    WITH {_PIXEL11_SQL},
+    vals AS (SELECT gx, gy, count(*) AS n FROM t GROUP BY 1, 2),
+    stiles AS (SELECT DISTINCT gx // 256 AS tx, gy // 256 AS ty FROM t),
+    ov AS (SELECT tx, ty,
+             GREATEST(tx*256, 300) AS sx0,
+             LEAST(tx*256 + 256, 1200) AS sx1,
+             GREATEST(ty*256, 700) AS sy0,
+             LEAST(ty*256 + 256, 1350) AS sy1
+           FROM stiles),
+    k4 AS (SELECT unnest(generate_series(0, 8)) AS i),
+    dt AS (SELECT DISTINCT ((o.sx0 - 300) // 256) + kx.i AS dtx,
+                  ((o.sy0 - 700) // 256) + ky.i AS dty
+           FROM ov o, k4 kx, k4 ky
+           WHERE o.sx1 > o.sx0 AND o.sy1 > o.sy0
+             AND ((o.sx0 - 300) // 256) + kx.i
+                 <= (o.sx1 - 1 - 300) // 256
+             AND ((o.sy0 - 700) // 256) + ky.i
+                 <= (o.sy1 - 1 - 700) // 256),
+    pix AS (SELECT (gx - 300) // 256 AS dtx, (gy - 700) // 256 AS dty,
+                   n
+            FROM vals
+            WHERE gx >= 300 AND gx < 1200
+              AND gy >= 700 AND gy < 1350),
+    agg AS (SELECT dtx, dty, sum(n) AS s, count(*) AS c
+            FROM pix GROUP BY 1, 2)
+    SELECT CAST(3 AS INTEGER) AS z, d.dtx AS x, d.dty AS y,
+           CAST(COALESCE(a.s, 0) AS BIGINT) AS total,
+           CAST(COALESCE(a.c, 0) AS BIGINT) AS nonzero
+    FROM dt d LEFT JOIN agg a ON a.dtx = d.dtx AND a.dty = d.dty
 """
 
 # two-input calc oracle: |A-B| + min(A,B) over per-type counts

@@ -586,3 +586,89 @@ def raster_zip(tile_tables, kernel, out_dtype=">u2"):
 
     return emitted.groupby("key").map_groups(fuse,
                                              batch_format="pyarrow")
+
+
+def crop_tiles(tiles_ds, cx0: int, cy0: int, w: int, h: int):
+    """gdal_translate -srcwin window extraction with RE-TILING: the
+    output raster's origin is the window corner, so pixels shift by
+    (cx0, cy0) and each destination tile assembles from up to four
+    source tiles — one hash exchange keyed by destination tile (the
+    cross-resolution exchange pattern).  Destination tiles covered
+    only by absent source tiles are absent (the sparse tile-table
+    convention); partial edge tiles zero-fill outside the window."""
+    if w <= 0 or h <= 0:
+        raise ValueError("empty crop window")
+
+    def emit(b: pa.Table) -> pa.Table:
+        out = {"key": [], "z": [], "r0": [], "c0": [], "hh": [],
+               "ww": [], "band": []}
+        for z, x, y, blob in zip(b["z"].to_pylist(),
+                                 b["x"].to_pylist(),
+                                 b["y"].to_pylist(),
+                                 b["raster"].to_pylist()):
+            tx0, ty0 = int(x) * TILE_SIZE, int(y) * TILE_SIZE
+            # source-tile ∩ window, in source coords
+            sx0 = max(tx0, cx0)
+            sy0 = max(ty0, cy0)
+            sx1 = min(tx0 + TILE_SIZE, cx0 + w)
+            sy1 = min(ty0 + TILE_SIZE, cy0 + h)
+            if sx1 <= sx0 or sy1 <= sy0:
+                continue
+            g = np.frombuffer(zlib.decompress(blob), dtype=">u2") \
+                .reshape(TILE_SIZE, TILE_SIZE)
+            # split the overlap at destination-tile boundaries
+            dx0, dy0 = sx0 - cx0, sy0 - cy0
+            dx1, dy1 = sx1 - cx0, sy1 - cy0
+            xs = sorted({dx0, dx1}
+                        | {v for v in range((dx0 // TILE_SIZE + 1)
+                                            * TILE_SIZE, dx1,
+                                            TILE_SIZE)})
+            ys = sorted({dy0, dy1}
+                        | {v for v in range((dy0 // TILE_SIZE + 1)
+                                            * TILE_SIZE, dy1,
+                                            TILE_SIZE)})
+            for ay0, ay1 in zip(ys[:-1], ys[1:]):
+                for ax0, ax1 in zip(xs[:-1], xs[1:]):
+                    dtx, dty = ax0 // TILE_SIZE, ay0 // TILE_SIZE
+                    sub = np.ascontiguousarray(
+                        g[ay0 + cy0 - ty0:ay1 + cy0 - ty0,
+                          ax0 + cx0 - tx0:ax1 + cx0 - tx0])
+                    out["key"].append((dtx << 28) | dty)
+                    out["z"].append(int(z))
+                    out["r0"].append(ay0 - dty * TILE_SIZE)
+                    out["c0"].append(ax0 - dtx * TILE_SIZE)
+                    out["hh"].append(ay1 - ay0)
+                    out["ww"].append(ax1 - ax0)
+                    out["band"].append(
+                        sub.astype(np.uint16).tobytes())
+        return pa.table({
+            "key": pa.array(out["key"], pa.int64()),
+            "z": pa.array(out["z"], pa.int32()),
+            "r0": pa.array(out["r0"], pa.int32()),
+            "c0": pa.array(out["c0"], pa.int32()),
+            "hh": pa.array(out["hh"], pa.int32()),
+            "ww": pa.array(out["ww"], pa.int32()),
+            "band": pa.array(out["band"], pa.binary()),
+        })
+
+    def assemble(g: pa.Table) -> pa.Table:
+        grid = np.zeros((TILE_SIZE, TILE_SIZE), dtype=np.int64)
+        for r0, c0, hh, ww, band in zip(g["r0"].to_pylist(),
+                                        g["c0"].to_pylist(),
+                                        g["hh"].to_pylist(),
+                                        g["ww"].to_pylist(),
+                                        g["band"].to_pylist()):
+            sub = np.frombuffer(band, dtype=np.uint16).reshape(hh, ww)
+            grid[r0:r0 + hh, c0:c0 + ww] = sub
+        key = int(g["key"][0].as_py())
+        return pa.table({
+            "z": pa.array([int(g["z"][0].as_py())], pa.int32()),
+            "x": pa.array([key >> 28], pa.int64()),
+            "y": pa.array([key & ((1 << 28) - 1)], pa.int64()),
+            "raster": pa.array(
+                [zlib.compress(grid.astype(">u2").tobytes(), 6)],
+                pa.binary()),
+        })
+
+    return tiles_ds.map_batches(emit, batch_format="pyarrow") \
+        .groupby("key").map_groups(assemble, batch_format="pyarrow")

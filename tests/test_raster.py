@@ -204,3 +204,36 @@ def test_mosaic_tiles_first_and_sum(ray_session):
     gs = np.frombuffer(zlib.decompress(summed.loc[(1, 1), "raster"]),
                        dtype=">u2").reshape(256, 256)
     assert gs[0, 0] == 14 and gs[0, 1] == 7
+
+
+def test_crop_tiles_retiling(ray_session):
+    import zlib
+    import numpy as np
+    import ray.data as rd
+    from gdal_ray.stages.raster import crop_tiles
+
+    def tile_row(z, x, y, grid):
+        return {"z": z, "x": x, "y": y, "n_pages": int(grid.sum()),
+                "raster": zlib.compress(grid.astype(">u2").tobytes(),
+                                        6)}
+
+    rs = np.random.RandomState(2)
+    mosaic = rs.randint(0, 5, (512, 512)).astype(np.int64)
+    rows = [tile_row(3, tx, ty, mosaic[ty * 256:(ty + 1) * 256,
+                                       tx * 256:(tx + 1) * 256])
+            for tx in range(2) for ty in range(2)]
+    cx0, cy0, w, h = 100, 37, 300, 400
+    out = crop_tiles(rd.from_items(rows), cx0, cy0, w, h).to_pandas()
+    win = mosaic[cy0:cy0 + h, cx0:cx0 + w]
+    for _, r in out.iterrows():
+        dtx, dty = int(r["x"]), int(r["y"])
+        got = np.frombuffer(zlib.decompress(r["raster"]),
+                            dtype=">u2").reshape(256, 256)
+        exp = np.zeros((256, 256), np.int64)
+        y0, x0 = dty * 256, dtx * 256
+        sub = win[y0:min(y0 + 256, h), x0:min(x0 + 256, w)]
+        exp[:sub.shape[0], :sub.shape[1]] = sub
+        np.testing.assert_array_equal(got, exp, err_msg=f"{dtx},{dty}")
+    # full coverage of the window
+    assert sorted(map(tuple, out[["x", "y"]].values.tolist())) == \
+        [(0, 0), (0, 1), (1, 0), (1, 1)]
