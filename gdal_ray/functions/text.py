@@ -308,3 +308,64 @@ def cap_per_group(ds, key_col: str, order_col: str, n: int,
 
     return ds.map_batches(bucket, batch_format="pyarrow") \
         .groupby("__b").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def tfidf_scores(ds, id_col: str = "doc_id", col: str = "text",
+                 buckets: int = 64):
+    """Per-document TF-IDF scoring: score(d) = Σ_{t ∈ d}
+    tf(t, d) · ln(N / df(t)) over lowercase [a-z0-9]+ tokens — the
+    corpus-statistics + per-doc pass of a relevance/quality pipeline.
+    The df table is vocabulary-sized (term_df partials), broadcast via
+    ray.put under the hood of a second map — the corpus streams twice,
+    the vocabulary never shuffles wider than itself.  Returns
+    (id_col, n_tokens, score)."""
+    import ray as _ray
+
+    partials = ds.map_batches(
+        lambda b: term_df_partial_batch(b, col, id_col),
+        batch_format="pyarrow")
+
+    def bucket(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        h = pd.util.hash_pandas_object(b["token"].to_pandas(),
+                                       index=False,
+                                       hash_key="gdal_ray_gagg_00")
+        return b.append_column(
+            "__b", pa.array((h.values % np.uint64(buckets))
+                            .astype(np.int32)))
+
+    def merge(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = g.to_pandas().groupby("token", as_index=False) \
+            .agg(df=("df", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    df_t = pa.concat_tables(
+        [b for b in partials.map_batches(bucket,
+                                         batch_format="pyarrow")
+         .groupby("__b").map_groups(merge, batch_format="pyarrow")
+         .iter_batches(batch_size=65536, batch_format="pyarrow")
+         if b.num_rows])
+    n_docs = float(ds.count())
+    idf = {t: np.log(n_docs / d) for t, d in
+           zip(df_t["token"].to_pylist(), df_t["df"].to_pylist())}
+    idf_ref = _ray.put(idf)
+
+    def score(b: pa.Table) -> pa.Table:
+        w = _ray.get(idf_ref)
+        ids, nt, sc = [], [], []
+        for i, txt in zip(b[id_col].to_pylist(),
+                          pc.utf8_lower(b[col]).to_pylist()):
+            toks = _DF_TOKEN_RE.findall(txt or "")
+            s = 0.0
+            for t in toks:
+                s += w.get(t, 0.0)
+            ids.append(i)
+            nt.append(len(toks))
+            sc.append(s)
+        return pa.table({id_col: pa.array(ids),
+                         "n_tokens": pa.array(nt, pa.int64()),
+                         "score": pa.array(sc, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

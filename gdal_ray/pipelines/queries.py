@@ -1160,6 +1160,29 @@ def q_docs_sample_cap(sf_dir: str):
     return cap_per_group(keyed, "grp", "doc_id", 5)
 
 
+def q_docs_tfidf(sf_dir: str):
+    """Per-document TF-IDF scoring (corpus statistics + per-doc
+    pass): score = Σ tf·ln(N/df) over the doc's tokens; the
+    vocabulary-sized idf table broadcasts, the corpus streams
+    (functions/text.py:tfidf_scores).  ORACLE: DuckDB restates the
+    full unnest/COUNT-DISTINCT/ln pipeline; f32 quantization absorbs
+    the engine's occurrence-order summation."""
+    from ..functions.text import tfidf_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = tfidf_scores(ds)
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": b["n_tokens"],
+            "score_q": pa.array(np.floor(
+                b["score"].to_numpy(zero_copy_only=False)
+                .astype(np.float32).astype(np.float64) * 256.0 + 0.5)
+                .astype(np.int64)),
+        }), batch_format="pyarrow")
+
+
 def q_docs_quality(sf_dir: str):
     """Quality features as floor-scaled per-million integers (identical
     integer results in both engines; avoids round-half mode skew)."""
@@ -3463,6 +3486,7 @@ QUERIES = {
     "contour_polygons": q_contour_polygons,
     "docs_sample_cap": q_docs_sample_cap,
     "events_tracks": q_events_tracks,
+    "docs_tfidf": q_docs_tfidf,
     "raster_warp_stereo": q_raster_warp_stereo,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,
@@ -4613,6 +4637,29 @@ ORACLES = {
                                          ORDER BY doc_id) AS rn
                FROM samp)
         SELECT doc_id, grp FROM rk WHERE rn <= 5
+    """,
+    "docs_tfidf": """
+        WITH tok AS (SELECT doc_id,
+                            unnest(regexp_extract_all(lower(text),
+                                   '[a-z0-9]+')) AS token
+                     FROM documents),
+        dfk AS (SELECT token,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tok GROUP BY token),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        per AS (SELECT t.doc_id, t.token,
+                       CAST(count(*) AS BIGINT) AS tf
+                FROM tok t GROUP BY 1, 2),
+        sc AS (SELECT p.doc_id,
+                      sum(p.tf * ln((SELECT n FROM nd) / d.df)) AS s,
+                      CAST(sum(p.tf) AS BIGINT) AS ntok
+               FROM per p JOIN dfk d ON d.token = p.token
+               GROUP BY p.doc_id)
+        SELECT d.doc_id,
+               COALESCE(sc.ntok, 0) AS n_tokens,
+               CAST(floor(CAST(COALESCE(sc.s, 0.0) AS REAL)
+                    * 256.0 + 0.5) AS BIGINT) AS score_q
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
     """,
     "docs_term_df": """
         WITH tok AS (SELECT doc_id,
