@@ -1489,6 +1489,19 @@ def q_polygonize_regions(sf_dir: str):
     return polygonize_regions(_rendered_tiles(sf_dir, 5)).sort("region_id")
 
 
+def q_polygonize_regions8(sf_dir: str):
+    """8-connected polygonize (GDALPolygonize 8CONNECTED,
+    alg/polygonize.cpp): diagonal pixels join — per-tile 8-conn
+    labeling plus the three-key seam scheme (each border pixel emits
+    one key per cross-seam neighbor offset in GLOBAL coordinates, so
+    tile-corner diagonals need no extra machinery).  ORACLE: the
+    recursive-CTE components with the 8-neighbor join."""
+    from ..stages.polygonize import polygonize_regions
+
+    return polygonize_regions(_rendered_tiles(sf_dir, 5),
+                              connectedness=8).sort("region_id")
+
+
 def q_contour_segments(sf_dir: str):
     """Contour (marching squares, alg/contour.cpp semantics) of the z4
     count raster at levels 0.5 and 2.5 (rows-only: isoline geometry has no
@@ -3446,6 +3459,7 @@ QUERIES = {
     "raster_fillnodata": q_raster_fillnodata,
     "raster_sieve": q_raster_sieve,
     "polygonize_regions": q_polygonize_regions,
+    "polygonize_regions8": q_polygonize_regions8,
     "contour_segments": q_contour_segments,
     "band_stats": q_band_stats,
     "tile_overviews_avg": q_tile_overviews_avg,
@@ -6163,6 +6177,17 @@ ORACLES["raster_viewshed"] = f"""
     FROM cells c JOIN obs o USING (obs_id)
     GROUP BY 1, 2, 3
 """
+
+# 8-connected polygonize oracle: the 4-conn component CTE with the
+# four diagonal neighbor conditions added
+ORACLES["polygonize_regions8"] = ORACLES["polygonize_regions"].replace(
+    """        OR (p.gx = c.gx AND p.gy = c.gy - 1)),""",
+    """        OR (p.gx = c.gx AND p.gy = c.gy - 1)
+        OR (p.gx = c.gx + 1 AND p.gy = c.gy + 1)
+        OR (p.gx = c.gx + 1 AND p.gy = c.gy - 1)
+        OR (p.gx = c.gx - 1 AND p.gy = c.gy + 1)
+        OR (p.gx = c.gx - 1 AND p.gy = c.gy - 1)),""")
+assert "c.gx + 1 AND p.gy = c.gy + 1" in ORACLES["polygonize_regions8"]
 
 # curved viewshed oracle: the DP CTE with the curvature term in the
 # height expression (adjustHeight: z -= height_adj*R^2 + z_obs)

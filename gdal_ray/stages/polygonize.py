@@ -39,10 +39,14 @@ _KIND_COMP = 0
 _KIND_BORDER = 1
 
 
-def label_components(mask: np.ndarray, max_iters: int = 1024) -> np.ndarray:
-    """4-connected labeling: label = min flat-index reachable; -1 off
-    mask.  Min-pooling over shifted neighbors, iterated to fixpoint
+def label_components(mask: np.ndarray, max_iters: int = 1024,
+                     connectedness: int = 4) -> np.ndarray:
+    """4- or 8-connected labeling (GDALPolygonize's connectedness
+    option): label = min flat-index reachable; -1 off mask.
+    Min-pooling over shifted neighbors, iterated to fixpoint
     (bounded by component graph diameter ≤ 2*TILE)."""
+    if connectedness not in (4, 8):
+        raise ValueError("connectedness must be 4 or 8")
     h, w = mask.shape
     idx = np.arange(h * w)
     maskf = mask.ravel()
@@ -54,6 +58,11 @@ def label_components(mask: np.ndarray, max_iters: int = 1024) -> np.ndarray:
         m[:-1, :] = np.minimum(m[:-1, :], lbl[1:, :])
         m[:, 1:] = np.minimum(m[:, 1:], lbl[:, :-1])
         m[:, :-1] = np.minimum(m[:, :-1], lbl[:, 1:])
+        if connectedness == 8:
+            m[1:, 1:] = np.minimum(m[1:, 1:], lbl[:-1, :-1])
+            m[:-1, :-1] = np.minimum(m[:-1, :-1], lbl[1:, 1:])
+            m[1:, :-1] = np.minimum(m[1:, :-1], lbl[:-1, 1:])
+            m[:-1, 1:] = np.minimum(m[:-1, 1:], lbl[1:, :-1])
         # pointer jumping (O(log diameter) sweeps): a label is the
         # flat index of a same-component ON-mask pixel, so chasing it
         # stays inside the component; off-mask entries self-loop
@@ -76,14 +85,22 @@ def _pack_seam(vertical: np.ndarray, a: np.ndarray, b: np.ndarray):
             | (a.astype(np.int64) << 28) | b.astype(np.int64))
 
 
-def tile_components_batch(batch: pa.Table) -> pa.Table:
+def tile_components_batch(batch: pa.Table,
+                          connectedness: int = 4) -> pa.Table:
     """Per-tile stage: component summaries + border signatures.
 
     comp ids are GLOBAL-UNIQUE provisional labels: (tile_gx0 + px,
     tile_gy0 + py) of the component's min pixel, packed as
     gy * 2^40 + gx (grid ≤ 2^24 per axis at z ≤ 16).  Border rows are
     fully vectorized: one numpy pass per tile edge, packed int64 seam
-    keys identical on both sides of the seam."""
+    keys identical on both sides of the seam.
+
+    connectedness=8 (GDALPolygonize's 8CONNECTED option): each border
+    pixel emits THREE keys, one per cross-seam neighbor offset — the
+    key encodes (seam, west/north-side coordinate, offset) in GLOBAL
+    coordinates, so a key joins exactly one ordered pixel pair and
+    tile-corner diagonals fall out with no extra corner machinery
+    (the diagonal tile computes the same global key)."""
     comp_cols = {k: [] for k in ("z", "comp", "tile_key", "n_pixels",
                                  "min_gx", "min_gy", "max_gx", "max_gy")}
     bord_cols = {k: [] for k in ("z", "comp", "edge_key")}
@@ -95,7 +112,7 @@ def tile_components_batch(batch: pa.Table) -> pa.Table:
         mask = grid > 0
         if not mask.any():
             continue
-        lbl = label_components(mask)
+        lbl = label_components(mask, connectedness=connectedness)
         gx0, gy0 = int(x) * TILE, int(y) * TILE
         tile_key = (int(x) << 28) | int(y)
         py, px = np.nonzero(mask)
@@ -132,24 +149,50 @@ def tile_components_batch(batch: pa.Table) -> pa.Table:
         # chain non-adjacent regions — skip them, like contour's
         # seam_strips sx<0/sy<0 guard.
         world = TILE << int(z)
-        for edge_mask, vert, ka, kb, in_world in (
-            (px == 0, True, np.full(len(px), gx0 - 1), gy, gx0 > 0),
+        # is_low: the west/north side of the seam (its own coordinate
+        # is the key's L coordinate in the 8-connected scheme)
+        for edge_mask, vert, ka, kb, in_world, is_low in (
+            (px == 0, True, np.full(len(px), gx0 - 1), gy, gx0 > 0,
+             False),
             (px == TILE - 1, True, np.full(len(px), gx0 + TILE - 1), gy,
-             gx0 + TILE < world),
-            (py == 0, False, gx, np.full(len(py), gy0 - 1), gy0 > 0),
+             gx0 + TILE < world, True),
+            (py == 0, False, gx, np.full(len(py), gy0 - 1), gy0 > 0,
+             False),
             (py == TILE - 1, False, gx, np.full(len(py), gy0 + TILE - 1),
-             gy0 + TILE < world),
+             gy0 + TILE < world, True),
         ):
             if not in_world:
                 continue
             idx = np.flatnonzero(edge_mask)
             if not len(idx):
                 continue
-            keys = _pack_seam(np.full(len(idx), vert),
-                              np.asarray(ka)[idx], np.asarray(kb)[idx])
-            bord_cols["z"].extend([z] * len(idx))
-            bord_cols["comp"].extend(comp_of_pix[idx].tolist())
-            bord_cols["edge_key"].extend(keys.tolist())
+            if connectedness == 4:
+                keys_list = [_pack_seam(np.full(len(idx), vert),
+                                        np.asarray(ka)[idx],
+                                        np.asarray(kb)[idx])]
+            else:
+                # vertical seams: a = seam col, b = Lrow*4 + (d+1);
+                # horizontal: a = Lcol*4 + (d+1), b = seam row.
+                keys_list = []
+                for d in (-1, 0, 1):
+                    if vert:
+                        seam_c = np.asarray(ka)[idx]
+                        row = np.asarray(kb)[idx]
+                        lrow = row if is_low else row - d
+                        keys_list.append(_pack_seam(
+                            np.full(len(idx), vert), seam_c,
+                            lrow * 4 + (d + 1)))
+                    else:
+                        col = np.asarray(ka)[idx]
+                        seam_r = np.asarray(kb)[idx]
+                        lcol = col if is_low else col - d
+                        keys_list.append(_pack_seam(
+                            np.full(len(idx), vert),
+                            lcol * 4 + (d + 1), seam_r))
+            for keys in keys_list:
+                bord_cols["z"].extend([z] * len(idx))
+                bord_cols["comp"].extend(comp_of_pix[idx].tolist())
+                bord_cols["edge_key"].extend(keys.tolist())
     n_c, n_b = len(comp_cols["z"]), len(bord_cols["z"])
     zeros_b = np.zeros(n_b, dtype=np.int64)
     comp_t = pa.table({
@@ -220,17 +263,20 @@ def _cross_edges(g: pa.Table) -> pa.Table:
     })
 
 
-def polygonize_regions(tiles_ds, n_buckets: int | None = None):
+def polygonize_regions(tiles_ds, n_buckets: int | None = None,
+                       connectedness: int = 4):
     """Tile table → merged region table (z, region_id, n_pixels,
-    n_tiles, min/max global pixel bbox)."""
+    n_tiles, min/max global pixel bbox).  connectedness 4 (default)
+    or 8 (GDALPolygonize 8CONNECTED)."""
     import pandas as pd
 
     import ray
     from ._pool import cluster_cpus
 
     B = n_buckets or max(16, cluster_cpus() * 2)
-    recs = tiles_ds.map_batches(tile_components_batch,
-                                batch_format="pyarrow").materialize()
+    recs = tiles_ds.map_batches(
+        lambda b: tile_components_batch(b, connectedness),
+        batch_format="pyarrow").materialize()
     borders = recs.filter(expr="kind == 1")
 
     def add_bucket(b: pa.Table) -> pa.Table:

@@ -114,3 +114,60 @@ def test_world_left_edge_does_not_merge(ray_session):
     ds = rd.from_items([_tile_row(0, 0, g0), _tile_row(0, 1, g1)])
     regions = polygonize_regions(ds).to_pandas()
     assert len(regions) == 2
+
+
+def test_polygonize_8connected_cross_tile(ray_session):
+    import zlib
+    from collections import deque
+
+    import numpy as np
+    import ray.data as rd
+    from gdal_ray.stages.polygonize import polygonize_regions
+
+    rs = np.random.RandomState(19)
+    mosaic = np.zeros((512, 512), np.int64)
+    pts = rs.randint(0, 512, (300, 2))
+    mosaic[pts[:, 0], pts[:, 1]] = 1
+    # exact diagonal contacts across the tile corner and seams
+    mosaic[255, 255] = 1
+    mosaic[256, 256] = 1
+    mosaic[254, 256] = 1  # diagonal across the vertical seam
+    mosaic[256, 254] = 1
+    rows = []
+    for tx in range(2):
+        for ty in range(2):
+            sub = mosaic[ty * 256:(ty + 1) * 256,
+                         tx * 256:(tx + 1) * 256]
+            rows.append({"z": 4, "x": tx, "y": ty, "n_pages": 1,
+                         "raster": zlib.compress(
+                             sub.astype(">u2").tobytes(), 6)})
+
+    def brute(conn):
+        seen = np.zeros_like(mosaic, bool)
+        sizes = []
+        offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        if conn == 8:
+            offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+        for sy, sx in zip(*np.nonzero(mosaic)):
+            if seen[sy, sx]:
+                continue
+            q, n = deque([(sy, sx)]), 0
+            seen[sy, sx] = True
+            while q:
+                cy, cx = q.popleft()
+                n += 1
+                for dy, dx in offs:
+                    yy, xx = cy + dy, cx + dx
+                    if 0 <= yy < 512 and 0 <= xx < 512 \
+                            and mosaic[yy, xx] and not seen[yy, xx]:
+                        seen[yy, xx] = True
+                        q.append((yy, xx))
+            sizes.append(n)
+        return sorted(sizes)
+
+    for conn in (4, 8):
+        got = polygonize_regions(rd.from_items(rows),
+                                 connectedness=conn).to_pandas()
+        assert sorted(got["n_pixels"].tolist()) == brute(conn), conn
+    # 8-conn must actually merge more than 4-conn on this fixture
+    assert len(brute(8)) < len(brute(4))
