@@ -628,6 +628,57 @@ def q_orders_lineitem_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_full_outer_join(sf_dir: str):
+    """FULL OUTER distributed hash join (Ray native join_type
+    full_outer): a subset of orders against a subset of customers so
+    BOTH sides carry unmatched rows; per presence class (both /
+    order_only / cust_only) row counts and cent sums.  ORACLE: DuckDB
+    FULL OUTER JOIN with the same modular filters."""
+    def keep_mod(col, m):
+        def fn(b: pa.Table) -> pa.Table:
+            v = b[col].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(v % m == 0))
+        return fn
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"]) \
+        .map_batches(keep_mod("c_custkey", 2), batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"]) \
+        .map_batches(keep_mod("o_orderkey", 3), batch_format="pyarrow")
+    joined = orders.join(cust, join_type="full_outer",
+                         num_partitions=16,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def classify(b: pa.Table) -> pa.Table:
+        # Ray coalesces the join keys into one column; presence is
+        # read off the value columns (never null in the source data)
+        has_o = pc.is_valid(b["o_totalprice"]).to_numpy(
+            zero_copy_only=False)
+        has_c = pc.is_valid(b["c_acctbal"]).to_numpy(
+            zero_copy_only=False)
+        cls = np.where(has_o & has_c, "both",
+                       np.where(has_o, "order_only", "cust_only"))
+        tp = pc.fill_null(b["o_totalprice"], 0.0)
+        ab = pc.fill_null(b["c_acctbal"], 0.0)
+        return pa.table({"cls": pa.array(cls),
+                         "tp": tp, "ab": ab})
+
+    agg = partial_final_agg(
+        joined.map_batches(classify, batch_format="pyarrow"),
+        ["cls"], [(None, "count", "n"), ("tp", "sum", "tp_sum"),
+                  ("ab", "sum", "ab_sum")])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "cls": b["cls"], "n": b["n"],
+            "tp_c": pc.cast(pc.round(pc.multiply(
+                b["tp_sum"], 100.0), 0), pa.int64()),
+            "ab_c": pc.cast(pc.round(pc.multiply(
+                b["ab_sum"], 100.0), 0), pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def q_events_count_distinct_users(sf_dir: str):
     """COUNT(DISTINCT) via the fused single-exchange plan: per-batch
     NULL-filtered pair dedup + hash-bucket exchange + vectorized bucket
@@ -3563,6 +3614,7 @@ QUERIES = {
     "events_filter_like": q_events_filter_like,
     "events_select_expr": q_events_select_expr,
     "orders_lineitem_join": q_orders_lineitem_join,
+    "full_outer_join": q_full_outer_join,
 }
 
 
@@ -4006,6 +4058,24 @@ ORACLES = {
                    AS max_lat_s
         FROM e LEFT JOIN sl ON sl.user_id = e.user_id
         GROUP BY e.user_id
+    """,
+    "full_outer_join": """
+        WITH o AS (SELECT o_custkey, o_totalprice FROM orders
+                   WHERE o_orderkey % 3 = 0),
+        c AS (SELECT c_custkey, c_acctbal FROM customer
+              WHERE c_custkey % 2 = 0),
+        j AS (SELECT o.o_custkey, c.c_custkey,
+                     COALESCE(o.o_totalprice, 0.0) AS tp,
+                     COALESCE(c.c_acctbal, 0.0) AS ab
+              FROM o FULL OUTER JOIN c ON o.o_custkey = c.c_custkey)
+        SELECT CASE WHEN o_custkey IS NOT NULL
+                         AND c_custkey IS NOT NULL THEN 'both'
+                    WHEN o_custkey IS NOT NULL THEN 'order_only'
+                    ELSE 'cust_only' END AS cls,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(round(sum(tp)*100.0, 0) AS BIGINT) AS tp_c,
+               CAST(round(sum(ab)*100.0, 0) AS BIGINT) AS ab_c
+        FROM j GROUP BY 1
     """,
     "events_lag_deltas": """
         WITH d AS (SELECT user_id,
