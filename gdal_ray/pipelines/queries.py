@@ -679,6 +679,42 @@ def q_full_outer_join(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_events_windows_sliding(sf_dir: str):
+    """SLIDING (hopping) windows — width 1 h, hop 30 min, so every
+    event lands in exactly two windows (the streaming-aggregation
+    primitive beyond the tumbling events_windowed_hourly): per
+    (event_type, window_start) counts + value cents.  Window
+    assignment explodes in the map (2 rows/event), the combiner
+    collapses before the exchange.  ORACLE: the same two-window
+    enumeration via a VALUES cross join."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = b["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) // 1_000_000
+        parts = []
+        for k in (0, 1):
+            ws = (t // 1800 - k) * 1800
+            parts.append(pa.table({
+                "event_type": b["event_type"],
+                "ws": pa.array(ws, pa.int64()),
+                "value": b["value"],
+            }))
+        return pa.concat_tables(parts)
+
+    agg = partial_final_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["event_type", "ws"],
+        [(None, "count", "n"), ("value", "sum", "sum_v")])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"], "ws": b["ws"], "n": b["n"],
+            "sum_v_c": pc.cast(pc.round(pc.multiply(
+                b["sum_v"], 100.0), 0), pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def q_events_count_distinct_users(sf_dir: str):
     """COUNT(DISTINCT) via the fused single-exchange plan: per-batch
     NULL-filtered pair dedup + hash-bucket exchange + vectorized bucket
@@ -3615,6 +3651,7 @@ QUERIES = {
     "events_select_expr": q_events_select_expr,
     "orders_lineitem_join": q_orders_lineitem_join,
     "full_outer_join": q_full_outer_join,
+    "events_windows_sliding": q_events_windows_sliding,
 }
 
 
@@ -4076,6 +4113,17 @@ ORACLES = {
                CAST(round(sum(tp)*100.0, 0) AS BIGINT) AS tp_c,
                CAST(round(sum(ab)*100.0, 0) AS BIGINT) AS ab_c
         FROM j GROUP BY 1
+    """,
+    "events_windows_sliding": """
+        WITH e AS (SELECT event_type, value,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS t
+                   FROM events),
+        w AS (SELECT event_type, value,
+                     (t // 1800 - k.k) * 1800 AS ws
+              FROM e CROSS JOIN (VALUES (0), (1)) k(k))
+        SELECT event_type, ws, CAST(count(*) AS BIGINT) AS n,
+               CAST(round(sum(value)*100.0, 0) AS BIGINT) AS sum_v_c
+        FROM w GROUP BY 1, 2
     """,
     "events_lag_deltas": """
         WITH d AS (SELECT user_id,
