@@ -435,6 +435,26 @@ def q_lineitem_quantiles(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_lineitem_mode(sf_dir: str):
+    """Exact distributed MODE per group (ties to the smallest value —
+    stated deterministically, unlike SQL mode()): the lossless
+    value-histogram plan of grouped_quantiles
+    (stages/aggregate.py:grouped_mode).  ORACLE: ROW_NUMBER over
+    (count DESC, value ASC)."""
+    from ..stages.aggregate import grouped_mode
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_linestatus", "l_quantity"])
+    out = grouped_mode(ds, "l_linestatus", "l_quantity")
+    return out.map_batches(
+        lambda b: pa.table({
+            "l_linestatus": b["l_linestatus"],
+            "mode_c": pc.cast(pc.floor(pc.add(pc.multiply(
+                b["mode_v"], 100.0), 0.5)), pa.int64()),
+            "mode_n": b["mode_n"],
+        }), batch_format="pyarrow")
+
+
 def q_lineitem_rollup(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): ONE finest-level
     partial+final exchange, then the (tiny, already-aggregated)
@@ -3575,6 +3595,7 @@ QUERIES = {
     "events_lag_deltas": q_events_lag_deltas,
     "lineitem_quantiles": q_lineitem_quantiles,
     "lineitem_rollup": q_lineitem_rollup,
+    "lineitem_mode": q_lineitem_mode,
     "tile_overviews_modes": q_tile_overviews_modes,
     "docs_term_df": q_docs_term_df,
     "dem_zt": q_dem_zt,
@@ -4147,6 +4168,18 @@ ORACLES = {
                CAST(floor(quantile_cont(l_quantity, 0.9)*100.0 + 0.5)
                     AS BIGINT) AS q90_c
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "lineitem_mode": """
+        WITH h AS (SELECT l_linestatus, l_quantity,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM lineitem GROUP BY 1, 2),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY l_linestatus
+                         ORDER BY c DESC, l_quantity) AS rn
+               FROM h)
+        SELECT l_linestatus,
+               CAST(floor(l_quantity*100.0 + 0.5) AS BIGINT) AS mode_c,
+               c AS mode_n
+        FROM rk WHERE rn = 1
     """,
     "lineitem_rollup": """
         SELECT l_returnflag, l_linestatus,

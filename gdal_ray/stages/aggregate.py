@@ -333,3 +333,45 @@ def grouped_quantiles(ds, key_col: str, value_col: str, q: float = 0.9,
 
     return partials.groupby(_BUCKET).map_groups(final,
                                                 batch_format="pyarrow")
+
+
+def grouped_mode(ds, key_col: str, value_col: str,
+                 buckets: int = 64):
+    """Exact per-key MODE (most frequent value, ties to the SMALLEST
+    value — a deterministic rule DuckDB's mode() does not promise, so
+    the oracle restates it with ROW_NUMBER): same lossless
+    value-histogram plan as grouped_quantiles — per-batch (key,
+    value) counts collapse the domain before one bucket exchange."""
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": b[key_col].to_pandas(),
+            "v": b[value_col].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["k", "v"], sort=False).size().reset_index()
+        g.columns = ["k", "v", "c"]
+        h = pd.util.hash_pandas_object(g["k"], index=False,
+                                       hash_key="gdal_ray_gagg_00")
+        t = pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+        return t.append_column(
+            _BUCKET, pa.array((h.values % np.uint64(buckets))
+                              .astype(np.int32)))
+
+    partials = ds.map_batches(part, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby(["k", "v"], sort=True)["c"].sum() \
+            .reset_index()
+        # per key: max count, then smallest value among the tied
+        df = df.sort_values(["k", "c", "v"],
+                            ascending=[True, False, True])
+        top = df.groupby("k", sort=True).head(1)
+        return pa.Table.from_pandas(
+            pd.DataFrame({key_col: top["k"].values,
+                          "mode_v": top["v"].values,
+                          "mode_n": top["c"].values.astype(np.int64)}),
+            preserve_index=False).replace_schema_metadata(None)
+
+    return partials.groupby(_BUCKET).map_groups(final,
+                                                batch_format="pyarrow")
