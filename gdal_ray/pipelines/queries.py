@@ -1267,6 +1267,31 @@ def q_docs_sample_cap(sf_dir: str):
     return cap_per_group(keyed, "grp", "doc_id", 5)
 
 
+def q_docs_scrub(sf_dir: str):
+    """Regex scrubbing / normalization (the PII-redaction pass of a
+    corpus pipeline, exercised here as stoplist redaction since the
+    synthetic text has no PII): every \\b(the|a|value|table)\\b
+    becomes <X>; output doc_id, match count, and the md5 of the
+    SCRUBBED text — the oracle must reproduce the transformation
+    BYTE-EXACTLY (pyarrow and DuckDB both run RE2)."""
+    import hashlib
+
+    pat = r"\b(the|a|value|table)\b"
+
+    def scrub(b: pa.Table) -> pa.Table:
+        hits = pc.cast(pc.count_substring_regex(b["text"], pat),
+                       pa.int64())
+        red = pc.replace_substring_regex(b["text"], pat, "<X>")
+        fps = [hashlib.md5(("" if v is None else v).encode("utf-8"))
+               .hexdigest() for v in red.to_pylist()]
+        return pa.table({"doc_id": b["doc_id"], "n_hits": hits,
+                         "scrub_md5": pa.array(fps, pa.string())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 def q_docs_tfidf(sf_dir: str):
     """Per-document TF-IDF scoring (corpus statistics + per-doc
     pass): score = Σ tf·ln(N/df) over the doc's tokens; the
@@ -3609,6 +3634,7 @@ QUERIES = {
     "docs_sample_cap": q_docs_sample_cap,
     "events_tracks": q_events_tracks,
     "docs_tfidf": q_docs_tfidf,
+    "docs_scrub": q_docs_scrub,
     "raster_warp_stereo": q_raster_warp_stereo,
     "reproject_utm31": q_reproject_utm31,
     "raster_value_at_point": q_raster_value_at_point,
@@ -4825,6 +4851,14 @@ ORACLES = {
                CAST(floor(CAST(COALESCE(sc.s, 0.0) AS REAL)
                     * 256.0 + 0.5) AS BIGINT) AS score_q
         FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+    """,
+    "docs_scrub": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '\\b(the|a|value|table)\\b')) AS BIGINT) AS n_hits,
+               md5(regexp_replace(text, '\\b(the|a|value|table)\\b',
+                   '<X>', 'g')) AS scrub_md5
+        FROM documents
     """,
     "docs_term_df": """
         WITH tok AS (SELECT doc_id,
