@@ -3568,20 +3568,14 @@ QUERIES = {
     "events_asof_rates": q_events_asof_rates,
     "events_sessionize": q_events_sessionize,
     "contour_polylines": q_contour_polylines,
-    "rasterize_burn": q_rasterize_burn,
-    "rasterize_add_touched": q_rasterize_add_touched,
-    "rasterize_lines": q_rasterize_lines,
-    "docs_dedup_exact": q_docs_dedup_exact,
     "sql_st_area": q_sql_st_area,
     "sql_subquery": q_sql_subquery,
     "sql_statement": q_sql_statement,
     "sql_join": q_sql_join,
     "events_windowed_hourly": q_events_windowed_hourly,
-    # MinHash family — r5 LATE flips to HUGEINT SQL oracles
     "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_near_dup_verified": q_docs_near_dup_verified,
     "docs_near_dedup": q_docs_near_dedup,
-    # remaining rows-only pair (driver records the weaker check)
     "media_decode_embed": q_media_decode_embed,
     "emb_near_dup": q_emb_near_dup,
     "raster_pixels": q_raster_pixels,
@@ -3606,10 +3600,13 @@ QUERIES = {
     "dem_color_relief": q_dem_color_relief,
     "raster_viewshed": q_raster_viewshed,
     "raster_viewshed_curved": q_raster_viewshed_curved,
-    # ---- the driver window is the FIRST 50 entries above; the 50th
-    # is raster_viewshed (r5 rotation: the five gdaldem queries +
-    # viewshed displaced raster_warp/_bilinear, poly_intersection/
-    # _union, checkpoint_partitioned and zonal_extended — all
+    "raster_pansharpen": q_raster_pansharpen,
+    "tile_overviews_modes": q_tile_overviews_modes,
+    # ---- the driver window is the FIRST 50 entries above; the
+    # 50th is tile_overviews_modes (r5 rotation: five gdaldem
+    # queries, viewshed + curved, pansharpen, 8-conn polygonize
+    # and the fused overview modes displaced warp/poly/
+    # checkpoint/zonal/rasterize/dedup-exact entries — all
     # driver-green in r03/r04) ----
     "raster_warp": q_raster_warp,
     "raster_warp_bilinear": q_raster_warp_bilinear,
@@ -3621,10 +3618,8 @@ QUERIES = {
     "lineitem_quantiles": q_lineitem_quantiles,
     "lineitem_rollup": q_lineitem_rollup,
     "lineitem_mode": q_lineitem_mode,
-    "tile_overviews_modes": q_tile_overviews_modes,
     "docs_term_df": q_docs_term_df,
     "dem_zt": q_dem_zt,
-    "raster_pansharpen": q_raster_pansharpen,
     "raster_mosaic": q_raster_mosaic,
     "raster_calc2": q_raster_calc2,
     "raster_crop": q_raster_crop,
@@ -3699,6 +3694,10 @@ QUERIES = {
     "orders_lineitem_join": q_orders_lineitem_join,
     "full_outer_join": q_full_outer_join,
     "events_windows_sliding": q_events_windows_sliding,
+    "rasterize_burn": q_rasterize_burn,
+    "rasterize_add_touched": q_rasterize_add_touched,
+    "rasterize_lines": q_rasterize_lines,
+    "docs_dedup_exact": q_docs_dedup_exact,
 }
 
 
