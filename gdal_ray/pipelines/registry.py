@@ -675,12 +675,54 @@ def _viewshed(ds, args):
 
 @register("polygonize")
 def _polygonize(ds, args):
-    """Tile table → merged connected regions (raster→vector)."""
-    import ray.data as rd
-
+    """Tile table → merged connected regions (raster→vector);
+    connectedness 4 (default) or 8."""
     from ..stages.polygonize import polygonize_regions
 
-    return polygonize_regions(ds)
+    return polygonize_regions(
+        ds, connectedness=int(args.get("connectedness", 4)))
+
+
+@register("mosaic")
+def _mosaic(ds, args):
+    """Prioritized tile mosaic (gdalbuildvrt/gdal_merge): ds is the
+    priority-0 source; args['others'] holds further tile Datasets
+    (pipeline composition passes them programmatically); method
+    'first'/'sum' or a list."""
+    from ..stages.raster import mosaic_tiles
+
+    return mosaic_tiles([ds] + list(args.get("others", [])),
+                        method=args.get("method", "first"))
+
+
+@register("crop")
+def _crop(ds, args):
+    """gdal_translate -srcwin window extraction with re-tiling."""
+    from ..stages.raster import crop_tiles
+
+    return crop_tiles(ds, int(args["cx0"]), int(args["cy0"]),
+                      int(args["w"]), int(args["h"]))
+
+
+@register("value_regions")
+def _value_regions(ds, args):
+    """Global value-equal region table (the contour -p / sieve
+    accounting core)."""
+    from ..stages.sieve import value_regions
+
+    return value_regions(
+        ds, driver_limit=int(args.get("driver_limit", 5_000_000)))
+
+
+@register("line_locate")
+def _line_locate(ds, args):
+    """ogrlineref -get_pos: locate lon/lat rows along a polyline
+    (args['line'] = [[x, y], ...])."""
+    from ..stages.lineref import line_locate
+
+    return line_locate(ds, [tuple(v) for v in args["line"]],
+                       lon_col=args.get("lon", "lon"),
+                       lat_col=args.get("lat", "lat"))
 
 
 @register("zonal_extended")

@@ -268,3 +268,43 @@ def test_registry_dem_step(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError):
         REGISTRY["dem"](tds, {"product": "nope"})
+
+
+def test_registry_r5_steps(ray_session):
+    import zlib
+    import numpy as np
+    import ray.data as rd
+    from gdal_ray.pipelines.registry import REGISTRY
+
+    g = np.zeros((256, 256), np.int64)
+    g[3, 3], g[3, 4] = 7, 7
+    tds = rd.from_items([{"z": 3, "x": 0, "y": 0, "n_pages": 1,
+                          "raster": zlib.compress(
+                              g.astype(">u2").tobytes(), 6)}])
+    # crop
+    c = REGISTRY["crop"](tds, {"cx0": 2, "cy0": 2, "w": 10,
+                               "h": 10}).to_pandas()
+    got = np.frombuffer(zlib.decompress(c["raster"][0]),
+                        dtype=">u2").reshape(256, 256)
+    assert got[1, 1] == 7 and got[1, 2] == 7
+    # value_regions
+    vr = REGISTRY["value_regions"](tds, {}).to_pandas()
+    assert int(vr[vr["value"] == 7]["size"].iloc[0]) == 2
+    # mosaic with a second source
+    g2 = np.zeros((256, 256), np.int64)
+    g2[3, 3], g2[0, 0] = 9, 4
+    t2 = rd.from_items([{"z": 3, "x": 0, "y": 0, "n_pages": 1,
+                         "raster": zlib.compress(
+                             g2.astype(">u2").tobytes(), 6)}])
+    mo = REGISTRY["mosaic"](tds, {"others": [t2]}).to_pandas()
+    gm = np.frombuffer(zlib.decompress(mo["raster"][0]),
+                       dtype=">u2").reshape(256, 256)
+    assert gm[3, 3] == 7 and gm[0, 0] == 4
+    # line_locate
+    pts = rd.from_items([{"lon": 1.0, "lat": 1.0}])
+    ll = REGISTRY["line_locate"](
+        pts, {"line": [[0.0, 0.0], [10.0, 0.0]]}).to_pandas()
+    assert abs(ll["measure"][0] - 1.0) < 1e-12
+    # polygonize with connectedness arg
+    p8 = REGISTRY["polygonize"](tds, {"connectedness": 8}).to_pandas()
+    assert len(p8) == 1
