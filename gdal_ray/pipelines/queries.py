@@ -648,6 +648,46 @@ def q_orders_lineitem_join(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_sql_setops(sf_dir: str):
+    """SQL set operations INTERSECT / EXCEPT (both directions) over
+    two distinct-value sets, computed as ONE conditional-count
+    aggregation + classification (no second pass, no join): per
+    event_type, counts under each predicate decide membership.
+    ORACLE: literal INTERSECT / EXCEPT statements."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b["event_type"],
+            "in_a": pa.array((eid % 2 == 0).astype(np.int64)),
+            "in_b": pa.array((eid < 50).astype(np.int64)),
+        })
+
+    agg = partial_final_agg(
+        ds.map_batches(flags, batch_format="pyarrow"),
+        ["event_type"],
+        [("in_a", "sum", "na"), ("in_b", "sum", "nb")])
+
+    def classify(b: pa.Table) -> pa.Table:
+        na = b["na"].to_numpy(zero_copy_only=False) > 0
+        nb = b["nb"].to_numpy(zero_copy_only=False) > 0
+        types = b["event_type"].to_pylist()
+        ops, vals = [], []
+        for t, a_, b_ in zip(types, na, nb):
+            if a_ and b_:
+                ops.append("intersect"); vals.append(t)
+            if a_ and not b_:
+                ops.append("except_ab"); vals.append(t)
+            if b_ and not a_:
+                ops.append("except_ba"); vals.append(t)
+        return pa.table({"op": pa.array(ops, pa.string()),
+                         "event_type": pa.array(vals, pa.string())})
+
+    return agg.map_batches(classify, batch_format="pyarrow")
+
+
 def q_full_outer_join(sf_dir: str):
     """FULL OUTER distributed hash join (Ray native join_type
     full_outer): a subset of orders against a subset of customers so
@@ -3693,6 +3733,7 @@ QUERIES = {
     "events_select_expr": q_events_select_expr,
     "orders_lineitem_join": q_orders_lineitem_join,
     "full_outer_join": q_full_outer_join,
+    "sql_setops": q_sql_setops,
     "events_windows_sliding": q_events_windows_sliding,
     "rasterize_burn": q_rasterize_burn,
     "rasterize_add_touched": q_rasterize_add_touched,
@@ -4141,6 +4182,23 @@ ORACLES = {
                    AS max_lat_s
         FROM e LEFT JOIN sl ON sl.user_id = e.user_id
         GROUP BY e.user_id
+    """,
+    "sql_setops": """
+        WITH a AS (SELECT DISTINCT event_type FROM events
+                   WHERE event_id % 2 = 0),
+        b AS (SELECT DISTINCT event_type FROM events
+              WHERE event_id < 50)
+        SELECT 'intersect' AS op, event_type
+        FROM (SELECT event_type FROM a
+              INTERSECT SELECT event_type FROM b)
+        UNION ALL
+        SELECT 'except_ab', event_type
+        FROM (SELECT event_type FROM a
+              EXCEPT SELECT event_type FROM b)
+        UNION ALL
+        SELECT 'except_ba', event_type
+        FROM (SELECT event_type FROM b
+              EXCEPT SELECT event_type FROM a)
     """,
     "full_outer_join": """
         WITH o AS (SELECT o_custkey, o_totalprice FROM orders
