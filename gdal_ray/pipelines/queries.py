@@ -3123,8 +3123,11 @@ def q_contour_polygons(sf_dir: str):
     """gdal_contour -p polygon bands (contour polygons between fixed
     levels, apps/gdal_contour_bin.cpp -p / polygon-contour writer):
     the z4 count mosaic's 64-px BLOCK density surface (64x64 block
-    event sums, tile-aligned) classifies into bands [1,3) and
-    [3,inf), and the global band regions — value-equal 4-connected
+    event sums, tile-aligned) classifies into bands at the MEDIAN
+    occupied-block sum (the lower median, index (n-1)//2 — DuckDB
+    quantile_disc(0.5); a fixed threshold saturates to one giant
+    band at dense scales and the CC oracle's recursive CTE is
+    O(component²)), and the global band regions — value-equal 4-connected
     components across tile seams — aggregate per band (region count,
     pixel totals, largest region, a mod checksum of the deterministic
     region ids = min global pixel key).  Region accounting is
@@ -3134,7 +3137,24 @@ def q_contour_polygons(sf_dir: str):
     BLOCK graph and pixel stats scale by 64²."""
     from ..stages.sieve import value_regions
 
-    tiles = _rendered_tiles(sf_dir, 4)
+    tiles = _rendered_tiles(sf_dir, 4).materialize()
+
+    def block_sums(b: pa.Table) -> pa.Table:
+        import zlib as _z
+        vals = []
+        for blob in b["raster"].to_pylist():
+            g = np.frombuffer(_z.decompress(blob), dtype=">u2") \
+                .reshape(256, 256).astype(np.int64)
+            bs = g.reshape(4, 64, 4, 64).sum(axis=(1, 3)).ravel()
+            vals.extend(bs[bs > 0].tolist())
+        return pa.table({"bs": pa.array(vals, pa.int64())})
+
+    bs_all = np.sort(np.concatenate(
+        [b["bs"].to_numpy(zero_copy_only=False)
+         for b in tiles.map_batches(block_sums, batch_format="pyarrow")
+         .iter_batches(batch_size=65536, batch_format="pyarrow")
+         if b.num_rows] or [np.array([], np.int64)]))
+    med = int(bs_all[(len(bs_all) - 1) // 2]) if len(bs_all) else 0
 
     def classify(b: pa.Table) -> pa.Table:
         import zlib as _z
@@ -3143,7 +3163,7 @@ def q_contour_polygons(sf_dir: str):
             g = np.frombuffer(_z.decompress(blob), dtype=">u2") \
                 .reshape(256, 256).astype(np.int64)
             bs = g.reshape(4, 64, 4, 64).sum(axis=(1, 3))
-            bb = np.where(bs == 0, 0, np.where(bs < 3, 1, 2))
+            bb = np.where(bs == 0, 0, np.where(bs <= med, 1, 2))
             band = np.repeat(np.repeat(bb, 64, axis=0), 64, axis=1)
             outs.append(_z.compress(band.astype(">u2").tobytes(), 6))
         t = {c: b[c] for c in b.column_names if c != "raster"}
@@ -5270,8 +5290,10 @@ ORACLES["contour_polygons"] = f"""
       FROM pts),
     blk AS (SELECT gx // 64 AS bx, gy // 64 AS by, count(*) AS bs
             FROM cnt GROUP BY 1, 2),
+    med AS (SELECT quantile_disc(bs, 0.5) AS m FROM blk),
     bpix AS (SELECT bx, by,
-                    CASE WHEN bs >= 3 THEN 2 ELSE 1 END AS band
+                    CASE WHEN bs <= (SELECT m FROM med)
+                         THEN 1 ELSE 2 END AS band
              FROM blk),
     comp(bx, by, band, lbl) AS (
       SELECT bx, by, band, by * 64 + bx FROM bpix
