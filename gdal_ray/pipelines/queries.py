@@ -1133,8 +1133,18 @@ def q_reproject_utm31(sf_dir: str):
         E, N, _ = t.transform_with_errors(lon[m], lat[m])
         return pa.table({
             "event_id": b["event_id"].filter(pa.array(m)),
-            "easting_cm": pa.array(np.round(E * 100.0).astype(np.int64)),
-            "northing_cm": pa.array(np.round(N * 100.0).astype(np.int64)),
+            # floor(x*100 + 0.5 + 1e-3) on BOTH sides: half-up with a
+            # 10 um boundary nudge — the fixture lattice lands
+            # projected values structurally ON exact .5 cm boundaries
+            # (measured E*100 = ...346.5000012 vs DuckDB ...346.49999,
+            # a few-ulp series spread ~1e-5 at |E|~1.5e7 m); the
+            # shifted boundary is clear of both the structural points
+            # and the spread (the 1e-6 guard pattern of the buffer
+            # oracles, scaled to this magnitude)
+            "easting_cm": pa.array(np.floor(E * 100.0 + 0.5 + 1e-3)
+                                   .astype(np.int64)),
+            "northing_cm": pa.array(np.floor(N * 100.0 + 0.5 + 1e-3)
+                                    .astype(np.int64)),
         })
 
     return pts.map_batches(proj, batch_format="pyarrow")
@@ -1160,8 +1170,18 @@ def q_reproject_utm31_inzone(sf_dir: str):
         E, N, _ = t.transform_with_errors(lon[m], lat[m])
         return pa.table({
             "event_id": b["event_id"].filter(pa.array(m)),
-            "easting_cm": pa.array(np.round(E * 100.0).astype(np.int64)),
-            "northing_cm": pa.array(np.round(N * 100.0).astype(np.int64)),
+            # floor(x*100 + 0.5 + 1e-3) on BOTH sides: half-up with a
+            # 10 um boundary nudge — the fixture lattice lands
+            # projected values structurally ON exact .5 cm boundaries
+            # (measured E*100 = ...346.5000012 vs DuckDB ...346.49999,
+            # a few-ulp series spread ~1e-5 at |E|~1.5e7 m); the
+            # shifted boundary is clear of both the structural points
+            # and the spread (the 1e-6 guard pattern of the buffer
+            # oracles, scaled to this magnitude)
+            "easting_cm": pa.array(np.floor(E * 100.0 + 0.5 + 1e-3)
+                                   .astype(np.int64)),
+            "northing_cm": pa.array(np.floor(N * 100.0 + 0.5 + 1e-3)
+                                    .astype(np.int64)),
         })
 
     return pts.map_batches(proj, batch_format="pyarrow")
@@ -1464,11 +1484,16 @@ def q_docs_simhash_pairs(sf_dir: str):
     in-bucket exact popcount verify).  ORACLE (new r5): md5-based
     simhashes rebuilt bit-for-bit in SQL, band join on 16-bit
     segments, bit_count(xor) verify — exact while band buckets stay
-    under the engine's star-cap (measured max 38 at sf0.01)."""
+    under the engine's star-cap (raised to 1024 here; hot
+    bands measure a few hundred rows at sf0.1)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
+    # max_bucket 1024 keeps the pair list exact through sf0.1 (hot
+    # 16-bit bands reach a few hundred rows there; the star cap is
+    # the >1024 scale path, cluster-preserving but pair-lossy)
     out = _dedup.simhash_near_dup_pairs(ds, "doc_id", "text",
-                                        max_hamming=8)
+                                        max_hamming=8,
+                                        max_bucket=1024)
     return out.map_batches(
         lambda b: pa.table({"key_a": b["key_a"], "key_b": b["key_b"],
                             "hamming": b["hamming"]}),
@@ -5405,9 +5430,9 @@ def _utm31_oracle(thresh: float = 45.0) -> str:
                   eta_p + {' + '.join(terms_eta)} AS eta
            FROM s5)
     SELECT event_id,
-           CAST(round((500000.0 + 0.9996 * {arect} * eta) * 100.0, 0)
-                AS BIGINT) AS easting_cm,
-           CAST(round((0.9996 * {arect} * xi) * 100.0, 0)
+           CAST(floor((500000.0 + 0.9996 * {arect} * eta) * 100.0
+                + 0.5 + 1e-3) AS BIGINT) AS easting_cm,
+           CAST(floor((0.9996 * {arect} * xi) * 100.0 + 0.5 + 1e-3)
                 AS BIGINT) AS northing_cm
     FROM s6
     """
